@@ -1,0 +1,24 @@
+"""linkgraph — a from-scratch Ray-Data-native link-graph analytics engine.
+
+Capabilities mirror ``ManulGoyal/dynamic-community-detection-gpu``
+(delta-screening dynamic Louvain; see /root/reference, studied for
+behavior only) extended per the project north rule with PageRank,
+connected components, label propagation and triangle counting over an
+edge table derived from Common-Crawl-style web pages.
+
+Layout
+------
+- ``fixtures/``  deterministic synthetic inputs (pages table, ToyExample
+  replica, random graphs) — pure functions of (seed, scale).
+- ``oracle/``    single-process NumPy reference kernels pinning the exact
+  semantics (synchronous bucketed Louvain with the reference's tie-breaks,
+  delta screening, PageRank/CC/LPA/triangles). The engine must match these.
+- ``sources/``   parquet readers/writers + schemas for the canonical tables.
+- ``stages/``    map_batches stages (link extraction, URL normalization,
+  dedup family, text analysis, similarity search, multimodal stubs).
+- ``pipelines/`` Ray Data pipelines (pages -> links -> nodes -> edges).
+- ``state/``     partitioned CSR actors + the distributed graph engine.
+- ``functions/`` quality-function plugin surface (Modularity et al.).
+"""
+
+__version__ = "0.1.0"
