@@ -1,0 +1,188 @@
+"""Ingestion pipeline: pages -> links -> nodes -> edges -> degrees.
+
+Ray-Data-first equivalent of the reference's ``convert`` preprocessing
+(``main_convert.cpp:110-123``: read -> symmetrize -> clean -> renumber ->
+write), re-expressed as Dataset transforms:
+
+    read_parquet(pages, columns=[url, html])       # prune at the read
+      -> map_batches(LinkExtractor, actor pool)    # S13, html dropped here
+      -> map_batches(normalize_links)              # E13
+      -> groupby(src,dst).count                    # E2 exact dedup
+      -> url -> dense node id                      # E3 renumber (sort rank)
+      -> directed edges (PageRank/triangles)
+      -> symmetrize + dedup                        # E1+E2 (Louvain family)
+      -> degrees                                   # A1
+
+Everything streams; nothing materializes the pages table.  The dense-id
+ranking is a two-pass block-offset assignment over the *sorted unique
+urls* (deterministic, no driver-side row materialization) — the Ray-Data
+analog of ``convert -r`` (``graph.cpp:93-130``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..stages.extract import LinkExtractor
+from ..stages.normalize import normalize_links
+
+# Hash-join partition count for the large-large url->id joins (J7).  At
+# 10^12 pages this should scale with cluster size; on the test box a small
+# constant keeps task counts sane.
+DEFAULT_JOIN_PARTITIONS = 16
+
+
+def extract_links(pages: rd.Dataset, *, concurrency: int | tuple = (1, 4),
+                  batch_size: int = 1024, normalize: bool = True) -> rd.Dataset:
+    """pages -> links(src_url, dst_url).  Drops html immediately (the
+    binary column never enters a shuffle)."""
+    links = pages.map_batches(
+        LinkExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    if normalize:
+        links = links.map_batches(normalize_links, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return links
+
+
+def build_nodes(links: rd.Dataset) -> rd.Dataset:
+    """Distinct urls -> nodes(url, node_id) with dense ids in sorted url
+    order.
+
+    Two passes, no driver row materialization: (1) shuffle-dedup + sort;
+    (2) per-block row counts -> driver-side cumulative offsets (one int
+    per block) -> per-block id assignment.
+    """
+    urls = (links.select_columns(["src_url"]).rename_columns({"src_url": "url"})
+            .union(links.select_columns(["dst_url"]).rename_columns({"dst_url": "url"})))
+    uniq = urls.groupby("url").aggregate(Count(alias_name="_c")) \
+               .select_columns(["url"])
+    sorted_ds = uniq.sort("url").materialize()
+
+    blocks = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([_count.remote(b) for b in blocks])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
+    @ray.remote
+    def _assign(tbl: pa.Table, off: int) -> pa.Table:
+        ids = pa.array(np.arange(off, off + tbl.num_rows, dtype=np.int64))
+        return pa.table({"url": tbl.column("url"), "node_id": ids})
+
+    out_refs = [_assign.remote(b, int(off))
+                for b, off in zip(blocks, offsets[:-1])]
+    return rd.from_arrow_refs(out_refs)
+
+
+def resolve_edges(links: rd.Dataset, nodes: rd.Dataset, *,
+                  num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+                  broadcast_threshold: int = 5_000_000) -> rd.Dataset:
+    """links(src_url,dst_url) -> directed edges(src,dst,w) with w = link
+    multiplicity (dedup via groupby — E2 semantics, key=(src,dst)).
+
+    Join strategy: if the nodes table is small enough, broadcast it once
+    with ``ray.put`` and map urls inside ``map_batches`` (no shuffle);
+    otherwise two hash-partitioned shuffle joins on url (J7).
+    """
+    n_nodes = nodes.count()
+    if n_nodes <= broadcast_threshold:
+        nodes_tbl = pa.concat_tables(ray.get(nodes.to_arrow_refs()))
+        # broadcast the sorted url->id map once; searchsorted per batch
+        urls_sorted = np.array(nodes_tbl.column("url").to_pylist())
+        ids_sorted = nodes_tbl.column("node_id").to_numpy()
+        order = np.argsort(urls_sorted)
+        urls_sorted, ids_sorted = urls_sorted[order], ids_sorted[order]
+        map_ref = ray.put((urls_sorted, ids_sorted))
+
+        class UrlToId:
+            def __init__(self):
+                self.urls, self.ids = ray.get(map_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                s = np.asarray(batch.column("src_url").to_pylist())
+                d = np.asarray(batch.column("dst_url").to_pylist())
+                si = self.ids[np.searchsorted(self.urls, s)]
+                di = self.ids[np.searchsorted(self.urls, d)]
+                return pa.table({"src": pa.array(si), "dst": pa.array(di)})
+
+        resolved = links.map_batches(UrlToId, batch_format="pyarrow",
+                                     zero_copy_batch=True, concurrency=(1, 4))
+    else:
+        resolved = (
+            links.join(nodes, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("src_url",), right_on=("url",))
+            .rename_columns({"node_id": "src"})
+            .select_columns(["src", "dst_url"])
+            .join(nodes, join_type="inner",
+                  num_partitions=num_partitions,
+                  on=("dst_url",), right_on=("url",))
+            .rename_columns({"node_id": "dst"})
+            .select_columns(["src", "dst"])
+        )
+    return (resolved.groupby(["src", "dst"])
+            .aggregate(Count(alias_name="w"))
+            .map_batches(lambda t: t.set_column(
+                t.schema.get_field_index("w"), "w",
+                t.column("w").cast(pa.float64())),
+                batch_format="pyarrow"))
+
+
+def symmetrize_edges(edges: rd.Dataset) -> rd.Dataset:
+    """Directed edges -> symmetric (both directions, self-loops once),
+    duplicate (src,dst) weights summed (E1 + E2, graph.cpp:78-81,132-162)."""
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy()
+        dst = batch.column("dst").to_numpy()
+        w = batch.column("w").to_numpy()
+        nonself = src != dst
+        return pa.table({
+            "src": np.concatenate([src, dst[nonself]]),
+            "dst": np.concatenate([dst, src[nonself]]),
+            "w": np.concatenate([w, w[nonself]]),
+        })
+
+    return (edges.map_batches(mirror, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w")))
+
+
+def degree_table(sym_edges: rd.Dataset) -> rd.Dataset:
+    """degrees(node, degree, wdegree) from the symmetric edge table (A1)."""
+    return (sym_edges.groupby("src")
+            .aggregate(Count(alias_name="degree"),
+                       Sum("w", alias_name="wdegree"))
+            .rename_columns({"src": "node"}))
+
+
+def ingest(pages_path: str, out_dir: str | None = None, *,
+           concurrency: int | tuple = (1, 4)) -> dict:
+    """Full ingestion.  Returns dict of Datasets: links, nodes, edges
+    (directed), sym_edges, degrees.  If ``out_dir`` is given, each table is
+    also persisted as parquet (resumable layout: one directory per table).
+    """
+    pages = rd.read_parquet(pages_path, columns=["url", "html"])
+    links = extract_links(pages, concurrency=concurrency)
+    nodes = build_nodes(links).materialize()
+    edges = resolve_edges(links, nodes).materialize()
+    sym = symmetrize_edges(edges).materialize()
+    degrees = degree_table(sym)
+    out = {"links": links, "nodes": nodes, "edges": edges,
+           "sym_edges": sym, "degrees": degrees}
+    if out_dir:
+        for name in ("nodes", "edges", "sym_edges"):
+            out[name].write_parquet(f"{out_dir}/{name}")
+    return out

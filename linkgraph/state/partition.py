@@ -1,0 +1,236 @@
+"""Partitioned CSR shard actor — the engine's stateful core (ST1/ST2/ST3).
+
+The reference holds ONE whole-graph CSR in process/device memory
+(``main_louvain.cpp:1090-1092``, ``utils.cu:209-251``).  The engine shards
+the vertex space into contiguous, degree-balanced id ranges; each shard is
+a long-lived Ray actor holding
+
+- the CSR rows of its local vertices (src in [lo, hi)),
+- per-vertex algorithm state (ranks / labels / components),
+- the shard of per-community aggregates ``tot``/``size`` for community ids
+  that fall in its range (community ids live in the vertex id space, so
+  the same boundaries shard them),
+- its static ghost set: the remote vertex ids its edges reference,
+  grouped by owning partition.
+
+Every superstep is: local vectorized compute -> pre-aggregated per-owner
+message arrays (the combiner) -> object-store exchange (the driver routes
+ObjectRefs only; payloads never touch the driver) -> local apply.  This is
+the ``(dst, contribution)`` groupby-shuffle + partition-local SpMV of the
+north star, expressed at the actor level so that iteration N+1 reuses the
+CSR built once (a per-iteration ``ray.data`` groupby would re-shuffle the
+static graph every superstep).
+
+Determinism: all grouped reductions sort by (vertex, key) before
+``np.add.reduceat`` — same order as the oracle kernels, so float sums are
+bit-identical to the oracle's on the same partition layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..oracle.graph import CSRGraph
+
+
+def owner_of(ids: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Partition index owning each id (bounds = [b0..bP], b0=0, bP=n)."""
+    return np.searchsorted(bounds, ids, side="right") - 1
+
+
+def split_by_owner(ids: np.ndarray, bounds: np.ndarray,
+                   *arrays: np.ndarray) -> list[tuple]:
+    """Split (ids, *arrays) into per-owner tuples; owners are the P ranges."""
+    own = owner_of(ids, bounds)
+    order = np.argsort(own, kind="stable")
+    own_s = own[order]
+    P = len(bounds) - 1
+    cuts = np.searchsorted(own_s, np.arange(P + 1))
+    out = []
+    for p in range(P):
+        sl = order[cuts[p]:cuts[p + 1]]
+        out.append((ids[sl],) + tuple(a[sl] for a in arrays))
+    return out
+
+
+def _grouped_sum(keys: np.ndarray, vals: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic grouped sum: sort by key, reduceat."""
+    if len(keys) == 0:
+        return keys, vals
+    order = np.argsort(keys, kind="stable")
+    k, v = keys[order], vals[order]
+    uk, start = np.unique(k, return_index=True)
+    return uk, np.add.reduceat(v, start)
+
+
+class GraphShard:
+    """One partition of the graph + its vertex/community state.
+
+    Instantiated as ``ray.remote(GraphShard)`` by the engine; kept plain so
+    unit tests can drive it in-process.
+    """
+
+    def __init__(self, pid: int, bounds: list[int]):
+        self.pid = pid
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.lo = int(self.bounds[pid])
+        self.hi = int(self.bounds[pid + 1])
+        self.P = len(bounds) - 1
+        self.n_local = self.hi - self.lo
+        self.n_global = int(self.bounds[-1])
+        self._pending: list[pa.Table] = []
+        # CSR over local vertices: indptr local-indexed, indices GLOBAL ids
+        self.indptr: np.ndarray | None = None
+        self.indices: np.ndarray | None = None
+        self.weights: np.ndarray | None = None
+        self.k: np.ndarray | None = None          # local weighted degrees
+        self.state: dict[str, np.ndarray] = {}    # per-local-vertex arrays
+        self.comm_state: dict[str, np.ndarray] = {}  # per-local-community-id
+        self.ghosts: list[np.ndarray] = []        # per-owner ghost id arrays
+        self.M: float = 0.0                       # global, set by engine
+
+    # -- graph build --------------------------------------------------------
+
+    def ingest_edges(self, tbl: pa.Table | None) -> int:
+        if tbl is not None and tbl.num_rows:
+            self._pending.append(tbl)
+        return sum(t.num_rows for t in self._pending)
+
+    def finalize_graph(self) -> dict:
+        """Build the local CSR from ingested rows. Returns local stats."""
+        if self._pending:
+            tbl = pa.concat_tables(self._pending)
+            src = tbl.column("src").to_numpy().astype(np.int64)
+            dst = tbl.column("dst").to_numpy().astype(np.int64)
+            w = (tbl.column("w").to_numpy().astype(np.float64)
+                 if "w" in tbl.column_names else np.ones(len(src)))
+        else:
+            src = np.empty(0, np.int64)
+            dst = np.empty(0, np.int64)
+            w = np.empty(0, np.float64)
+        self._pending = []
+        self._build_csr(src, dst, w)
+        return {
+            "pid": self.pid, "n_local": self.n_local,
+            "n_edges": int(len(self.indices)),
+            "k_sum": float(self.k.sum()),
+            "out_deg_nonzero": int((np.diff(self.indptr) > 0).sum()),
+        }
+
+    def _build_csr(self, src: np.ndarray, dst: np.ndarray, w: np.ndarray):
+        loc = src - self.lo
+        order = np.lexsort((dst, loc))
+        loc, dst, w = loc[order], dst[order], w[order]
+        indptr = np.zeros(self.n_local + 1, dtype=np.int64)
+        np.add.at(indptr, loc + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        self.indptr, self.indices, self.weights = indptr, dst, w
+        deg = np.diff(indptr)
+        if len(dst):
+            ksum = np.add.reduceat(np.concatenate([w, [0.0]]), indptr[:-1])
+            self.k = np.where(deg > 0, ksum, 0.0)
+        else:
+            self.k = np.zeros(self.n_local)
+        # static ghost sets: remote ids referenced by local edges
+        remote = np.unique(dst[(dst < self.lo) | (dst >= self.hi)])
+        self.ghosts = [ids for ids, in split_by_owner(remote, self.bounds)]
+
+    def edge_arrays(self) -> pa.Table:
+        """Local edges as (src,dst,w) with global ids (for rebuild/ckpt)."""
+        src = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo,
+                        np.diff(self.indptr))
+        return pa.table({"src": src, "dst": self.indices, "w": self.weights})
+
+    def set_global(self, *, M: float | None = None, n_global: int | None = None):
+        if M is not None:
+            self.M = float(M)
+        if n_global is not None:
+            self.n_global = int(n_global)
+
+    # -- generic state ------------------------------------------------------
+
+    def init_state(self, name: str, value: float | np.ndarray,
+                   kind: str = "vertex", dtype=np.float64):
+        size = self.n_local
+        if np.isscalar(value):
+            arr = np.full(size, value, dtype=dtype)
+        else:
+            arr = np.asarray(value, dtype=dtype)
+            assert len(arr) == size
+        if kind == "vertex":
+            self.state[name] = arr
+        else:
+            self.comm_state[name] = arr
+
+    def init_state_iota(self, name: str):
+        """state[name][v] = global vertex id (singleton labels)."""
+        self.state[name] = np.arange(self.lo, self.hi, dtype=np.int64)
+
+    def get_state(self, name: str) -> np.ndarray:
+        return self.state[name]
+
+    def get_ghost_requests(self) -> list[np.ndarray]:
+        """Per-owner ghost id arrays (static until the graph changes)."""
+        return self.ghosts
+
+    def serve(self, name: str, ids: np.ndarray) -> np.ndarray:
+        """Values of a vertex-state array for the requested (local) ids."""
+        return self.state[name][np.asarray(ids, dtype=np.int64) - self.lo]
+
+    def serve_comm(self, names: list[str], ids: np.ndarray) -> list[np.ndarray]:
+        ids = np.asarray(ids, dtype=np.int64) - self.lo
+        return [self.comm_state[n][ids] for n in names]
+
+    # -- ghost-value resolution helper --------------------------------------
+
+    def _full_values(self, name: str, ghost_vals: list[np.ndarray],
+                     dtype=np.int64) -> tuple[np.ndarray, np.ndarray]:
+        """Return (ids, values) covering local vertices + ghosts, and a
+        lookup: values for arbitrary ids via searchsorted on sorted ids."""
+        ids = [np.arange(self.lo, self.hi, dtype=np.int64)]
+        vals = [self.state[name]]
+        for g_ids, g_vals in zip(self.ghosts, ghost_vals):
+            if len(g_ids):
+                ids.append(g_ids)
+                vals.append(np.asarray(g_vals))
+        all_ids = np.concatenate(ids)
+        all_vals = np.concatenate(vals).astype(dtype)
+        order = np.argsort(all_ids, kind="stable")
+        return all_ids[order], all_vals[order]
+
+    @staticmethod
+    def _lookup(sorted_ids: np.ndarray, sorted_vals: np.ndarray,
+                query: np.ndarray) -> np.ndarray:
+        return sorted_vals[np.searchsorted(sorted_ids, query)]
+
+    # -- checkpoint ---------------------------------------------------------
+
+    def checkpoint(self, ckpt_dir: str, names: list[str]) -> dict:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        cols = {"node": np.arange(self.lo, self.hi, dtype=np.int64)}
+        for n in names:
+            cols[n] = self.state[n]
+        path = os.path.join(ckpt_dir, f"part-{self.pid:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, path)  # atomic publish
+        return {"pid": self.pid, "path": path,
+                "bytes": os.path.getsize(path), "rows": self.n_local}
+
+    def restore(self, ckpt_dir: str, names: list[str],
+                dtypes: list | None = None) -> bool:
+        path = os.path.join(ckpt_dir, f"part-{self.pid:05d}.parquet")
+        if not os.path.exists(path):
+            return False
+        tbl = pq.read_table(path)
+        for i, n in enumerate(names):
+            arr = tbl.column(n).to_numpy()
+            if dtypes:
+                arr = arr.astype(dtypes[i])
+            self.state[n] = arr
+        return True

@@ -1,0 +1,473 @@
+"""Distributed Louvain + delta-screening supersteps (shard-local halves).
+
+Implements the reference's synchronous bucketed kernel (oracle:
+linkgraph/oracle/louvain.py with file:line citations) over the partitioned
+CSR.  Per optimisation round, for each of the 7 degree buckets in order:
+
+  1. ghost-label fetch   (labels of remote neighbors, static ghost sets)
+  2. move computation    (needs tot/size of candidate communities -> a
+                          dynamic fetch from the community owners; comm ids
+                          live in the vertex id space so the same range
+                          boundaries shard them)
+  3. apply moves locally + send (comm, dtot, dsize) deltas to owners
+
+Community aggregates tot/size are sharded per-owner (comm_state), exactly
+mirroring the reference's communityWeight/communitySize device arrays
+rebuilt per bucket (modularity_optimisation_mem.cu:387-411) — here updated
+by deltas, which is numerically identical for the unweighted adds used.
+
+Delta screening (add/del) reuses the same fetch machinery; semantics per
+node_eval.cu (see oracle screen_add/screen_del docstrings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .partition import _grouped_sum, split_by_owner
+from .shard_algos import AlgoShard
+
+BUCKET_BOUNDS = [0, 4, 8, 16, 32, 84, 319, np.iinfo(np.int64).max]
+
+
+def _resolve(msgs):
+    msgs = list(msgs)
+    if msgs and isinstance(msgs[0], ray.ObjectRef):
+        return ray.get(msgs)
+    return msgs
+
+
+class LouvainShard(AlgoShard):
+
+    # ---------- state init -------------------------------------------------
+
+    def lv_init_labels(self, labels: np.ndarray | None = None):
+        """Install labels (init partition, L6) or singletons."""
+        if labels is None:
+            self.state["labels"] = np.arange(self.lo, self.hi, dtype=np.int64)
+        else:
+            self.state["labels"] = np.asarray(labels, dtype=np.int64).copy()
+        self.comm_state["tot"] = np.zeros(self.n_local)
+        self.comm_state["size"] = np.zeros(self.n_local, dtype=np.int64)
+
+    def lv_agg_partials(self):
+        """(comm, k_sum, count) per owner for rebuilding tot/size from
+        labels (init_quality / init_partition_v semantics). num_returns=P."""
+        lab = self.state["labels"]
+        uk, ksum = _grouped_sum(lab, self.k)
+        _, cnt = _grouped_sum(lab, np.ones(self.n_local))
+        return tuple(split_by_owner(uk, self.bounds, ksum, cnt))
+
+    def lv_agg_apply(self, msgs):
+        msgs = _resolve(msgs)
+        tot = np.zeros(self.n_local)
+        size = np.zeros(self.n_local, dtype=np.int64)
+        for ids, ksum, cnt in msgs:
+            if len(ids):
+                loc = ids - self.lo
+                np.add.at(tot, loc, ksum)
+                np.add.at(size, loc, cnt.astype(np.int64))
+        self.comm_state["tot"] = tot
+        self.comm_state["size"] = size
+
+    # ---------- ghost labels ----------------------------------------------
+
+    def lv_store_ghost_labels(self, ghost_vals):
+        """Cache the fetched ghost labels for this sub-round."""
+        ghost_vals = _resolve(ghost_vals)
+        self._lv_ids, self._lv_labs = self._full_values("labels", ghost_vals)
+
+    def _label_of(self, ids: np.ndarray) -> np.ndarray:
+        return self._lookup(self._lv_ids, self._lv_labs, ids)
+
+    # ---------- bucketed move phase ----------------------------------------
+
+    def lv_moves_phase1(self, bucket: int, use_subset: bool):
+        """Compute e_{v->C} for bucket vertices; return per-owner comm-id
+        request arrays (num_returns=P).  Intermediates stashed."""
+        lo_b, hi_b = BUCKET_BOUNDS[bucket], BUCKET_BOUNDS[bucket + 1]
+        deg = np.diff(self.indptr)
+        sel = (deg > lo_b) & (deg <= hi_b)
+        if use_subset:
+            sel &= self.state["R"].astype(bool)
+        sel_idx = np.flatnonzero(sel)
+        self._mv = None
+        if len(sel_idx) == 0:
+            empty = np.empty(0, np.int64)
+            return tuple(empty for _ in range(self.P))
+        take = np.concatenate([np.arange(self.indptr[v], self.indptr[v + 1])
+                               for v in sel_idx])
+        rows = np.repeat(sel_idx, deg[sel_idx])          # local index
+        cols = self.indices[take]                         # global ids
+        w = self.weights[take]
+        nonself = cols != rows + self.lo
+        rows, cols, w = rows[nonself], cols[nonself], w[nonself]
+        ncomm = self._label_of(cols)
+
+        order = np.lexsort((ncomm, rows))
+        rows, ncomm, w = rows[order], ncomm[order], w[order]
+        newgrp = np.empty(len(rows), dtype=bool)
+        if len(rows):
+            newgrp[0] = True
+            newgrp[1:] = (rows[1:] != rows[:-1]) | (ncomm[1:] != ncomm[:-1])
+        starts = np.flatnonzero(newgrp)
+        gv = rows[starts]                                 # local index
+        gc = ncomm[starts]                                # global comm id
+        e_vc = np.add.reduceat(w, starts) if len(starts) else np.empty(0)
+
+        cur = self.state["labels"][gv]
+        need = np.unique(np.concatenate([gc, cur]))
+        self._mv = {"sel": sel_idx, "gv": gv, "gc": gc, "e": e_vc,
+                    "need": need}
+        return tuple(ids for ids, in split_by_owner(need, self.bounds))
+
+    def lv_moves_phase2(self, comm_vals):
+        """Finish gains with fetched (tot,size); apply moves; return
+        per-owner (comm, dtot, dsize) delta messages (num_returns=P)."""
+        comm_vals = _resolve(comm_vals)
+        empty = (np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64))
+        if self._mv is None:
+            return tuple(empty for _ in range(self.P))
+        mv = self._mv
+        need = mv["need"]
+        # reassemble tot/size in `need` order (owners served sorted slices
+        # of the per-owner split, which preserves the original order)
+        parts = split_by_owner(need, self.bounds)
+        tot = np.empty(len(need))
+        size = np.empty(len(need), dtype=np.int64)
+        pos = 0
+        order_idx = np.argsort(owner_key(need, self.bounds), kind="stable")
+        # simpler: rebuild by owner chunks in the same order split_by_owner used
+        chunks_ids = [ids for ids, in parts]
+        all_ids = np.concatenate(chunks_ids) if chunks_ids else need
+        all_tot = np.concatenate([v[0] for v in comm_vals]) if comm_vals else np.empty(0)
+        all_size = np.concatenate([v[1] for v in comm_vals]) if comm_vals else np.empty(0)
+        o = np.argsort(all_ids, kind="stable")
+        sorted_ids, sorted_tot, sorted_size = all_ids[o], all_tot[o], all_size[o]
+
+        def tot_of(ids):
+            i = np.searchsorted(sorted_ids, ids)
+            return sorted_tot[i]
+
+        def size_of(ids):
+            i = np.searchsorted(sorted_ids, ids)
+            return sorted_size[i].astype(np.int64)
+
+        gv, gc, e_vc = mv["gv"], mv["gc"], mv["e"]
+        labels = self.state["labels"]
+        cur = labels[gv]
+        own_mask = gc == cur
+        e_cur = np.zeros(self.n_local)
+        e_cur[gv[own_mask]] = e_vc[own_mask]
+
+        cand = (~own_mask) & ((gc < cur) | (size_of(gc) > 1) | (size_of(cur) > 1))
+        gv_c, gc_c, e_c = gv[cand], gc[cand], e_vc[cand]
+        cur_c = labels[gv_c]
+        kv = self.k[gv_c]
+        M = self.M
+        gain = e_c / M + kv * ((tot_of(cur_c) - kv) - tot_of(gc_c)) / (2 * M * M)
+
+        best_new = np.full(self.n_local, -1, dtype=np.int64)
+        best_gain = np.zeros(self.n_local)
+        if len(gv_c):
+            ordc = np.lexsort((gc_c, -gain, gv_c))
+            v_s, c_s, g_s = gv_c[ordc], gc_c[ordc], gain[ordc]
+            first = np.empty(len(v_s), dtype=bool)
+            first[0] = True
+            first[1:] = v_s[1:] != v_s[:-1]
+            v_f, c_f, g_f = v_s[first], c_s[first], g_s[first]
+            ok = (g_f > 0) | ((g_f == 0) & (c_f < labels[v_f]))
+            v_f, c_f, g_f = v_f[ok], c_f[ok], g_f[ok]
+            best_new[v_f] = c_f
+            best_gain[v_f] = g_f
+        movers = np.flatnonzero(best_new >= 0)
+        accept = best_gain[movers] - e_cur[movers] / M > 0
+        movers = movers[accept]
+        self._mv = None
+        if len(movers) == 0:
+            self._n_moved = 0
+            return tuple(empty for _ in range(self.P))
+        old_c = labels[movers]
+        new_c = best_new[movers]
+        labels[movers] = new_c
+        self._n_moved = len(movers)
+        # community deltas
+        dc = np.concatenate([old_c, new_c])
+        dtot = np.concatenate([-self.k[movers], self.k[movers]])
+        dsize = np.concatenate([-np.ones(len(movers), np.int64),
+                                np.ones(len(movers), np.int64)])
+        uk, t = _grouped_sum(dc, dtot)
+        _, s = _grouped_sum(dc, dsize.astype(np.float64))
+        return tuple(split_by_owner(uk, self.bounds, t, s.astype(np.int64)))
+
+    def lv_apply_comm_deltas(self, msgs) -> int:
+        msgs = _resolve(msgs)
+        for ids, dtot, dsize in msgs:
+            if len(ids):
+                loc = ids - self.lo
+                np.add.at(self.comm_state["tot"], loc, dtot)
+                np.add.at(self.comm_state["size"], loc, dsize)
+        return int(getattr(self, "_n_moved", 0))
+
+    def lv_serve_comm_aggs(self, ids) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.asarray(ids, dtype=np.int64) - self.lo
+        return (self.comm_state["tot"][ids],
+                self.comm_state["size"][ids].astype(np.int64))
+
+    # ---------- modularity -------------------------------------------------
+
+    def lv_q_terms(self) -> tuple[float, float]:
+        """(local toOwn sum incl self-loops, sum of tot^2 over local comm
+        slots).  Requires fresh ghost labels (lv_store_ghost_labels)."""
+        src_lab = np.repeat(self.state["labels"], np.diff(self.indptr))
+        dst_lab = self._label_of(self.indices) if len(self.indices) else np.empty(0, np.int64)
+        own = src_lab == dst_lab
+        to_own = float(self.weights[own].sum())
+        tot_sq = float((self.comm_state["tot"] ** 2).sum())
+        return to_own, tot_sq
+
+    # ---------- contraction ------------------------------------------------
+
+    def lv_contract_partial(self) -> pa.Table:
+        """Local (csrc, cdst, w) pre-aggregated (A7 combiner).  Requires
+        fresh ghost labels."""
+        csrc = np.repeat(self.state["labels"], np.diff(self.indptr))
+        cdst = self._label_of(self.indices) if len(self.indices) else np.empty(0, np.int64)
+        key = csrc * np.int64(self.n_global) + cdst
+        uk, sums = _grouped_sum(key, self.weights)
+        return pa.table({"csrc": uk // self.n_global,
+                         "cdst": uk % self.n_global, "w": sums})
+
+    def lv_compose_labels(self, mapping_ref):
+        """labels <- mapping[labels] (J4: original->community composition).
+        ``mapping_ref`` is a ray.put array indexed by current label id."""
+        mapping = ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
+        self.state["labels"] = mapping[self.state["labels"]]
+
+    def lv_labels_result(self) -> pa.Table:
+        return pa.table({
+            "node": np.arange(self.lo, self.hi, dtype=np.int64),
+            "comm": self.state["labels"],
+        })
+
+    # ---------- delta application (M1/M2) ---------------------------------
+
+    def apply_delta(self, add_tbl: pa.Table | None,
+                    del_src: np.ndarray | None, del_dst: np.ndarray | None,
+                    new_bounds: np.ndarray | None = None) -> int:
+        """Apply a delta batch to the local CSR (rebuild local rows only).
+
+        ``add_tbl``: (src,dst,w) rows with src owned here, both directions
+        pre-symmetrized by the engine (append WITHOUT dedup — M1 quirk).
+        ``del_src/del_dst``: directed pairs with src owned here (engine
+        sends both directions).  One CSR entry removed per request;
+        missing edges counted and skipped (count_notexist).  Returns the
+        number of nonexistent deletion requests."""
+        if new_bounds is not None:
+            self.bounds = np.asarray(new_bounds, dtype=np.int64)
+            self.lo = int(self.bounds[self.pid])
+            self.hi = int(self.bounds[self.pid + 1])
+            self.n_global = int(self.bounds[-1])
+            grow = (self.hi - self.lo) - self.n_local
+            if grow > 0:
+                pad_ip = np.full(grow, self.indptr[-1], dtype=np.int64)
+                self.indptr = np.concatenate([self.indptr, pad_ip])
+                self.k = np.concatenate([self.k, np.zeros(grow)])
+                for name, arr in list(self.state.items()):
+                    pad = np.arange(self.n_local, self.hi - self.lo,
+                                    dtype=arr.dtype) + self.lo \
+                        if arr.dtype == np.int64 else np.zeros(grow)
+                    self.state[name] = np.concatenate([arr, pad])
+                for name, arr in list(self.comm_state.items()):
+                    self.comm_state[name] = np.concatenate(
+                        [arr, np.zeros(grow, dtype=arr.dtype)])
+                self.n_local = self.hi - self.lo
+        src = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo,
+                        np.diff(self.indptr))
+        dst, w = self.indices, self.weights
+        keep = np.ones(len(src), dtype=bool)
+        n_missing = 0
+        if del_src is not None and len(del_src):
+            key = src * np.int64(self.n_global) + dst
+            order = np.argsort(key, kind="stable")
+            skey = key[order]
+            for s, d in zip(del_src, del_dst):
+                kk = s * np.int64(self.n_global) + d
+                i = np.searchsorted(skey, kk)
+                hit = -1
+                while i < len(skey) and skey[i] == kk:
+                    if keep[order[i]]:
+                        hit = order[i]
+                        break
+                    i += 1
+                if hit >= 0:
+                    keep[hit] = False
+                else:
+                    n_missing += 1
+        src, dst, w = src[keep], dst[keep], w[keep]
+        if add_tbl is not None and add_tbl.num_rows:
+            src = np.concatenate([src, add_tbl.column("src").to_numpy()])
+            dst = np.concatenate([dst, add_tbl.column("dst").to_numpy()])
+            w = np.concatenate([w, add_tbl.column("w").to_numpy()])
+        self._build_csr(src, dst, w)
+        return n_missing
+
+    # ---------- delta screening -------------------------------------------
+
+    def screen_begin(self, d_src, d_dst, mode: str):
+        """Stash the symmetric delta pairs whose src is local; return
+        per-owner label requests for the dst endpoints + candidate-comm
+        ghost needs (num_returns=P).  Ghost labels must be fetched first
+        via lv_store_ghost_labels for the adjacency walk (add mode)."""
+        d_src = np.asarray(d_src, dtype=np.int64)
+        d_dst = np.asarray(d_dst, dtype=np.int64)
+        self._sc = {"src": d_src, "dst": d_dst, "mode": mode}
+        need = np.unique(d_dst)
+        return tuple(ids for ids, in split_by_owner(need, self.bounds))
+
+    def screen_mark(self, dst_label_vals):
+        """Compute node marks; returns (marked_comm_ids, n_marked_local).
+
+        add mode additionally needs tot/size -> two-phase like moves; to
+        keep it simple we piggyback on the comm aggregates already held
+        sharded: this phase returns per-owner comm requests instead, and
+        the engine calls screen_mark2.  For del mode the comm aggregates
+        are not needed and marking completes here."""
+        dst_label_vals = _resolve(dst_label_vals)
+        sc = self._sc
+        need = np.unique(sc["dst"])
+        all_ids = np.concatenate([ids for ids, in split_by_owner(need, self.bounds)]) \
+            if len(need) else need
+        all_vals = np.concatenate([np.asarray(v) for v in dst_label_vals]) \
+            if dst_label_vals else np.empty(0, np.int64)
+        o = np.argsort(all_ids, kind="stable")
+        s_ids, s_vals = all_ids[o], all_vals[o]
+        dst_lab = s_vals[np.searchsorted(s_ids, sc["dst"])] if len(sc["dst"]) else np.empty(0, np.int64)
+        labels = self.state["labels"]
+        node_eval = np.zeros(self.n_local, dtype=bool)
+        if sc["mode"] == "del":
+            src_lab = labels[sc["src"] - self.lo]
+            same = src_lab == dst_lab
+            node_eval[sc["src"][same] - self.lo] = True
+            marked_comms = np.unique(src_lab[same])
+            self.state["R"] = node_eval.astype(np.int8)
+            self._sc = None
+            return marked_comms, int(node_eval.sum()), tuple(
+                np.empty(0, np.int64) for _ in range(self.P))
+        # add mode: build candidate sets and e_{v->C}; request tot/size
+        sc["dst_lab"] = dst_lab
+        sources = np.unique(sc["src"])
+        src_loc = sources - self.lo
+        cand_v = np.concatenate([sc["src"], sc["src"]])
+        cand_c = np.concatenate([dst_lab, labels[sc["src"] - self.lo]])
+        cand_key = np.unique(cand_v * np.int64(self.n_global) + cand_c)
+
+        deg = np.diff(self.indptr)
+        take = np.concatenate([np.arange(self.indptr[v], self.indptr[v + 1])
+                               for v in src_loc]) if len(src_loc) else np.empty(0, np.int64)
+        rows = np.repeat(sources, deg[src_loc])
+        cols = self.indices[take]
+        w = self.weights[take]
+        ncomm = self._label_of(cols) if len(cols) else np.empty(0, np.int64)
+        in_cand = np.isin(rows * np.int64(self.n_global) + ncomm, cand_key)
+        rows, cols, w, ncomm = rows[in_cand], cols[in_cand], w[in_cand], ncomm[in_cand]
+        nonself = cols != rows
+        rows, w, ncomm = rows[nonself], w[nonself], ncomm[nonself]
+        order = np.lexsort((ncomm, rows))
+        rows, ncomm, w = rows[order], ncomm[order], w[order]
+        newgrp = np.empty(len(rows), dtype=bool)
+        if len(rows):
+            newgrp[0] = True
+            newgrp[1:] = (rows[1:] != rows[:-1]) | (ncomm[1:] != ncomm[:-1])
+        starts = np.flatnonzero(newgrp)
+        gv = rows[starts]          # GLOBAL source id here
+        gc = ncomm[starts]
+        e_vc = np.add.reduceat(w, starts) if len(starts) else np.empty(0)
+        cur = labels[gv - self.lo]
+        need2 = np.unique(np.concatenate([gc, cur])) if len(gv) else np.empty(0, np.int64)
+        self._sc.update({"gv": gv, "gc": gc, "e": e_vc, "need": need2})
+        return np.empty(0, np.int64), 0, tuple(
+            ids for ids, in split_by_owner(need2, self.bounds))
+
+    def screen_mark2(self, comm_vals):
+        """(add mode) finish gains; returns marked_comm_ids."""
+        comm_vals = _resolve(comm_vals)
+        sc = self._sc
+        labels = self.state["labels"]
+        node_eval = np.zeros(self.n_local, dtype=bool)
+        marked: list[int] = []
+        if len(sc.get("gv", [])):
+            need = sc["need"]
+            chunks = [ids for ids, in split_by_owner(need, self.bounds)]
+            all_ids = np.concatenate(chunks)
+            all_tot = np.concatenate([v[0] for v in comm_vals])
+            all_size = np.concatenate([v[1] for v in comm_vals])
+            o = np.argsort(all_ids, kind="stable")
+            s_ids, s_tot, s_size = all_ids[o], all_tot[o], all_size[o]
+
+            def tot_of(ids):
+                return s_tot[np.searchsorted(s_ids, ids)]
+
+            def size_of(ids):
+                return s_size[np.searchsorted(s_ids, ids)].astype(np.int64)
+
+            gv, gc, e_vc = sc["gv"], sc["gc"], sc["e"]
+            cur = labels[gv - self.lo]
+            own_mask = gc == cur
+            e_cur_map: dict[int, float] = {}
+            e_cur = np.zeros(self.n_local)
+            e_cur[(gv[own_mask] - self.lo)] = e_vc[own_mask]
+            cand = (~own_mask) & ((gc < cur) | (size_of(gc) > 1) | (size_of(cur) > 1))
+            gv_c, gc_c, e_c = gv[cand], gc[cand], e_vc[cand]
+            cur_c = labels[gv_c - self.lo]
+            kv = self.k[gv_c - self.lo]
+            M = self.M
+            gain = e_c / M + kv * ((tot_of(cur_c) - kv) - tot_of(gc_c)) / (2 * M * M)
+            if len(gv_c):
+                ordc = np.lexsort((gc_c, -gain, gv_c))
+                v_s, c_s, g_s = gv_c[ordc], gc_c[ordc], gain[ordc]
+                first = np.empty(len(v_s), dtype=bool)
+                first[0] = True
+                first[1:] = v_s[1:] != v_s[:-1]
+                v_f, c_f, g_f = v_s[first], c_s[first], g_s[first]
+                ok = (g_f > 0) | ((g_f == 0) & (c_f < labels[v_f - self.lo]))
+                v_f, c_f, g_f = v_f[ok], c_f[ok], g_f[ok]
+                pos = g_f - e_cur[v_f - self.lo] / M > 0
+                node_eval[v_f[pos] - self.lo] = True
+                marked = c_f[pos].tolist()
+        self.state["R"] = node_eval.astype(np.int8)
+        self._sc = None
+        return np.unique(np.asarray(marked, dtype=np.int64)), int(node_eval.sum())
+
+    def screen_expand(self, marked_comms) -> tuple:
+        """final R |= members of marked comms; neighbors of locally marked
+        vertices -> per-owner mark messages (num_returns P as last items).
+
+        Returns (n/a) tuple: first P entries are per-owner neighbor-id
+        arrays, last entry is None placeholder."""
+        marked_comms = np.asarray(marked_comms, dtype=np.int64)
+        R = self.state["R"].astype(bool)
+        marked_idx = np.flatnonzero(R)
+        nbr = np.concatenate([self.indices[self.indptr[v]:self.indptr[v + 1]]
+                              for v in marked_idx]) if len(marked_idx) else np.empty(0, np.int64)
+        nbr = np.unique(nbr)
+        final = R.copy()
+        if len(marked_comms):
+            final |= np.isin(self.state["labels"], marked_comms)
+        self.state["R"] = final.astype(np.int8)
+        return tuple(ids for ids, in split_by_owner(nbr, self.bounds))
+
+    def screen_apply_marks(self, msgs) -> int:
+        msgs = _resolve(msgs)
+        R = self.state["R"].astype(bool)
+        for ids in msgs:
+            if len(ids):
+                R[ids - self.lo] = True
+        self.state["R"] = R.astype(np.int8)
+        return int(R.sum())
+
+
+def owner_key(ids, bounds):
+    return np.searchsorted(bounds, ids, side="right") - 1

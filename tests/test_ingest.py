@@ -1,0 +1,87 @@
+"""End-to-end ingestion tests on the tiny deterministic pages fixture:
+extraction parity (byte-identical text per url), link recovery, dense-id
+renumbering, symmetrize+dedup, degrees."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from linkgraph.fixtures.pages import (expected_links_table, make_pages_table,
+                                      tiny_config)
+from linkgraph.pipelines.ingest import (build_nodes, degree_table,
+                                        extract_links, ingest, resolve_edges,
+                                        symmetrize_edges)
+from linkgraph.stages.extract import TextExtractor
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory, ray_session):
+    cfg = tiny_config()
+    path = tmp_path_factory.mktemp("pages") / "pages.parquet"
+    pq.write_table(make_pages_table(cfg), path)
+    return cfg, str(path)
+
+
+def test_text_extraction_byte_identical(pages_path, ray_session):
+    import ray.data as rd
+    cfg, path = pages_path
+    pages = rd.read_parquet(path)
+    out = pages.map_batches(TextExtractor, batch_format="pyarrow",
+                            batch_size=64, concurrency=2).to_pandas()
+    assert len(out) == cfg.n_pages
+    assert out["match"].all()
+
+
+def test_links_match_planted_graph(pages_path, ray_session):
+    import ray.data as rd
+    cfg, path = pages_path
+    pages = rd.read_parquet(path, columns=["url", "html"])
+    links = extract_links(pages).to_pandas()
+    got = sorted(map(tuple, links.values.tolist()))
+    want_tbl = expected_links_table(cfg)
+    want = sorted(zip(want_tbl.column("src_url").to_pylist(),
+                      want_tbl.column("dst_url").to_pylist()))
+    assert got == want
+
+
+def test_full_ingest_graph_invariants(pages_path, ray_session):
+    cfg, path = pages_path
+    out = ingest(path)
+    nodes = out["nodes"].to_pandas().sort_values("node_id")
+    # dense ids, ranked by sorted url
+    assert nodes["node_id"].tolist() == list(range(len(nodes)))
+    assert nodes["url"].tolist() == sorted(nodes["url"].tolist())
+
+    edges = out["edges"].to_pandas()
+    n = len(nodes)
+    assert edges["src"].between(0, n - 1).all()
+    assert edges["dst"].between(0, n - 1).all()
+    # directed edges are unique pairs
+    assert not edges.duplicated(["src", "dst"]).any()
+
+    sym = out["sym_edges"].to_pandas()
+    key = set(zip(sym["src"], sym["dst"]))
+    for s, d in list(key):
+        if s != d:
+            assert (d, s) in key
+    # weights symmetric
+    wmap = {(s, d): w for s, d, w in zip(sym["src"], sym["dst"], sym["w"])}
+    for (s, d), w in wmap.items():
+        assert wmap[(d, s) if s != d else (s, d)] == w
+
+    deg = out["degrees"].to_pandas().set_index("node")
+    for node in deg.index[:20]:
+        assert deg.loc[node, "degree"] == (sym["src"] == node).sum()
+
+
+def test_nodes_deterministic_across_runs(pages_path, ray_session):
+    import ray.data as rd
+    cfg, path = pages_path
+    pages = rd.read_parquet(path, columns=["url", "html"])
+    links = extract_links(pages)
+    a = build_nodes(links).to_pandas().sort_values("node_id").reset_index(drop=True)
+    b = build_nodes(links).to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert a.equals(b)
