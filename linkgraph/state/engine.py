@@ -1,0 +1,448 @@
+"""GraphEngine — driver for the partitioned-actor graph algorithms.
+
+Owns the actor pool of :class:`LouvainShard` partitions and coordinates
+supersteps.  The driver only routes ObjectRefs between actors (payloads
+move through the object store directly); per-superstep scalars (deltas,
+move counts, Q terms) are the only values materialized driver-side.
+
+Partitioning: contiguous vertex-id ranges with **degree-balanced**
+boundaries computed from a coarse degree histogram (the cluster-scale
+analog of the reference's degree-bucket work assignment,
+``modularity_optimisation_mem.cu:326-404`` — see SURVEY.md §4).  Skew
+handling inside a shard is vectorized NumPy, so a hub vertex costs its
+edges, not a straggler task.
+
+Checkpointing (north rule): ``checkpoint_every`` supersteps, each shard
+writes its vertex state to ``ckpt/{job}/{superstep}/part-{pid}.parquet``
+atomically; the driver then writes ``manifest.json`` + ``_SUCCESS``.
+``resume()`` loads the latest committed superstep and continues.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..oracle.graph import CSRGraph
+from ..oracle import louvain as oracle_lv
+from .partition import split_by_owner
+from .shard_louvain import LouvainShard
+
+N_BUCKETS = len(oracle_lv.BUCKET_BOUNDS) - 1
+
+
+@ray.remote
+def _route_block(tbl: pa.Table, bounds: np.ndarray):
+    """Split an edge block by owning partition of src (num_returns=P)."""
+    src = tbl.column("src").to_numpy()
+    own = np.searchsorted(bounds, src, side="right") - 1
+    order = np.argsort(own, kind="stable")
+    own_s = own[order]
+    P = len(bounds) - 1
+    cuts = np.searchsorted(own_s, np.arange(P + 1))
+    out = []
+    idx = pa.array(order)
+    for p in range(P):
+        out.append(tbl.take(idx[cuts[p]:cuts[p + 1]]))
+    return tuple(out) if P > 1 else out[0]
+
+
+def degree_balanced_bounds(src: "np.ndarray | None", n_nodes: int,
+                           n_parts: int,
+                           degree_hist: np.ndarray | None = None,
+                           n_coarse: int = 4096) -> np.ndarray:
+    """Range boundaries balancing total degree per partition.
+
+    ``degree_hist``: per-coarse-bucket edge counts (bucket = id // width).
+    If None and ``src`` given, computed locally (test path).  At cluster
+    scale the histogram comes from a tiny Dataset groupby (one row per
+    coarse bucket — engine.from_dataset does this).
+    """
+    width = max(1, -(-n_nodes // n_coarse))
+    nb = -(-n_nodes // width)
+    if degree_hist is None:
+        degree_hist = np.bincount(src // width, minlength=nb).astype(np.float64)
+    cum = np.concatenate([[0.0], np.cumsum(degree_hist + 1e-9)])
+    targets = cum[-1] * np.arange(1, n_parts) / n_parts
+    cut_buckets = np.searchsorted(cum, targets, side="left")
+    bounds = np.concatenate([[0], np.minimum(cut_buckets * width, n_nodes),
+                             [n_nodes]])
+    # enforce strictly increasing (degenerate histograms)
+    for i in range(1, len(bounds)):
+        if bounds[i] <= bounds[i - 1]:
+            bounds[i] = min(n_nodes, bounds[i - 1] + 1)
+    bounds[-1] = n_nodes
+    return np.maximum.accumulate(bounds).astype(np.int64)
+
+
+class GraphEngine:
+    def __init__(self, bounds: np.ndarray, *, name: str = "graph"):
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.P = len(self.bounds) - 1
+        assert self.P >= 2, "engine needs >= 2 partitions (exchange protocol)"
+        self.n = int(self.bounds[-1])
+        self.name = name
+        Actor = ray.remote(LouvainShard)
+        self.actors = [Actor.remote(p, self.bounds.tolist())
+                       for p in range(self.P)]
+        self.M = 0.0
+        self.metrics: list[dict] = []
+        self._ghost_reqs: list[list[ray.ObjectRef]] | None = None
+
+    # ------------------------------------------------------------------ build
+
+    @classmethod
+    def from_arrays(cls, src, dst, w=None, *, n: int | None = None,
+                    n_parts: int = 4, name: str = "graph") -> "GraphEngine":
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        w = np.ones(len(src)) if w is None else np.asarray(w, dtype=np.float64)
+        if n is None:
+            n = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
+        bounds = degree_balanced_bounds(src, n, n_parts)
+        eng = cls(bounds, name=name)
+        tbl = pa.table({"src": src, "dst": dst, "w": w})
+        parts = split_by_owner(src, eng.bounds, dst, w)
+        for a, (s, d, ww) in zip(eng.actors, parts):
+            a.ingest_edges.remote(pa.table({"src": s, "dst": d, "w": ww}))
+        eng.finalize()
+        return eng
+
+    @classmethod
+    def from_dataset(cls, edges_ds, *, n_nodes: int, n_parts: int = 4,
+                     name: str = "graph") -> "GraphEngine":
+        """Build from a Ray Data edge Dataset (src,dst[,w]) without moving
+        rows through the driver: coarse degree histogram via a tiny
+        groupby, then per-block routing tasks feed the shard actors."""
+        import ray.data as rd
+        from ray.data.aggregate import Count
+
+        width = max(1, -(-n_nodes // 4096))
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            b = t.column("src").to_numpy() // width
+            return pa.table({"bucket": b})
+
+        hist_rows = (edges_ds.map_batches(bucketize, batch_format="pyarrow")
+                     .groupby("bucket").aggregate(Count(alias_name="c"))
+                     .take_all())
+        nb = -(-n_nodes // width)
+        hist = np.zeros(nb)
+        for r in hist_rows:
+            hist[int(r["bucket"])] = r["c"]
+        bounds = degree_balanced_bounds(None, n_nodes, n_parts,
+                                        degree_hist=hist)
+        eng = cls(bounds, name=name)
+        bounds_ref = ray.put(eng.bounds)
+        block_refs = edges_ds.to_arrow_refs()
+        pending = []
+        for blk in block_refs:
+            parts = _route_block.options(num_returns=eng.P).remote(blk, bounds_ref)
+            if eng.P == 1:
+                parts = [parts]
+            for a, pref in zip(eng.actors, parts):
+                pending.append(a.ingest_edges.remote(pref))
+        ray.get(pending)
+        eng.finalize()
+        return eng
+
+    def finalize(self):
+        stats = ray.get([a.finalize_graph.remote() for a in self.actors])
+        self.M = sum(s["k_sum"] for s in stats) / 2.0
+        ray.get([a.set_global.remote(M=self.M) for a in self.actors])
+        self._refresh_ghost_requests()
+        self.stats = stats
+
+    def _refresh_ghost_requests(self):
+        self._ghost_reqs = [
+            a.get_ghost_requests.options(num_returns=self.P).remote()
+            for a in self.actors
+        ]
+
+    # ------------------------------------------------------------- exchanges
+
+    def _fetch_ghost(self, state_name: str) -> list[list[ray.ObjectRef]]:
+        """vals[i][j] = values of actor j's state for actor i's ghosts."""
+        return [[self.actors[j].serve.remote(state_name, self._ghost_reqs[i][j])
+                 for j in range(self.P)]
+                for i in range(self.P)]
+
+    def _store_ghost_labels(self):
+        vals = self._fetch_ghost("labels")
+        ray.get([a.lv_store_ghost_labels.remote(vals[i])
+                 for i, a in enumerate(self.actors)])
+
+    # -------------------------------------------------------------- PageRank
+
+    def pagerank(self, damping: float = 0.85, tol: float = 1e-10,
+                 max_iter: int = 200, checkpoint_every: int = 0,
+                 ckpt_dir: str | None = None,
+                 start_iter: int = 0) -> dict:
+        """Distributed power iteration; returns {iterations, delta, secs,
+        edges_per_sec}."""
+        if start_iter == 0:
+            ray.get([a.pagerank_init.remote(damping) for a in self.actors])
+        n_edges = sum(s["n_edges"] for s in self.stats)
+        t0 = time.time()
+        it = start_iter
+        delta = float("inf")
+        while it < max_iter and delta >= tol:
+            it += 1
+            t_it = time.time()
+            outs = [a.pagerank_partials.options(num_returns=self.P + 1).remote()
+                    for a in self.actors]
+            dangling_refs = [o[self.P] for o in outs]
+            dangling = float(sum(ray.get(dangling_refs)))
+            deltas = ray.get([
+                a.pagerank_apply.remote([outs[i][j] for i in range(self.P)],
+                                        dangling)
+                for j, a in enumerate(self.actors)])
+            delta = float(sum(deltas))
+            self.metrics.append({
+                "job": self.name, "algo": "pagerank", "superstep": it,
+                "delta": delta, "secs": time.time() - t_it,
+                "edges": n_edges,
+                "edges_per_sec": n_edges / max(1e-9, time.time() - t_it),
+            })
+            if checkpoint_every and ckpt_dir and it % checkpoint_every == 0:
+                self.checkpoint(ckpt_dir, it, ["rank"],
+                                extra={"delta": delta, "algo": "pagerank"})
+        secs = time.time() - t0
+        return {"iterations": it, "delta": delta, "secs": secs,
+                "edges_per_sec": n_edges * max(1, it - start_iter) / max(1e-9, secs)}
+
+    def pagerank_result(self) -> pa.Table:
+        return pa.concat_tables(
+            ray.get([a.pagerank_result.remote() for a in self.actors]))
+
+    # ------------------------------------------------- connected components
+
+    def connected_components(self, max_iter: int = 10_000) -> dict:
+        ray.get([a.cc_init.remote() for a in self.actors])
+        it = 0
+        while it < max_iter:
+            it += 1
+            outs = [a.cc_partials.options(num_returns=self.P).remote()
+                    for a in self.actors]
+            changed = ray.get([
+                a.cc_apply.remote([outs[i][j] for i in range(self.P)])
+                for j, a in enumerate(self.actors)])
+            if sum(changed) == 0:
+                break
+        return {"iterations": it}
+
+    def cc_result(self) -> pa.Table:
+        return pa.concat_tables(
+            ray.get([a.cc_result.remote() for a in self.actors]))
+
+    # ------------------------------------------------------ label propagation
+
+    def label_propagation(self, max_iter: int = 20) -> dict:
+        ray.get([a.lpa_init.remote() for a in self.actors])
+        it = 0
+        while it < max_iter:
+            it += 1
+            outs = [a.lpa_partials.options(num_returns=self.P).remote()
+                    for a in self.actors]
+            changed = ray.get([
+                a.lpa_apply.remote([outs[i][j] for i in range(self.P)])
+                for j, a in enumerate(self.actors)])
+            if sum(changed) == 0:
+                break
+        return {"iterations": it}
+
+    def lpa_result(self) -> pa.Table:
+        return pa.concat_tables(
+            ray.get([a.lpa_result.remote() for a in self.actors]))
+
+    # ------------------------------------------------------------- triangles
+
+    def triangles(self) -> int:
+        ray.get([a.tri_publish_degree.remote() for a in self.actors])
+        deg_vals = self._fetch_ghost("deg")
+        head_reqs = [a.tri_orient.options(num_returns=self.P).remote(deg_vals[i])
+                     for i, a in enumerate(self.actors)]
+        adj = [[self.actors[j].tri_serve_adjacency.remote(head_reqs[i][j])
+                for j in range(self.P)]
+               for i in range(self.P)]
+        counts = ray.get([a.tri_count_local.remote(adj[i])
+                          for i, a in enumerate(self.actors)])
+        return int(sum(counts))
+
+    # --------------------------------------------------------------- Louvain
+
+    def _rebuild_comm_aggs(self):
+        outs = [a.lv_agg_partials.options(num_returns=self.P).remote()
+                for a in self.actors]
+        ray.get([a.lv_agg_apply.remote([outs[i][j] for i in range(self.P)])
+                 for j, a in enumerate(self.actors)])
+
+    def _modularity(self) -> float:
+        self._store_ghost_labels()
+        terms = ray.get([a.lv_q_terms.remote() for a in self.actors])
+        to_own = sum(t[0] for t in terms)
+        tot_sq = sum(t[1] for t in terms)
+        if self.M == 0:
+            return 0.0
+        return to_own / (2 * self.M) - tot_sq / (4 * self.M * self.M)
+
+    def _one_level(self, min_gain: float, use_subset: bool) -> tuple[bool, float]:
+        """Distributed level-0 one_level.  Returns (changed, final_q)."""
+        changed = False
+        total_gain = min_gain
+        q_before = self._modularity()
+        while total_gain >= min_gain:
+            t_round = time.time()
+            moved_round = 0
+            for bucket in range(N_BUCKETS):
+                self._store_ghost_labels()
+                reqs = [a.lv_moves_phase1.options(num_returns=self.P)
+                        .remote(bucket, use_subset) for a in self.actors]
+                comm_vals = [[self.actors[j].lv_serve_comm_aggs
+                              .remote(reqs[i][j]) for j in range(self.P)]
+                             for i in range(self.P)]
+                deltas = [a.lv_moves_phase2.options(num_returns=self.P)
+                          .remote(comm_vals[i])
+                          for i, a in enumerate(self.actors)]
+                moved = ray.get([
+                    a.lv_apply_comm_deltas.remote(
+                        [deltas[i][j] for i in range(self.P)])
+                    for j, a in enumerate(self.actors)])
+                moved_round += sum(moved)
+            q_after = self._modularity()
+            total_gain = q_after - q_before
+            changed = changed or (total_gain > 0)
+            self.metrics.append({
+                "job": self.name, "algo": "louvain", "kind": "round",
+                "moved": moved_round, "q": q_after,
+                "gain": total_gain, "secs": time.time() - t_round,
+            })
+            q_before = q_after
+        return changed, q_before
+
+    def louvain(self, *, init: bool = False, use_subset: bool = False,
+                min_gain: float = oracle_lv.DEFAULT_MIN_GAIN) -> dict:
+        """Full Louvain: distributed level 0, contracted levels on the
+        driver with the oracle kernel (identical semantics — contracted
+        graphs are orders of magnitude smaller; SURVEY.md §7.1 step 6).
+
+        ``init``: labels already installed in actors (timestep path) —
+        forces a second level (once_more, gpulouvain.cu:107-128).
+        Otherwise initializes singleton labels.
+
+        Final labels (dense ids in the final level's space) are composed
+        back into each shard's ``labels`` state.
+        """
+        if not init:
+            ray.get([a.lv_init_labels.remote() for a in self.actors])
+        self._rebuild_comm_aggs()
+        once_more = init
+        changed, q0 = self._one_level(min_gain, use_subset)
+        q_traj = [q0]
+        if not changed and not once_more:
+            # densify labels anyway for stable downstream ids
+            final_map, n_comms = self._densify_labels()
+            return {"modularity": q0, "q_trajectory": q_traj, "n_levels": 0,
+                    "n_comms": n_comms}
+        # contract: gather pre-aggregated (csrc,cdst,w) partials
+        self._store_ghost_labels()
+        parts = ray.get([a.lv_contract_partial.remote() for a in self.actors])
+        tbl = pa.concat_tables(parts)
+        csrc = tbl.column("csrc").to_numpy()
+        cdst = tbl.column("cdst").to_numpy()
+        w = tbl.column("w").to_numpy()
+        # include empty-degree communities (isolated vertices' labels)
+        uniq_lbl = np.unique(np.concatenate(
+            ray.get([a.get_state.remote("labels") for a in self.actors])))
+        remap = {c: i for i, c in enumerate(uniq_lbl)}
+        remap_arr = np.full(int(uniq_lbl.max(initial=0)) + 1, -1, dtype=np.int64)
+        remap_arr[uniq_lbl] = np.arange(len(uniq_lbl))
+        key = remap_arr[csrc] * np.int64(len(uniq_lbl)) + remap_arr[cdst]
+        order = np.argsort(key, kind="stable")
+        key_s, w_s = key[order], w[order]
+        uk, start = np.unique(key_s, return_index=True)
+        sums = np.add.reduceat(w_s, start) if len(start) else np.empty(0)
+        cg = CSRGraph.from_edges(uk // len(uniq_lbl), uk % len(uniq_lbl),
+                                 sums, n=len(uniq_lbl))
+        # run remaining levels on the driver (oracle kernel, same semantics)
+        if once_more:
+            sub_res = oracle_lv.louvain(cg, init_labels=np.arange(cg.n),
+                                        min_gain=min_gain)
+        else:
+            sub_res = oracle_lv.louvain(cg, min_gain=min_gain)
+        q_traj.extend(sub_res["q_trajectory"])
+        # compose: label c (level-0 comm id) -> sub_res.labels[remap[c]]
+        compose = np.full(len(remap_arr), -1, dtype=np.int64)
+        compose[uniq_lbl] = sub_res["labels"][remap_arr[uniq_lbl]]
+        map_ref = ray.put(compose)
+        ray.get([a.lv_compose_labels.remote(map_ref) for a in self.actors])
+        self._rebuild_comm_aggs()
+        q_final = sub_res["modularity"]
+        return {"modularity": q_final, "q_trajectory": q_traj,
+                "n_levels": 1 + sub_res["n_levels"],
+                "n_comms": int(sub_res["labels"].max()) + 1}
+
+    def _densify_labels(self) -> tuple[np.ndarray, int]:
+        uniq_lbl = np.unique(np.concatenate(
+            ray.get([a.get_state.remote("labels") for a in self.actors])))
+        remap_arr = np.full(int(uniq_lbl.max(initial=0)) + 1, -1, dtype=np.int64)
+        remap_arr[uniq_lbl] = np.arange(len(uniq_lbl))
+        map_ref = ray.put(remap_arr)
+        ray.get([a.lv_compose_labels.remote(map_ref) for a in self.actors])
+        self._rebuild_comm_aggs()
+        return remap_arr, len(uniq_lbl)
+
+    def louvain_result(self) -> pa.Table:
+        return pa.concat_tables(
+            ray.get([a.lv_labels_result.remote() for a in self.actors]))
+
+    # ------------------------------------------------------------ checkpoint
+
+    def checkpoint(self, ckpt_dir: str, superstep: int, names: list[str],
+                   extra: dict | None = None) -> dict:
+        t0 = time.time()
+        step_dir = os.path.join(ckpt_dir, self.name, f"step-{superstep:06d}")
+        infos = ray.get([a.checkpoint.remote(step_dir, names)
+                         for a in self.actors])
+        manifest = {
+            "job": self.name, "superstep": superstep, "names": names,
+            "bounds": self.bounds.tolist(), "M": self.M,
+            "partitions": infos, "extra": extra or {},
+            "wall_secs": time.time() - t0,
+        }
+        with open(os.path.join(step_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        with open(os.path.join(step_dir, "_SUCCESS"), "w") as f:
+            f.write("")
+        return manifest
+
+    def latest_checkpoint(self, ckpt_dir: str) -> tuple[int, dict] | None:
+        base = os.path.join(ckpt_dir, self.name)
+        if not os.path.isdir(base):
+            return None
+        steps = sorted(d for d in os.listdir(base)
+                       if d.startswith("step-")
+                       and os.path.exists(os.path.join(base, d, "_SUCCESS")))
+        if not steps:
+            return None
+        latest = steps[-1]
+        with open(os.path.join(base, latest, "manifest.json")) as f:
+            manifest = json.load(f)
+        return manifest["superstep"], manifest
+
+    def restore(self, ckpt_dir: str, superstep: int, names: list[str],
+                dtypes=None) -> bool:
+        step_dir = os.path.join(ckpt_dir, self.name, f"step-{superstep:06d}")
+        oks = ray.get([a.restore.remote(step_dir, names, dtypes)
+                       for a in self.actors])
+        return all(oks)
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -16,8 +16,17 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 from .partition import GraphShard, _grouped_sum, split_by_owner
+
+
+def _resolve_refs(msgs):
+    """ray.get messages when they arrive as ObjectRefs nested in a list."""
+    msgs = list(msgs)
+    if msgs and isinstance(msgs[0], ray.ObjectRef):
+        return ray.get(msgs)
+    return msgs
 
 
 class AlgoShard(GraphShard):
@@ -46,8 +55,7 @@ class AlgoShard(GraphShard):
 
     def pagerank_apply(self, msgs, dangling_total: float) -> float:
         """Apply incoming messages; returns local L1 delta."""
-        import ray
-        msgs = ray.get(list(msgs)) if msgs and hasattr(msgs[0], "hex") else msgs
+        msgs = _resolve_refs(msgs)
         agg = np.zeros(self.n_local)
         for ids, sums in msgs:
             if len(ids):
@@ -85,8 +93,7 @@ class AlgoShard(GraphShard):
         return tuple(split_by_owner(uk, self.bounds, mins))
 
     def cc_apply(self, msgs) -> int:
-        import ray
-        msgs = ray.get(list(msgs)) if msgs and hasattr(msgs[0], "hex") else msgs
+        msgs = _resolve_refs(msgs)
         comp = self.state["comp"]
         new = comp.copy()
         for ids, mins in msgs:
@@ -126,8 +133,7 @@ class AlgoShard(GraphShard):
         return tuple(split_by_owner(ids, self.bounds, labs, sums))
 
     def lpa_apply(self, msgs) -> int:
-        import ray
-        msgs = ray.get(list(msgs)) if msgs and hasattr(msgs[0], "hex") else msgs
+        msgs = _resolve_refs(msgs)
         ids = np.concatenate([m[0] for m in msgs]) if msgs else np.empty(0, np.int64)
         labs = np.concatenate([m[1] for m in msgs]) if msgs else np.empty(0, np.int64)
         sums = np.concatenate([m[2] for m in msgs]) if msgs else np.empty(0)
@@ -156,50 +162,80 @@ class AlgoShard(GraphShard):
             "label": self.state["lpa"],
         })
 
-    # ================= Triangle counting (oriented CSR) =================
+    # ================= Triangle counting (oriented sub-CSR) =============
+    #
+    # Degree-orientation (low (deg,id) -> high) bounds oriented
+    # out-degrees by ~sqrt(2m) — the hub/skew mitigation for this op
+    # (SURVEY.md §2.11).  Built on top of the symmetric CSR via one
+    # static ghost-degree exchange.
 
-    def tri_adjacency_requests(self):
-        """Ghost oriented-adjacency requests: ids per owner (num_returns=P).
+    def tri_publish_degree(self):
+        """Expose simple-graph degree (self-loops excluded) as state."""
+        src = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo,
+                        np.diff(self.indptr))
+        nonself = self.indices != src
+        self.state["deg"] = np.bincount(
+            (src[nonself] - self.lo), minlength=self.n_local).astype(np.int64)
 
-        The shard must hold the DEGREE-ORIENTED graph (engine builds it):
-        edges point low (deg,id) -> high, so out-neighborhoods are small
-        even at hub vertices (the skew mitigation for this op)."""
-        return self.ghosts
+    def tri_orient(self, ghost_deg_vals):
+        """Build the local oriented edge set using fetched ghost degrees.
+        Returns per-owner ghost-head id requests (num_returns=P)."""
+        ghost_deg_vals = _resolve_refs(ghost_deg_vals)
+        ids, degs = self._full_values("deg", ghost_deg_vals)
+        src = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo,
+                        np.diff(self.indptr))
+        dst = self.indices
+        nonself = src != dst
+        src, dst = src[nonself], dst[nonself]
+        deg_u = self.state["deg"][src - self.lo]
+        deg_v = self._lookup(ids, degs, dst)
+        fwd = (deg_u < deg_v) | ((deg_u == deg_v) & (src < dst))
+        fs, fd = src[fwd], dst[fwd]
+        order = np.lexsort((fd, fs))
+        self._tri_src, self._tri_dst = fs[order], fd[order]
+        heads = np.unique(self._tri_dst)
+        remote = heads[(heads < self.lo) | (heads >= self.hi)]
+        self._tri_ghosts = [g for g, in split_by_owner(remote, self.bounds)]
+        return tuple(self._tri_ghosts)
 
     def tri_serve_adjacency(self, ids: np.ndarray):
-        """CSR rows for requested local ids: (indptr_slice, concat_indices)."""
-        ids = np.asarray(ids, dtype=np.int64) - self.lo
-        counts = np.diff(self.indptr)[ids]
-        out_idx = np.concatenate(
-            [self.indices[self.indptr[v]:self.indptr[v + 1]] for v in ids]
-        ) if len(ids) else np.empty(0, np.int64)
-        return counts, out_idx
+        """Oriented out-neighborhoods of requested local heads:
+        (counts, concatenated_dsts)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        lo_pos = np.searchsorted(self._tri_src, ids, side="left")
+        hi_pos = np.searchsorted(self._tri_src, ids, side="right")
+        counts = hi_pos - lo_pos
+        out = np.concatenate([self._tri_dst[a:b] for a, b in zip(lo_pos, hi_pos)]) \
+            if len(ids) else np.empty(0, np.int64)
+        return counts, out
 
     def tri_count_local(self, ghost_adj) -> int:
-        """Count wedges (u -> v -> w) with u local that close (u -> w)."""
-        import ray
-        ghost_adj = ray.get(list(ghost_adj)) if ghost_adj and hasattr(ghost_adj[0], "hex") else ghost_adj
-        # adjacency lookup covering local + ghost vertices
-        all_ids = [np.arange(self.lo, self.hi, dtype=np.int64)]
-        all_counts = [np.diff(self.indptr)]
-        all_concat = [self.indices]
-        for g_ids, (counts, concat) in zip(self.ghosts, ghost_adj):
+        """Count wedges (u -> v -> w), u local, closing as local (u -> w)."""
+        ghost_adj = _resolve_refs(ghost_adj)
+        # oriented adjacency lookup covering local + ghost heads
+        local_heads = np.arange(self.lo, self.hi, dtype=np.int64)
+        l_counts, l_concat = self.tri_serve_adjacency(local_heads)
+        all_ids = [local_heads]
+        all_counts = [l_counts]
+        all_concat = [l_concat]
+        for g_ids, (counts, concat) in zip(self._tri_ghosts, ghost_adj):
             if len(g_ids):
-                all_ids.append(g_ids)
+                all_ids.append(np.asarray(g_ids))
                 all_counts.append(counts)
                 all_concat.append(concat)
         ids = np.concatenate(all_ids)
         counts = np.concatenate(all_counts)
         offs = np.concatenate([[0], np.cumsum(counts)])
-        flat = np.concatenate(all_concat) if sum(len(c) for c in all_concat) else np.empty(0, np.int64)
+        flat = (np.concatenate(all_concat)
+                if sum(len(c) for c in all_concat) else np.empty(0, np.int64))
         order = np.argsort(ids, kind="stable")
         sorted_ids = ids[order]
+        sorted_pos = order  # position into counts/offs arrays
 
-        deg = np.diff(self.indptr)
-        u = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo, deg)
-        v = self.indices
-        # N+(v) for each edge (u,v)
-        pos = order[np.searchsorted(sorted_ids, v)]
+        u, v = self._tri_src, self._tri_dst
+        if len(u) == 0:
+            return 0
+        pos = sorted_pos[np.searchsorted(sorted_ids, v)]
         v_counts = counts[pos]
         if v_counts.sum() == 0:
             return 0
@@ -209,8 +245,9 @@ class AlgoShard(GraphShard):
                 + np.repeat(offs[pos], v_counts))
         wedge_w = flat[take]
         wedge_u = np.repeat(u, v_counts)
-        # closure test against LOCAL oriented edges (u is local)
-        local_keys = np.unique(u * np.int64(self.n_global) + v)
-        closed = np.isin(wedge_u * np.int64(self.n_global) + wedge_w,
-                         local_keys)
+        local_keys = u * np.int64(self.n_global) + v  # sorted by (u,v)
+        q = wedge_u * np.int64(self.n_global) + wedge_w
+        i = np.searchsorted(local_keys, q)
+        i = np.minimum(i, len(local_keys) - 1)
+        closed = local_keys[i] == q
         return int(closed.sum())

@@ -132,15 +132,9 @@ class LouvainShard(AlgoShard):
             return tuple(empty for _ in range(self.P))
         mv = self._mv
         need = mv["need"]
-        # reassemble tot/size in `need` order (owners served sorted slices
-        # of the per-owner split, which preserves the original order)
-        parts = split_by_owner(need, self.bounds)
-        tot = np.empty(len(need))
-        size = np.empty(len(need), dtype=np.int64)
-        pos = 0
-        order_idx = np.argsort(owner_key(need, self.bounds), kind="stable")
-        # simpler: rebuild by owner chunks in the same order split_by_owner used
-        chunks_ids = [ids for ids, in parts]
+        # reassemble (tot,size) lookup: concat per-owner chunks in the same
+        # order split_by_owner produced them, then sort ids once
+        chunks_ids = [ids for ids, in split_by_owner(need, self.bounds)]
         all_ids = np.concatenate(chunks_ids) if chunks_ids else need
         all_tot = np.concatenate([v[0] for v in comm_vals]) if comm_vals else np.empty(0)
         all_size = np.concatenate([v[1] for v in comm_vals]) if comm_vals else np.empty(0)
@@ -314,6 +308,62 @@ class LouvainShard(AlgoShard):
         self._build_csr(src, dst, w)
         return n_missing
 
+    def local_stats(self) -> dict:
+        return {"pid": self.pid, "n_local": self.n_local,
+                "n_edges": int(len(self.indices)),
+                "k_sum": float(self.k.sum())}
+
+    # ---------- new-node seeding (L12, main_louvain.cpp:1484-1498) --------
+
+    def lv_seed_requests(self, n_old: int):
+        """For local NEW nodes (gid >= n_old) with exactly one neighbor
+        that is an OLD node: request that neighbor's label.  Returns
+        per-owner neighbor-id request arrays (num_returns=P)."""
+        gids = np.arange(self.lo, self.hi, dtype=np.int64)
+        new_mask = gids >= n_old
+        deg = np.diff(self.indptr)
+        single = new_mask & (deg == 1)
+        idx = np.flatnonzero(single)
+        nbrs = self.indices[self.indptr[idx]] if len(idx) else np.empty(0, np.int64)
+        old_nbr = nbrs < n_old
+        self._seed = {"n_old": n_old, "inherit_loc": idx[old_nbr],
+                      "inherit_nbr": nbrs[old_nbr]}
+        need = np.unique(nbrs[old_nbr])
+        self._seed["need"] = need
+        return tuple(ids for ids, in split_by_owner(need, self.bounds))
+
+    def lv_seed_apply(self, next_comm: int, nbr_label_vals) -> int:
+        """Assign labels to local new nodes: inherit or fresh sequential
+        comm ids in ascending node order.  Returns #fresh assigned."""
+        nbr_label_vals = _resolve(nbr_label_vals)
+        sd = self._seed
+        need = sd["need"]
+        chunks = [ids for ids, in split_by_owner(need, self.bounds)]
+        all_ids = np.concatenate(chunks) if chunks else need
+        all_vals = np.concatenate([np.asarray(v) for v in nbr_label_vals]) \
+            if nbr_label_vals else np.empty(0, np.int64)
+        o = np.argsort(all_ids, kind="stable")
+        s_ids, s_vals = all_ids[o], all_vals[o]
+        labels = self.state["labels"]
+        inherit_map = dict(zip(sd["inherit_loc"].tolist(),
+                               sd["inherit_nbr"].tolist()))
+        gids = np.arange(self.lo, self.hi, dtype=np.int64)
+        fresh = 0
+        for loc in np.flatnonzero(gids >= sd["n_old"]):
+            if loc in inherit_map:
+                nbr = inherit_map[loc]
+                labels[loc] = s_vals[np.searchsorted(s_ids, nbr)]
+            else:
+                labels[loc] = next_comm
+                next_comm += 1
+                fresh += 1
+        self._seed = None
+        return fresh
+
+    def lv_max_label(self) -> int:
+        lab = self.state.get("labels")
+        return int(lab.max(initial=-1)) if lab is not None and len(lab) else -1
+
     # ---------- delta screening -------------------------------------------
 
     def screen_begin(self, d_src, d_dst, mode: str):
@@ -416,7 +466,6 @@ class LouvainShard(AlgoShard):
             gv, gc, e_vc = sc["gv"], sc["gc"], sc["e"]
             cur = labels[gv - self.lo]
             own_mask = gc == cur
-            e_cur_map: dict[int, float] = {}
             e_cur = np.zeros(self.n_local)
             e_cur[(gv[own_mask] - self.lo)] = e_vc[own_mask]
             cand = (~own_mask) & ((gc < cur) | (size_of(gc) > 1) | (size_of(cur) > 1))
@@ -467,7 +516,3 @@ class LouvainShard(AlgoShard):
                 R[ids - self.lo] = True
         self.state["R"] = R.astype(np.int8)
         return int(R.sum())
-
-
-def owner_key(ids, bounds):
-    return np.searchsorted(bounds, ids, side="right") - 1

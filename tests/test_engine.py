@@ -1,0 +1,138 @@
+"""Distributed engine vs oracle parity (FIXTURES.md F4 gates):
+PageRank allclose 1e-6 (actually exact-ish), CC/LPA/Louvain labels exact,
+triangles exact, modularity trajectory parity."""
+
+import numpy as np
+import pytest
+
+from linkgraph.fixtures import toy
+from linkgraph.oracle import louvain as olv
+from linkgraph.oracle.algos import (connected_components, label_propagation,
+                                    pagerank, triangle_count)
+from linkgraph.oracle.dynamic import canonical_labels
+from linkgraph.oracle.graph import CSRGraph
+
+from test_oracle import er_graph, planted_graph
+
+
+@pytest.fixture(scope="module")
+def engine_mod(ray_session):
+    from linkgraph.state.engine import GraphEngine
+    return GraphEngine
+
+
+def directed_er(n, p, seed):
+    rng = np.random.RandomState(seed)
+    a = (rng.rand(n, n) < p) & ~np.eye(n, dtype=bool)
+    s, d = np.nonzero(a)
+    return s.astype(np.int64), d.astype(np.int64)
+
+
+class TestPageRankEngine:
+    @pytest.mark.parametrize("n_parts", [2, 4])
+    def test_matches_oracle(self, engine_mod, n_parts):
+        n = 300
+        src, dst = directed_er(n, 0.02, 3)
+        eng = engine_mod.from_arrays(src, dst, n=n, n_parts=n_parts,
+                                     name=f"pr{n_parts}")
+        out = eng.pagerank(tol=1e-12)
+        tbl = eng.pagerank_result().to_pandas().sort_values("node")
+        want, _ = pagerank(n, src, dst, tol=1e-12)
+        assert np.allclose(tbl["rank"].to_numpy(), want, atol=1e-9)
+        assert abs(tbl["rank"].sum() - 1.0) < 1e-9
+        eng.shutdown()
+
+
+class TestCCEngine:
+    def test_matches_oracle(self, engine_mod):
+        src, dst, w = er_graph(200, 0.008, 5)
+        eng = engine_mod.from_arrays(src, dst, w, n=200, n_parts=3, name="cc")
+        eng.connected_components()
+        got = eng.cc_result().to_pandas().sort_values("node")["comp"].to_numpy()
+        want = connected_components(200, src, dst)
+        assert got.tolist() == want.tolist()
+        eng.shutdown()
+
+    def test_toy(self, engine_mod):
+        src, dst, w = toy.base_edge_array()
+        eng = engine_mod.from_arrays(src, dst, w, n=14, n_parts=2, name="cct")
+        eng.connected_components()
+        got = eng.cc_result().to_pandas().sort_values("node")["comp"].to_numpy()
+        assert got.tolist() == connected_components(14, src, dst).tolist()
+        eng.shutdown()
+
+
+class TestLPAEngine:
+    def test_matches_oracle(self, engine_mod):
+        src, dst, w = planted_graph(120, 4, 0.4, 0.02, 8)
+        eng = engine_mod.from_arrays(src, dst, w, n=120, n_parts=3, name="lpa")
+        eng.label_propagation(max_iter=20)
+        got = eng.lpa_result().to_pandas().sort_values("node")["label"].to_numpy()
+        want, _ = label_propagation(120, src, dst, w, max_iter=20)
+        assert got.tolist() == want.tolist()
+        eng.shutdown()
+
+
+class TestTrianglesEngine:
+    @pytest.mark.parametrize("seed", [1, 4])
+    def test_matches_oracle(self, engine_mod, seed):
+        src, dst, w = er_graph(150, 0.05, seed)
+        eng = engine_mod.from_arrays(src, dst, w, n=150, n_parts=3,
+                                     name=f"tri{seed}")
+        got = eng.triangles()
+        want = triangle_count(150, src, dst)
+        assert got == want
+        eng.shutdown()
+
+
+class TestLouvainEngine:
+    @pytest.mark.parametrize("n_parts", [2, 4])
+    def test_planted_matches_oracle(self, engine_mod, n_parts):
+        src, dst, w = planted_graph(150, 5, 0.45, 0.02, 7)
+        g = CSRGraph.from_edges(src, dst, w, n=150)
+        want = olv.louvain(g)
+        eng = engine_mod.from_arrays(src, dst, w, n=150, n_parts=n_parts,
+                                     name=f"lv{n_parts}")
+        res = eng.louvain()
+        assert abs(res["modularity"] - want["modularity"]) < 1e-9
+        got = eng.louvain_result().to_pandas().sort_values("node")["comm"].to_numpy()
+        assert canonical_labels(got).tolist() == \
+            canonical_labels(want["labels"]).tolist()
+        # Q trajectories agree level-by-level
+        for a, b in zip(res["q_trajectory"], want["q_trajectory"]):
+            assert abs(a - b) < 1e-9
+        eng.shutdown()
+
+    def test_toy_matches_oracle(self, engine_mod):
+        src, dst, w = toy.base_edge_array()
+        g = CSRGraph.from_edges(src, dst, w, n=14)
+        want = olv.louvain(g)
+        eng = engine_mod.from_arrays(src, dst, w, n=14, n_parts=2, name="lvt")
+        res = eng.louvain()
+        assert abs(res["modularity"] - want["modularity"]) < 1e-12
+        got = eng.louvain_result().to_pandas().sort_values("node")["comm"].to_numpy()
+        assert canonical_labels(got).tolist() == \
+            canonical_labels(want["labels"]).tolist()
+        eng.shutdown()
+
+
+class TestCheckpointResume:
+    def test_pagerank_resume(self, engine_mod, tmp_path):
+        n = 200
+        src, dst = directed_er(n, 0.03, 11)
+        eng = engine_mod.from_arrays(src, dst, n=n, n_parts=2, name="ck")
+        eng.pagerank(tol=0.0, max_iter=5, checkpoint_every=5,
+                     ckpt_dir=str(tmp_path))
+        latest = eng.latest_checkpoint(str(tmp_path))
+        assert latest is not None and latest[0] == 5
+        # fresh engine resumes from the checkpoint and continues
+        eng2 = engine_mod.from_arrays(src, dst, n=n, n_parts=2, name="ck")
+        import ray
+        ray.get([a.pagerank_init.remote(0.85) for a in eng2.actors])
+        assert eng2.restore(str(tmp_path), 5, ["rank"])
+        eng2.pagerank(tol=1e-12, max_iter=200, start_iter=5)
+        got = eng2.pagerank_result().to_pandas().sort_values("node")["rank"].to_numpy()
+        want, _ = pagerank(n, src, dst, tol=1e-12)
+        assert np.allclose(got, want, atol=1e-9)
+        eng.shutdown()
+        eng2.shutdown()
