@@ -369,12 +369,12 @@ class GraphEngine:
         sums = np.add.reduceat(w_s, start) if len(start) else np.empty(0)
         cg = CSRGraph.from_edges(uk // len(uniq_lbl), uk % len(uniq_lbl),
                                  sums, n=len(uniq_lbl))
-        # run remaining levels on the driver (oracle kernel, same semantics)
-        if once_more:
-            sub_res = oracle_lv.louvain(cg, init_labels=np.arange(cg.n),
-                                        min_gain=min_gain)
-        else:
-            sub_res = oracle_lv.louvain(cg, min_gain=min_gain)
+        # Run remaining levels on the driver (oracle kernel, same
+        # semantics).  once_more is already consumed: reaching here means
+        # we contracted; the oracle loop runs the next level's one_level
+        # unconditionally and stops at the first no-change level — exactly
+        # the reference's post-aggregation behavior (gpulouvain.cu:105-128).
+        sub_res = oracle_lv.louvain(cg, min_gain=min_gain)
         q_traj.extend(sub_res["q_trajectory"])
         # compose: label c (level-0 comm id) -> sub_res.labels[remap[c]]
         compose = np.full(len(remap_arr), -1, dtype=np.int64)
@@ -441,6 +441,145 @@ class GraphEngine:
         oks = ray.get([a.restore.remote(step_dir, names, dtypes)
                        for a in self.actors])
         return all(oks)
+
+    # ------------------------------------------------------- dynamic updates
+
+    def apply_delta_batch(self, *, add_src=None, add_dst=None, add_w=None,
+                          del_src=None, del_dst=None) -> int:
+        """Apply one phase's batch (M1/M2): symmetric expansion, routed to
+        owning shards; affected shards rebuild their CSR rows locally.
+        Grows the node space (last partition) when additions introduce new
+        ids.  Returns count_notexist for deletions."""
+        new_bounds = None
+        if add_src is not None and len(add_src):
+            add_src = np.asarray(add_src, np.int64)
+            add_dst = np.asarray(add_dst, np.int64)
+            add_w = (np.ones(len(add_src)) if add_w is None
+                     else np.asarray(add_w, np.float64))
+            max_id = int(max(add_src.max(), add_dst.max()))
+            if max_id >= self.n:
+                self.n = max_id + 1
+                self.bounds = self.bounds.copy()
+                self.bounds[-1] = self.n
+                new_bounds = self.bounds
+            nonself = add_src != add_dst
+            s = np.concatenate([add_src, add_dst[nonself]])
+            d = np.concatenate([add_dst, add_src[nonself]])
+            w = np.concatenate([add_w, add_w[nonself]])
+            add_parts = split_by_owner(s, self.bounds, d, w)
+        else:
+            add_parts = [None] * self.P
+        if del_src is not None and len(del_src):
+            del_src = np.asarray(del_src, np.int64)
+            del_dst = np.asarray(del_dst, np.int64)
+            nonself = del_src != del_dst
+            s = np.concatenate([del_src, del_dst[nonself]])
+            d = np.concatenate([del_dst, del_src[nonself]])
+            del_parts = split_by_owner(s, self.bounds, d)
+        else:
+            del_parts = [None] * self.P
+        calls = []
+        for p, a in enumerate(self.actors):
+            ap = add_parts[p]
+            add_tbl = (pa.table({"src": ap[0], "dst": ap[1], "w": ap[2]})
+                       if ap is not None and len(ap[0]) else None)
+            dp = del_parts[p]
+            ds_, dd_ = (dp if dp is not None else (None, None))
+            calls.append(a.apply_delta.remote(
+                add_tbl, ds_, dd_,
+                new_bounds.tolist() if new_bounds is not None else None))
+        missing = sum(ray.get(calls))
+        stats = ray.get([a.local_stats.remote() for a in self.actors])
+        self.stats = stats
+        self.M = sum(s_["k_sum"] for s_ in stats) / 2.0
+        ray.get([a.set_global.remote(M=self.M) for a in self.actors])
+        self._refresh_ghost_requests()
+        return missing
+
+    def _seed_new_nodes(self, n_old: int):
+        """L12 seeding for nodes in [n_old, n) — they live in the last
+        partition; fresh comm ids start at global max(label)+1."""
+        maxes = ray.get([a.lv_max_label.remote(n_old) for a in self.actors])
+        next_comm = max(maxes) + 1
+        last = self.actors[-1]
+        reqs = last.lv_seed_requests.options(num_returns=self.P).remote(n_old)
+        vals = [self.actors[j].serve.remote("labels", reqs[j])
+                for j in range(self.P)]
+        ray.get(last.lv_seed_apply.remote(next_comm, vals))
+
+    def _screen(self, mode: str, d_src: np.ndarray, d_dst: np.ndarray) -> int:
+        """Distributed delta screening (L7/L8 with GPU semantics L10/L11).
+        Installs the R mask into shard state; returns |R|."""
+        nonself = d_src != d_dst
+        s = np.concatenate([d_src, d_dst[nonself]])
+        d = np.concatenate([d_dst, d_src[nonself]])
+        parts = split_by_owner(s, self.bounds, d)
+        self._store_ghost_labels()  # for the add-mode adjacency walk
+        reqs = [a.screen_begin.options(num_returns=self.P)
+                .remote(parts[i][0], parts[i][1], mode)
+                for i, a in enumerate(self.actors)]
+        lab_vals = [[self.actors[j].serve.remote("labels", reqs[i][j])
+                     for j in range(self.P)] for i in range(self.P)]
+        marks = ray.get([a.screen_mark.remote(lab_vals[i])
+                         for i, a in enumerate(self.actors)])
+        marked_comms = [m[0] for m in marks]
+        if mode == "add":
+            # second phase: serve tot/size for candidate comm requests
+            comm_reqs = [m[2] for m in marks]
+            comm_vals = [[self.actors[j].lv_serve_comm_aggs
+                          .remote(comm_reqs[i][j]) for j in range(self.P)]
+                         for i in range(self.P)]
+            marks2 = ray.get([a.screen_mark2.remote(comm_vals[i])
+                              for i, a in enumerate(self.actors)])
+            marked_comms = [m[0] for m in marks2]
+        union = (np.unique(np.concatenate(marked_comms))
+                 if any(len(m) for m in marked_comms)
+                 else np.empty(0, np.int64))
+        nbr_reqs = [a.screen_expand.options(num_returns=self.P).remote(union)
+                    for a in self.actors]
+        counts = ray.get([
+            a.screen_apply_marks.remote([nbr_reqs[i][j] for i in range(self.P)])
+            for j, a in enumerate(self.actors)])
+        return int(sum(counts))
+
+    def dynamic_step(self, ts: int, deltas: dict, *,
+                     min_gain: float = oracle_lv.DEFAULT_MIN_GAIN,
+                     ckpt_dir: str | None = None) -> list[dict]:
+        """One timestep: deletion phase then addition phase (the reference
+        driver order, main_louvain.cpp:1221/1458).  ``deltas`` =
+        {"del": (src,dst,w), "add": (src,dst,w)} directed-as-written.
+        Requires labels installed (prior louvain() or restore).  Returns
+        per-phase records mirroring the oracle's dynamic_louvain."""
+        records = []
+        for phase in ("del", "add"):
+            d_src, d_dst, d_w = (np.asarray(x) for x in deltas[phase])
+            if len(d_src) == 0:
+                continue
+            t0 = time.time()
+            if phase == "del":
+                self.apply_delta_batch(del_src=d_src, del_dst=d_dst)
+            else:
+                n_old = self.n
+                self.apply_delta_batch(add_src=d_src, add_dst=d_dst,
+                                       add_w=d_w)
+                self._seed_new_nodes(n_old)
+            self._rebuild_comm_aggs()
+            r_size = self._screen(phase, d_src, d_dst)
+            if r_size > 0:
+                res = self.louvain(init=True, use_subset=True,
+                                   min_gain=min_gain)
+                q = res["modularity"]
+            else:
+                q = self._modularity()
+            rec = {"ts": ts, "phase": phase, "modularity": q,
+                   "r_size": r_size, "r_frac": r_size / max(1, self.n),
+                   "n_nodes": self.n, "secs": time.time() - t0}
+            records.append(rec)
+            self.metrics.append({"job": self.name, "algo": "dynamic", **rec})
+            if ckpt_dir:
+                self.checkpoint(ckpt_dir, ts * 2 + (0 if phase == "del" else 1),
+                                ["labels"], extra=rec)
+        return records
 
     def shutdown(self):
         for a in self.actors:

@@ -360,9 +360,16 @@ class LouvainShard(AlgoShard):
         self._seed = None
         return fresh
 
-    def lv_max_label(self) -> int:
+    def lv_max_label(self, upto: int | None = None) -> int:
+        """Max label over local vertices with gid < upto (old nodes only —
+        the reference's n_comm counter base, main_louvain.cpp:1480-1482)."""
         lab = self.state.get("labels")
-        return int(lab.max(initial=-1)) if lab is not None and len(lab) else -1
+        if lab is None or not len(lab):
+            return -1
+        if upto is not None:
+            stop = max(0, min(self.n_local, upto - self.lo))
+            lab = lab[:stop]
+        return int(lab.max(initial=-1))
 
     # ---------- delta screening -------------------------------------------
 
