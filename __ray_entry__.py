@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the linkgraph library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline on /root/testdata/sf0.001 — build the
+  lineitem-derived link graph, run PageRank + connected components +
+  Louvain on the partitioned CSR shard actors, return one table of
+  per-node results.
+- ``queries()``: one entry per implemented operator/pipeline from
+  SURVEY.md §2 (see linkgraph/queries/registry.py).
+- ``oracle_sql()``: DuckDB equivalents for the SQL-expressible subset.
 """
 
 from __future__ import annotations
@@ -18,27 +17,38 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow as pa
+
+    from linkgraph.queries import graphs as g
+
+    eng = g._build_engine(SF_SMOKE, n_parts=2)
+    try:
+        eng.pagerank(tol=1e-10, max_iter=100)
+        rank = eng.pagerank_result()
+        eng.connected_components()
+        comp = eng.cc_result()
+        lv = eng.louvain()
+        labels = eng.louvain_result()
+    finally:
+        eng.shutdown()
+    tbl = pa.table({
+        "node": rank.column("node"),
+        "rank": rank.column("rank"),
+        "comp": comp.column("comp"),
+        "comm": labels.column("comm"),
+    })
+    return tbl
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from linkgraph.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from linkgraph.queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

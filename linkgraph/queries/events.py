@@ -1,0 +1,183 @@
+"""Windowed / sessionized aggregates over the ``events`` table, and the
+dynamic-graph delta pipeline driven by it.
+
+The reference's streaming model is discrete timesteps of edge delta
+batches (SURVEY.md §2.10); ``events`` plays the role of the timestamped
+update stream here.  Windowing ops are the [north-rule] streaming-adjacent
+operators a web-scale pipeline needs (tumbling windows, gap sessions,
+grouped top-k).
+
+All outputs are integer/exact-copy columns so the DuckDB oracles hash
+identically (MIN/MAX of doubles are order-independent; COUNTs are ints).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+TOPK_PER_USER = 3
+
+
+def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def q_hour_window(sf_dir: str):
+    """Tumbling 1h window per user: (user_id, hour, n_events, min_value,
+    max_value)."""
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "hour": pc.floor_temporal(t.column("ts"), unit="hour"),
+            "value": t.column("value"),
+        })
+
+    return (ev.map_batches(trunc, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["user_id", "hour"])
+            .aggregate(Count(alias_name="n_events"),
+                       Min("value", alias_name="min_value"),
+                       Max("value", alias_name="max_value")))
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization (30 min): (user_id, n_sessions).
+
+    Key = user_id (one shuffle); per-group work is a vectorized diff over
+    the user's sorted event times."""
+    ev = _events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(ts) > SESSION_GAP_US
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": np.array([1 + int(gaps.sum())], np.int64)})
+
+    return ev.groupby("user_id").map_groups(count_sessions,
+                                            batch_format="pandas")
+
+
+def q_type_counts(sf_dir: str):
+    return (_events(sf_dir, ["event_type"])
+            .groupby("event_type").aggregate(Count(alias_name="n")))
+
+
+def q_topk_per_user(sf_dir: str):
+    """Grouped top-k: top events per user by (value desc, event_id asc)."""
+    ev = _events(sf_dir, ["user_id", "event_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"],
+                          ascending=[False, True]).head(TOPK_PER_USER)
+        return g[["user_id", "event_id", "value"]]
+
+    return ev.groupby("user_id").map_groups(topk, batch_format="pandas")
+
+
+EVENTS_SQL: dict[str, str] = {
+    "ev_hour_window": """
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+    "ev_sessions": f"""
+        WITH o AS (
+          SELECT user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT user_id,
+               CAST(SUM(CASE WHEN prev IS NULL
+                             OR ts - prev > INTERVAL {SESSION_GAP_US}
+                                MICROSECONDS
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM o GROUP BY user_id""",
+    "ev_type_counts": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type""",
+    "ev_topk_per_user": f"""
+        SELECT user_id, event_id, value FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id)
+                <= {TOPK_PER_USER}""",
+}
+
+
+# ------------------------------------------------ dynamic graph from events
+
+N_TIMESTEPS = 3
+
+
+def event_deltas(sf_dir: str, nmod: int):
+    """Derive per-timestep edge delta batches from ``events``:
+
+    ts bucket = event rank by (ts, event_id) split into N_TIMESTEPS equal
+    batches; op = del if event_type endswith '_del'-like (here: deterministic
+    by event_id parity 1/8), src = user_id % nmod, dst = event_id % nmod.
+    Self-loops dropped, per-batch dedup (the Preprocess.R contract,
+    SURVEY.md §2.7 M5)."""
+    tbl = pa.concat_tables(
+        __import__("ray").get(
+            _events(sf_dir, ["event_id", "user_id", "ts"]).to_arrow_refs()))
+    ev = tbl.to_pandas().sort_values(["ts", "event_id"])
+    src = (ev["user_id"].to_numpy() % nmod).astype(np.int64)
+    dst = (ev["event_id"].to_numpy() % nmod).astype(np.int64)
+    is_del = (ev["event_id"].to_numpy() % 8) == 1
+    n = len(ev)
+    cut = np.linspace(0, n, N_TIMESTEPS + 1).astype(int)
+    batches = []
+    for t in range(N_TIMESTEPS):
+        sl = slice(cut[t], cut[t + 1])
+        s, d, dl = src[sl], dst[sl], is_del[sl]
+        keep = s != d
+        s, d, dl = s[keep], d[keep], dl[keep]
+        key = s * nmod + d
+
+        def dedup(ss, dd):
+            kk = ss * nmod + dd
+            _, idx = np.unique(kk, return_index=True)
+            return ss[np.sort(idx)], dd[np.sort(idx)]
+
+        a_s, a_d = dedup(s[~dl], d[~dl])
+        d_s, d_d = dedup(s[dl], d[dl])
+        batches.append({
+            "add": (a_s, a_d, np.ones(len(a_s))),
+            "del": (d_s, d_d, np.ones(len(d_s))),
+        })
+    return batches
+
+
+def q_dynamic_louvain(sf_dir: str):
+    """Dynamic timestep pipeline (M1/M2 delta application + L7/L8
+    delta-screening + restricted Louvain): per-(ts, phase) summary rows.
+    Rows-only check; oracle parity is covered by tests/test_dynamic.py."""
+    from .graphs import NMOD, _build_engine
+
+    eng = _build_engine(sf_dir)
+    try:
+        eng.louvain()
+        rows = []
+        for t, deltas in enumerate(event_deltas(sf_dir, NMOD)):
+            recs = eng.dynamic_step(t, deltas)
+            rows.extend(recs)
+        tbl = pa.table({
+            "ts": pa.array([r["ts"] for r in rows], pa.int64()),
+            "phase": pa.array([r["phase"] for r in rows], pa.string()),
+            "r_size": pa.array([r["r_size"] for r in rows], pa.int64()),
+            "n_nodes": pa.array([r["n_nodes"] for r in rows], pa.int64()),
+            "modularity": pa.array([round(r["modularity"], 9)
+                                    for r in rows], pa.float64()),
+        })
+    finally:
+        eng.shutdown()
+    return tbl

@@ -1,0 +1,323 @@
+"""Graph operators over a deterministic edge table derived from testdata.
+
+The engine's primary input is the ``pages`` table (BASELINE.json
+``input_hint``); for the driver's DuckDB-checked correctness gate the
+same operators run over an edge table derived *identically* in Ray and
+SQL from ``lineitem``:
+
+    src = l_orderkey % NMOD,  dst = l_partkey % NMOD
+
+Operators covered (SURVEY.md §2 ids in parens): E1 symmetrize, E2 clean
+/ exact dedup (``graph.cpp:132-162``), E3 renumber (``graph.cpp:93-130``),
+E4 add_selfloops (``graph_binary.cpp:151-183``), E6 max_weight
+(``graph_binary.cpp:132-140``), E7 check_symmetry
+(``graph_binary.cpp:217-240``), A1 degrees, A2 total_weight
+(``graph_binary.cpp:124-127``), O4/O5 top-k, plus the north-rule
+algorithms (PageRank / CC / LPA / triangles / Louvain) on the
+partitioned-actor engine.
+
+Scale notes: every step is a Dataset transform (map_batches over Arrow +
+groupby shuffles with explicit keys); nothing materializes the edge table
+on the driver except O(#partitions) scalars.  The graph algorithms load
+the edge Dataset into degree-balanced CSR shard actors once
+(``GraphEngine.from_dataset``) and then iterate actor-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+NMOD = 8192  # node-id modulus; graph is sparse at sf<=0.1 (<=600k rows)
+
+TOPK = 20
+
+
+# --------------------------------------------------------------------- build
+
+def base_pairs(sf_dir: str) -> rd.Dataset:
+    """lineitem -> (src, dst) pairs; columns pruned at the read."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("l_orderkey").to_numpy() % NMOD,
+            "dst": t.column("l_partkey").to_numpy() % NMOD,
+        })
+
+    return li.map_batches(to_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def dedup_edges(sf_dir: str) -> rd.Dataset:
+    """E2: directed edges with multiplicity weight (key = (src, dst))."""
+    return (base_pairs(sf_dir).groupby(["src", "dst"])
+            .aggregate(Count(alias_name="w"))
+            .map_batches(lambda t: t.set_column(
+                t.schema.get_field_index("w"), "w",
+                t.column("w").cast(pa.float64())), batch_format="pyarrow"))
+
+
+def sym_edges(sf_dir: str) -> rd.Dataset:
+    """E1+E2: symmetric deduped edges, self-loops stored once."""
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy()
+        dst = batch.column("dst").to_numpy()
+        w = batch.column("w").to_numpy()
+        nonself = src != dst
+        return pa.table({
+            "src": np.concatenate([src, dst[nonself]]),
+            "dst": np.concatenate([dst, src[nonself]]),
+            "w": np.concatenate([w, w[nonself]]),
+        })
+
+    return (dedup_edges(sf_dir)
+            .map_batches(mirror, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w")))
+
+
+def degrees(sf_dir: str) -> rd.Dataset:
+    """A1: per-node degree / weighted degree from the symmetric table."""
+    return (sym_edges(sf_dir).groupby("src")
+            .aggregate(Count(alias_name="degree"),
+                       Sum("w", alias_name="wdegree"))
+            .rename_columns({"src": "node"}))
+
+
+# ----------------------------------------------------------------- operators
+
+def q_edges(sf_dir: str):
+    return dedup_edges(sf_dir)
+
+
+def q_sym_edges(sf_dir: str):
+    return sym_edges(sf_dir)
+
+
+def q_degrees(sf_dir: str):
+    return degrees(sf_dir)
+
+
+def q_total_weight(sf_dir: str):
+    """A2: 2m — global edge-weight sum of the symmetric table."""
+    tw = sym_edges(sf_dir).sum("w")
+    return pa.table({"total_weight": pa.array([float(tw)], pa.float64())})
+
+
+def q_max_weight(sf_dir: str):
+    """E6: global max edge weight (max multiplicity)."""
+    mw = dedup_edges(sf_dir).max("w")
+    return pa.table({"max_weight": pa.array([float(mw)], pa.float64())})
+
+
+def q_check_symmetry(sf_dir: str):
+    """E7 on the *directed* edge table: rows with no reversed match.
+
+    Join-free formulation: canonical key (min, max, w); an off-diagonal
+    group of size 1 is exactly an unmatched row.  One groupby shuffle.
+    """
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table({"u": np.minimum(s, d), "v": np.maximum(s, d),
+                         "w": t.column("w").to_numpy()})
+
+    grouped = (dedup_edges(sf_dir)
+               .map_batches(canon, batch_format="pyarrow")
+               .groupby(["u", "v", "w"]).aggregate(Count(alias_name="c")))
+    n = (grouped.filter(expr="c == 1 and u != v")).count()
+    return pa.table({"n_asym": pa.array([int(n)], pa.int64())})
+
+
+def q_nodes_dense(sf_dir: str):
+    """E3 renumber: non-isolated nodes -> dense ids in sorted-id order.
+
+    Two passes, no driver row materialization: sort unique ids, then
+    per-block offsets (one int per block) -> per-block id assignment —
+    same pattern as ``ingest.build_nodes`` (``graph.cpp:93-130``)."""
+    nodes = degrees(sf_dir).select_columns(["node"])
+    sorted_ds = nodes.sort("node").materialize()
+    blocks = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([_count.remote(b) for b in blocks])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
+    @ray.remote
+    def _assign(tbl: pa.Table, off: int) -> pa.Table:
+        ids = pa.array(np.arange(off, off + tbl.num_rows, dtype=np.int64))
+        return pa.table({"node": tbl.column("node"), "node_id": ids})
+
+    return rd.from_arrow_refs([
+        _assign.remote(b, int(off)) for b, off in zip(blocks, offsets[:-1])])
+
+
+def q_add_selfloops(sf_dir: str):
+    """E4: append a weight-1 self-loop for every node lacking one.
+
+    The self-loop node set is tiny relative to the node table, so it is
+    collected and broadcast (``ray.put``) instead of an anti-join shuffle
+    — the small-side-broadcast pattern (SURVEY.md §4)."""
+    sym = sym_edges(sf_dir).materialize()
+    with_loop = (sym.filter(expr="src == dst").select_columns(["src"])
+                 .take_all())
+    loop_set = np.array(sorted(r["src"] for r in with_loop), dtype=np.int64)
+    loop_ref = ray.put(loop_set)
+
+    def make_loops(t: pa.Table) -> pa.Table:
+        nodes = t.column("node").to_numpy()
+        loops = ray.get(loop_ref)
+        missing = nodes[~np.isin(nodes, loops)]
+        return pa.table({
+            "src": missing, "dst": missing,
+            "w": np.ones(len(missing), dtype=np.float64)})
+
+    new_loops = (sym.groupby("src").aggregate(Count(alias_name="_c"))
+                 .rename_columns({"src": "node"})
+                 .map_batches(make_loops, batch_format="pyarrow"))
+    return sym.union(new_loops)
+
+
+def q_top_degree(sf_dir: str):
+    """O5: top-k nodes by degree (tie-break: lower node id)."""
+    return (degrees(sf_dir).select_columns(["node", "degree"])
+            .sort(["degree", "node"], descending=[True, False])
+            .limit(TOPK))
+
+
+# ------------------------------------------------------------- SQL oracles
+
+_BASE = f"""
+WITH base AS (
+  SELECT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst FROM lineitem
+), edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM base GROUP BY src, dst
+), sym AS (
+  SELECT src, dst, SUM(w) AS w FROM (
+    SELECT src, dst, w FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM edges WHERE src <> dst
+  ) GROUP BY src, dst
+), deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree,
+         SUM(w) AS wdegree
+  FROM sym GROUP BY src
+)
+"""
+
+GRAPH_SQL: dict[str, str] = {
+    "graph_edges": _BASE + "SELECT src, dst, w FROM edges",
+    "graph_sym_edges": _BASE + "SELECT src, dst, w FROM sym",
+    "graph_degrees": _BASE + "SELECT node, degree, wdegree FROM deg",
+    "graph_total_weight": _BASE + "SELECT SUM(w) AS total_weight FROM sym",
+    "graph_max_weight": _BASE + "SELECT MAX(w) AS max_weight FROM edges",
+    "graph_check_symmetry": _BASE + """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_asym
+        FROM edges e LEFT JOIN edges r
+          ON e.src = r.dst AND e.dst = r.src AND e.w = r.w
+        WHERE r.src IS NULL AND e.src <> e.dst""",
+    "graph_nodes_dense": _BASE + """
+        SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS node_id
+        FROM deg""",
+    "graph_add_selfloops": _BASE + """
+        SELECT src, dst, w FROM sym
+        UNION ALL
+        SELECT node AS src, node AS dst, 1.0 AS w FROM deg
+        WHERE node NOT IN (SELECT src FROM sym WHERE src = dst)""",
+    "graph_top_degree": _BASE + f"""
+        SELECT node, degree FROM deg
+        ORDER BY degree DESC, node LIMIT {TOPK}""",
+    "graph_triangles": _BASE + """
+        , o AS (
+          SELECT s.src AS u, s.dst AS v
+          FROM sym s
+          JOIN deg du ON du.node = s.src
+          JOIN deg dv ON dv.node = s.dst
+          WHERE s.src <> s.dst
+            AND (du.degree < dv.degree
+                 OR (du.degree = dv.degree AND s.src < s.dst))
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM o e1
+        JOIN o e2 ON e2.u = e1.v
+        JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v""",
+}
+
+
+# ------------------------------------------------- engine-backed algorithms
+
+def _build_engine(sf_dir: str, n_parts: int = 4):
+    from ..state.engine import GraphEngine
+    eng = GraphEngine.from_dataset(sym_edges(sf_dir), n_nodes=NMOD,
+                                   n_parts=n_parts, name="q")
+    return eng
+
+
+def q_pagerank(sf_dir: str):
+    """North-rule PageRank on the *directed* deduped edge graph; weights
+    are link multiplicities folded into parallel edges (unweighted CSR
+    semantics match the oracle).  Rows-only check (iterative float)."""
+    from ..state.engine import GraphEngine
+    eng = GraphEngine.from_dataset(dedup_edges(sf_dir), n_nodes=NMOD,
+                                   n_parts=4, name="qpr")
+    try:
+        eng.pagerank(tol=1e-10, max_iter=100)
+        tbl = eng.pagerank_result()
+    finally:
+        eng.shutdown()
+    return tbl
+
+
+def q_connected_components(sf_dir: str):
+    eng = _build_engine(sf_dir)
+    try:
+        eng.connected_components()
+        tbl = eng.cc_result()
+    finally:
+        eng.shutdown()
+    return tbl
+
+
+def q_label_propagation(sf_dir: str):
+    eng = _build_engine(sf_dir)
+    try:
+        eng.label_propagation(max_iter=20)
+        tbl = eng.lpa_result()
+    finally:
+        eng.shutdown()
+    return tbl
+
+
+def q_louvain(sf_dir: str):
+    """Static Louvain summary (modularity trajectory is float/iterative —
+    rows-only; exactness vs the oracle kernel is covered by tests/)."""
+    eng = _build_engine(sf_dir)
+    try:
+        res = eng.louvain()
+        tbl = pa.table({
+            "n_comms": pa.array([int(res["n_comms"])], pa.int64()),
+            "n_levels": pa.array([int(res["n_levels"])], pa.int64()),
+            "modularity": pa.array([round(res["modularity"], 9)],
+                                   pa.float64()),
+        })
+    finally:
+        eng.shutdown()
+    return tbl
+
+
+def q_triangles(sf_dir: str):
+    eng = _build_engine(sf_dir)
+    try:
+        n = eng.triangles()
+    finally:
+        eng.shutdown()
+    return pa.table({"n_triangles": pa.array([int(n)], pa.int64())})

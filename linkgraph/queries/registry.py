@@ -1,0 +1,205 @@
+"""QUERIES / ORACLE_SQL — the driver-facing registry (__ray_entry__).
+
+Every SURVEY.md §2 operator implemented so far has an entry; entries with
+a DuckDB-expressible semantics also carry an oracle SQL string (column
+names match exactly — the driver hash-compares values after sorting
+columns by name).  Iterative float algorithms (PageRank, Louvain, LPA,
+dynamic) are rows-only here; their numeric parity is pinned by the
+oracle-kernel tests in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import ray.data as rd
+
+from . import events as ev
+from . import graphs as g
+from ..text import ops as tx
+from ..embed import ops as em
+
+ANN_QUERIES = 16
+ANN_K = 10
+NEAR_DUP_THRESHOLD = 0.8
+NORM_TOPK = 20
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------ text queries
+
+def q_doc_tokens(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.TokenStats, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4))
+
+
+def q_doc_quality(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_dedup_exact(sf_dir: str):
+    return tx.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_langid(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.langid_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_simhash(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    return tx.minhash_dup_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                threshold=0.5)
+
+
+def q_doc_token_jaccard(sf_dir: str):
+    return tx.token_jaccard_pairs(_docs(sf_dir,
+                                        ["doc_id", "source", "text"]))
+
+
+# ------------------------------------------------------- embedding queries
+
+def q_emb_ann(sf_dir: str):
+    return em.ann_topk(_emb(sf_dir), n_queries=ANN_QUERIES, k=ANN_K)
+
+
+def q_emb_ivf_ann(sf_dir: str):
+    return em.ivf_ann_topk(_emb(sf_dir), n_queries=ANN_QUERIES, k=ANN_K)
+
+
+def q_emb_near_dup(sf_dir: str):
+    return em.embedding_near_dup(_emb(sf_dir),
+                                 threshold=NEAR_DUP_THRESHOLD)
+
+
+def q_emb_dim_topk(sf_dir: str):
+    return em.dim_topk(_emb(sf_dir), dim=0, k=NORM_TOPK)
+
+
+_STOP_SQL = "['" + "', '".join(tx.STOPWORDS) + "']"
+
+TEXT_SQL: dict[str, str] = {
+    "doc_tokens": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents""",
+    "doc_quality": f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> list_contains({_STOP_SQL}, x))) AS BIGINT)
+                 AS n_stop,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                 AS n_distinct
+        FROM documents""",
+    "doc_dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)""",
+    "doc_token_jaccard": """
+        WITH tok AS (
+          SELECT doc_id, source,
+                 list_distinct(string_split(text, ' ')) AS toks
+          FROM documents)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                 AS n_common,
+               CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                    AS BIGINT) AS n_union
+        FROM tok a JOIN tok b
+          ON a.source = b.source AND a.doc_id < b.doc_id""",
+}
+
+EMB_SQL: dict[str, str] = {
+    "emb_ann": f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id < {ANN_QUERIES})
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(
+                         CAST(q.embedding AS DOUBLE[]),
+                         CAST(e.embedding AS DOUBLE[])) DESC,
+                     e.vec_id) <= {ANN_K}""",
+    "emb_near_dup": f"""
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= {NEAR_DUP_THRESHOLD}""",
+    "emb_dim_topk": f"""
+        SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS coord
+        FROM embeddings
+        ORDER BY embedding[1] DESC, vec_id LIMIT {NORM_TOPK}""",
+}
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    # graph operators (SURVEY.md §2.2/2.5/2.6)
+    "graph_edges": g.q_edges,
+    "graph_sym_edges": g.q_sym_edges,
+    "graph_degrees": g.q_degrees,
+    "graph_total_weight": g.q_total_weight,
+    "graph_max_weight": g.q_max_weight,
+    "graph_check_symmetry": g.q_check_symmetry,
+    "graph_nodes_dense": g.q_nodes_dense,
+    "graph_add_selfloops": g.q_add_selfloops,
+    "graph_top_degree": g.q_top_degree,
+    "graph_triangles": g.q_triangles,
+    # engine algorithms (SURVEY.md §2.8, §2.11)
+    "graph_pagerank": g.q_pagerank,
+    "graph_connected_components": g.q_connected_components,
+    "graph_label_propagation": g.q_label_propagation,
+    "graph_louvain": g.q_louvain,
+    "graph_dynamic_louvain": ev.q_dynamic_louvain,
+    # text / training-data operators (north rule)
+    "doc_tokens": q_doc_tokens,
+    "doc_quality": q_doc_quality,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_langid": q_doc_langid,
+    "doc_simhash": q_doc_simhash,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_token_jaccard": q_doc_token_jaccard,
+    # embeddings / similarity search (north rule)
+    "emb_ann": q_emb_ann,
+    "emb_ivf_ann": q_emb_ivf_ann,
+    "emb_near_dup": q_emb_near_dup,
+    "emb_dim_topk": q_emb_dim_topk,
+    # events: windows / sessions / grouped top-k + dynamic deltas
+    "ev_hour_window": ev.q_hour_window,
+    "ev_sessions": ev.q_sessions,
+    "ev_type_counts": ev.q_type_counts,
+    "ev_topk_per_user": ev.q_topk_per_user,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    **g.GRAPH_SQL,
+    **TEXT_SQL,
+    **EMB_SQL,
+    **ev.EVENTS_SQL,
+}

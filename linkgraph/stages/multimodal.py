@@ -1,0 +1,69 @@
+"""Multimodal (image/audio) stages — Ray-side plumbing is real, the
+codec is stubbed (no image/audio libraries in this environment).
+
+Treats media as opaque ``binary`` columns with typed metadata, exactly
+like the ``html:binary`` column of the pages table: actor-pool
+``map_batches`` stages with small batches (rows are MBs), decode state
+built once per actor, and the binary column dropped from the output
+before any shuffle.
+
+The decode itself is behind :class:`StubCodec`: ``deterministic=True``
+yields a seeded fake feature vector (pure function of the payload bytes),
+``deterministic=False`` raises ``NotImplementedError`` — swap in a real
+PIL/ffmpeg codec on a cluster that has them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+FEATURE_DIM = 16
+
+
+class StubCodec:
+    """Stand-in for an image/audio decoder.  Deterministic fake: the
+    'feature vector' is a splitmix64 hash stream of the payload bytes."""
+
+    def __init__(self, deterministic: bool = True):
+        self.deterministic = deterministic
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if not self.deterministic:
+            raise NotImplementedError(
+                "real media decoding requires PIL/ffmpeg; not in this env")
+        h = np.uint64(1469598103934665603)
+        arr = np.frombuffer(payload[:4096], dtype=np.uint8).astype(np.uint64)
+        out = np.empty(FEATURE_DIM, dtype=np.float64)
+        for i in range(FEATURE_DIM):
+            x = (h + np.uint64(i) * np.uint64(0x9E3779B97F4A7C15)) \
+                & np.uint64(0xFFFFFFFFFFFFFFFF)
+            if len(arr):
+                x = (x + (arr * ((np.arange(len(arr), dtype=np.uint64)
+                                  + np.uint64(i + 1)))).sum()
+                     ) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            out[i] = float(x % np.uint64(10_000)) / 10_000.0
+        return out
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: (id, media:binary) -> (id, n_bytes, feature).
+
+    Use with ``map_batches(MediaFeatureExtractor, concurrency=(n, m),
+    batch_size=SMALL, batch_format="pyarrow")`` — batch_size must be small
+    because rows carry megabyte payloads (SURVEY.md §4 memory notes).
+    """
+
+    def __init__(self, id_col: str = "id", media_col: str = "media",
+                 deterministic: bool = True):
+        self.id_col, self.media_col = id_col, media_col
+        self.codec = StubCodec(deterministic)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        feats = [self.codec.decode(p) for p in payloads]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "feature": [f.tolist() for f in feats],
+        })
