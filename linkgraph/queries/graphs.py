@@ -38,10 +38,21 @@ TOPK = 20
 
 # --------------------------------------------------------------------- build
 
+def _num_blocks() -> int:
+    """Block count scaled to cluster CPUs (fixed per-task overhead
+    dominates at small data; at cluster scale this grows with the
+    cluster)."""
+    try:
+        return max(4, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
 def base_pairs(sf_dir: str) -> rd.Dataset:
     """lineitem -> (src, dst) pairs; columns pruned at the read."""
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey", "l_partkey"])
+                         columns=["l_orderkey", "l_partkey"],
+                         override_num_blocks=_num_blocks())
 
     def to_pairs(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -63,22 +74,29 @@ def dedup_edges(sf_dir: str) -> rd.Dataset:
 
 
 def sym_edges(sf_dir: str) -> rd.Dataset:
-    """E1+E2: symmetric deduped edges, self-loops stored once."""
+    """E1+E2: symmetric deduped edges, self-loops stored once.
 
-    def mirror(batch: pa.Table) -> pa.Table:
+    Single-shuffle formulation: mirror the RAW pairs (self-loops once)
+    and count — for (s,d), count = mult(s->d) + mult(d->s), which equals
+    the dedup-then-mirror-then-sum weight.  Halves the all-to-all
+    exchanges vs the naive two-step (SURVEY.md 'minimize shuffles')."""
+
+    def mirror_raw(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy()
         dst = batch.column("dst").to_numpy()
-        w = batch.column("w").to_numpy()
         nonself = src != dst
         return pa.table({
             "src": np.concatenate([src, dst[nonself]]),
             "dst": np.concatenate([dst, src[nonself]]),
-            "w": np.concatenate([w, w[nonself]]),
         })
 
-    return (dedup_edges(sf_dir)
-            .map_batches(mirror, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w")))
+    return (base_pairs(sf_dir)
+            .map_batches(mirror_raw, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["src", "dst"]).aggregate(Count(alias_name="w"))
+            .map_batches(lambda t: t.set_column(
+                t.schema.get_field_index("w"), "w",
+                t.column("w").cast(pa.float64())), batch_format="pyarrow"))
 
 
 def degrees(sf_dir: str) -> rd.Dataset:
