@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PAGES_DIR = "/tmp/linkgraph_bench_pages"
-DEFAULT_BENCH_PAGES = 200_000
+DEFAULT_BENCH_PAGES = 100_000
 
 
 def _init_ray(num_cpus: int):
@@ -102,6 +102,91 @@ def run_sf_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+# ---------------------------------------------------------- graph child
+
+GRAPH_EDGES = 15_000_000
+GRAPH_NODES = 1_000_000
+
+
+def run_graph_stress(num_cpus: int, n_edges: int = GRAPH_EDGES,
+                     n_nodes: int = GRAPH_NODES) -> dict:
+    """Compute-dominated graph job on the deterministic synthetic edge
+    table (same seed -> identical input at any parallelism): PageRank
+    (fixed 20 iterations), static Louvain, one incremental timestep
+    (delta apply + screening + restricted Louvain)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    _init_ray(num_cpus)
+    from linkgraph.fixtures.edges import edge_batch, synthetic_edges_dataset
+    from linkgraph.state.engine import GraphEngine
+
+    t0 = time.time()
+    ds = synthetic_edges_dataset(n_edges, n_nodes,
+                                 parallelism=max(64, num_cpus * 2))
+
+    def mirror(b: pa.Table) -> pa.Table:
+        s, d = b.column("src").to_numpy(), b.column("dst").to_numpy()
+        return pa.table({"src": np.concatenate([s, d]),
+                         "dst": np.concatenate([d, s])})
+
+    sym = ds.map_batches(mirror, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    gen_secs = time.time() - t0
+
+    P = max(2, num_cpus // 2)
+    t0 = time.time()
+    eng = GraphEngine.from_dataset(sym, n_nodes=n_nodes, n_parts=P,
+                                   name="stress")
+    build_secs = time.time() - t0
+    n_sym_edges = sum(s["n_edges"] for s in eng.stats)
+
+    pr = eng.pagerank(tol=0.0, max_iter=20)
+
+    t0 = time.time()
+    lv = eng.louvain()
+    lv_secs = time.time() - t0
+    lv_rounds = sum(1 for m in eng.metrics
+                    if m.get("algo") == "louvain" and m.get("kind") == "round")
+
+    # incremental timestep: delete the first 200k generated edges, add a
+    # fresh deterministic batch (seed+1) of the same size
+    delta_n = 200_000
+    idx = np.arange(delta_n, dtype=np.int64)
+    del_tbl = edge_batch(42, n_nodes, 1000, 1024, idx)
+    add_tbl = edge_batch(43, n_nodes, 1000, 1024, idx)
+    t0 = time.time()
+    recs = eng.dynamic_step(0, {
+        "del": (del_tbl.column("src").to_numpy(),
+                del_tbl.column("dst").to_numpy(),
+                np.ones(del_tbl.num_rows)),
+        "add": (add_tbl.column("src").to_numpy(),
+                add_tbl.column("dst").to_numpy(),
+                np.ones(add_tbl.num_rows)),
+    })
+    dyn_secs = time.time() - t0
+    eng.shutdown()
+    ray.shutdown()
+    return {
+        "cpus": num_cpus,
+        "n_parts": P,
+        "n_edges_sym": int(n_sym_edges),
+        "gen_secs": round(gen_secs, 3),
+        "csr_build_secs": round(build_secs, 3),
+        "pagerank_iters": pr["iterations"],
+        "pagerank_secs": round(pr["secs"], 3),
+        "pagerank_edges_per_sec_iter": round(pr["edges_per_sec"], 1),
+        "louvain_secs": round(lv_secs, 3),
+        "louvain_rounds": lv_rounds,
+        "louvain_edges_per_sec_round": round(
+            n_sym_edges * max(1, lv_rounds) / max(1e-9, lv_secs), 1),
+        "louvain_modularity": round(lv["modularity"], 6),
+        "dynamic_secs": round(dyn_secs, 3),
+        "dynamic_r_frac": round(recs[-1]["r_frac"], 4) if recs else 0.0,
+    }
+
+
 # ------------------------------------------------------------ pages child
 
 def run_pages_pipeline(num_cpus: int, n_pages: int) -> dict:
@@ -158,33 +243,46 @@ def run_pages_pipeline(num_cpus: int, n_pages: int) -> dict:
     }
 
 
+def _child(mode: str, cpus: int, pages: int) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), mode,
+           "--cpus", str(cpus), "--pages", str(pages)]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    if out.returncode != 0:
+        raise RuntimeError(f"child {mode} failed at {cpus} cpus:\n"
+                           f"{out.stderr[-2000:]}")
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def run_scaling(n_pages: int, lo: int = 8, hi: int = 32) -> dict:
-    """Fresh-process runs at lo and hi CPUs on the same input."""
-    results = {}
+    """Fresh-process runs at lo and hi CPUs on the same inputs.
+
+    Two jobs per CPU count: the synthetic-graph stress job (PageRank +
+    Louvain + incremental step on 30M directed edges) and the pages
+    ingestion pipeline (parse + graph build on the shared pages parquet).
+    Efficiency = (thr_hi / thr_lo) / (hi / lo) per metric."""
+    graph, pages = {}, {}
     for cpus in (lo, hi):
-        cmd = [sys.executable, os.path.abspath(__file__), "--pages-run",
-               "--cpus", str(cpus), "--pages", str(n_pages)]
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        if out.returncode != 0:
-            raise RuntimeError(f"child failed at {cpus} cpus:\n{out.stderr[-2000:]}")
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    r_lo, r_hi = results[lo], results[hi]
-    thr_lo = r_lo["pagerank_edges_per_sec_iter"]
-    thr_hi = r_hi["pagerank_edges_per_sec_iter"]
-    pipe_lo = r_lo["pipeline_pages_per_sec"]
-    pipe_hi = r_hi["pipeline_pages_per_sec"]
+        graph[cpus] = _child("--graph-run", cpus, n_pages)
+        pages[cpus] = _child("--pages-run", cpus, n_pages)
     factor = hi / lo
+
+    def eff(d, key):
+        return round((d[hi][key] / d[lo][key]) / factor, 3)
+
     return {
-        "metric": "scaling efficiency (PageRank edges/sec/iter), "
-                  f"{lo} vs {hi} CPUs, same input",
-        "value": round((thr_hi / thr_lo) / factor, 3),
+        "metric": ("scaling efficiency (PageRank edges/sec/iter on 30M-"
+                   f"edge synthetic graph), {lo} vs {hi} CPUs, same input"),
+        "value": eff(graph, "pagerank_edges_per_sec_iter"),
         "unit": "efficiency",
-        "pipeline_efficiency": round((pipe_hi / pipe_lo) / factor, 3),
-        "lo": r_lo,
-        "hi": r_hi,
-        "sf": PAGES_DIR,
+        "louvain_efficiency": eff(graph, "louvain_edges_per_sec_round"),
+        "ingest_efficiency": round(
+            (pages[lo]["ingest_secs"] / pages[hi]["ingest_secs"]) / factor, 3),
+        "graph_lo": graph[lo],
+        "graph_hi": graph[hi],
+        "pages_lo": pages[lo],
+        "pages_hi": pages[hi],
         "num_cpus": hi,
     }
 
@@ -193,11 +291,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pages-run", action="store_true")
+    ap.add_argument("--graph-run", action="store_true")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--pages", type=int, default=DEFAULT_BENCH_PAGES)
     args = ap.parse_args()
 
+    if args.graph_run:
+        print(json.dumps(run_graph_stress(args.cpus)))
+        return
     if args.pages_run:
         print(json.dumps(run_pages_pipeline(args.cpus, args.pages)))
         return

@@ -81,6 +81,11 @@ def degree_balanced_bounds(src: "np.ndarray | None", n_nodes: int,
 
 
 class GraphEngine:
+    # contraction outputs up to this many rows run their remaining Louvain
+    # levels on the driver (oracle kernel); larger ones recurse into a
+    # child engine (distributed levels)
+    SMALL_CONTRACT_ROWS = 1_000_000
+
     def __init__(self, bounds: np.ndarray, *, name: str = "graph"):
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.P = len(self.bounds) - 1
@@ -119,27 +124,23 @@ class GraphEngine:
         """Build from a Ray Data edge Dataset (src,dst[,w]) without moving
         rows through the driver: coarse degree histogram via a tiny
         groupby, then per-block routing tasks feed the shard actors."""
-        import ray.data as rd
-        from ray.data.aggregate import Count
-
         width = max(1, -(-n_nodes // 4096))
-
-        def bucketize(t: pa.Table) -> pa.Table:
-            b = t.column("src").to_numpy() // width
-            return pa.table({"bucket": b})
-
-        hist_rows = (edges_ds.map_batches(bucketize, batch_format="pyarrow")
-                     .groupby("bucket").aggregate(Count(alias_name="c"))
-                     .take_all())
         nb = -(-n_nodes // width)
-        hist = np.zeros(nb)
-        for r in hist_rows:
-            hist[int(r["bucket"])] = r["c"]
+        block_refs = edges_ds.to_arrow_refs()
+
+        # coarse degree histogram: per-block partial bincounts (a few KB
+        # each) summed on the driver — a combiner, not a groupby shuffle
+        @ray.remote
+        def _hist_block(tbl: pa.Table) -> np.ndarray:
+            b = tbl.column("src").to_numpy() // width
+            return np.bincount(b, minlength=nb).astype(np.float64)
+
+        hist = np.sum(ray.get([_hist_block.remote(b) for b in block_refs]),
+                      axis=0) if block_refs else np.zeros(nb)
         bounds = degree_balanced_bounds(None, n_nodes, n_parts,
                                         degree_hist=hist)
         eng = cls(bounds, name=name)
         bounds_ref = ray.put(eng.bounds)
-        block_refs = edges_ds.to_arrow_refs()
         pending = []
         for blk in block_refs:
             parts = _route_block.options(num_returns=eng.P).remote(blk, bounds_ref)
@@ -167,9 +168,30 @@ class GraphEngine:
     # ------------------------------------------------------------- exchanges
 
     def _fetch_ghost(self, state_name: str) -> list[list[ray.ObjectRef]]:
-        """vals[i][j] = values of actor j's state for actor i's ghosts."""
-        return [[self.actors[j].serve.remote(state_name, self._ghost_reqs[i][j])
-                 for j in range(self.P)]
+        """vals[i][j] = values of actor j's state for actor i's ghosts.
+
+        Batched: ONE serve_many call per server actor (num_returns=P)
+        instead of P^2 point-to-point calls — RPC count per exchange is
+        O(P), payloads still move actor-to-actor via the object store."""
+        outs = [self.actors[j].serve_many.options(num_returns=self.P)
+                .remote(state_name,
+                        [self._ghost_reqs[i][j] for i in range(self.P)])
+                for j in range(self.P)]
+        if self.P == 1:
+            outs = [[o] for o in outs]
+        return [[outs[j][i] for j in range(self.P)]
+                for i in range(self.P)]
+
+    def _exchange_comm_aggs(self, reqs) -> list[list[ray.ObjectRef]]:
+        """comm_vals[i][j] = (tot, size) of actor j's comms for actor i's
+        request reqs[i][j] — batched like _fetch_ghost."""
+        outs = [self.actors[j].lv_serve_comm_aggs_many
+                .options(num_returns=self.P)
+                .remote([reqs[i][j] for i in range(self.P)])
+                for j in range(self.P)]
+        if self.P == 1:
+            outs = [[o] for o in outs]
+        return [[outs[j][i] for j in range(self.P)]
                 for i in range(self.P)]
 
     def _store_ghost_labels(self):
@@ -267,8 +289,11 @@ class GraphEngine:
         deg_vals = self._fetch_ghost("deg")
         head_reqs = [a.tri_orient.options(num_returns=self.P).remote(deg_vals[i])
                      for i, a in enumerate(self.actors)]
-        adj = [[self.actors[j].tri_serve_adjacency.remote(head_reqs[i][j])
-                for j in range(self.P)]
+        adj_outs = [self.actors[j].tri_serve_adjacency_many
+                    .options(num_returns=self.P)
+                    .remote([head_reqs[i][j] for i in range(self.P)])
+                    for j in range(self.P)]
+        adj = [[adj_outs[j][i] for j in range(self.P)]
                for i in range(self.P)]
         counts = ray.get([a.tri_count_local.remote(adj[i])
                           for i, a in enumerate(self.actors)])
@@ -296,16 +321,21 @@ class GraphEngine:
         changed = False
         total_gain = min_gain
         q_before = self._modularity()
+        # skip globally-empty degree buckets (the common case at high
+        # bucket ids); ghost labels refresh only after actual moves
+        counts = np.sum(ray.get([a.lv_bucket_counts.remote(use_subset)
+                                 for a in self.actors]), axis=0)
+        active_buckets = [b for b in range(N_BUCKETS) if counts[b] > 0]
+        labels_dirty = False  # _modularity() above refreshed ghosts
         while total_gain >= min_gain:
             t_round = time.time()
             moved_round = 0
-            for bucket in range(N_BUCKETS):
-                self._store_ghost_labels()
+            for bucket in active_buckets:
+                if labels_dirty:
+                    self._store_ghost_labels()
                 reqs = [a.lv_moves_phase1.options(num_returns=self.P)
                         .remote(bucket, use_subset) for a in self.actors]
-                comm_vals = [[self.actors[j].lv_serve_comm_aggs
-                              .remote(reqs[i][j]) for j in range(self.P)]
-                             for i in range(self.P)]
+                comm_vals = self._exchange_comm_aggs(reqs)
                 deltas = [a.lv_moves_phase2.options(num_returns=self.P)
                           .remote(comm_vals[i])
                           for i, a in enumerate(self.actors)]
@@ -313,8 +343,11 @@ class GraphEngine:
                     a.lv_apply_comm_deltas.remote(
                         [deltas[i][j] for i in range(self.P)])
                     for j, a in enumerate(self.actors)])
-                moved_round += sum(moved)
+                moved_bucket = sum(moved)
+                labels_dirty = labels_dirty or moved_bucket > 0
+                moved_round += moved_bucket
             q_after = self._modularity()
+            labels_dirty = False  # _modularity refreshed ghosts
             total_gain = q_after - q_before
             changed = changed or (total_gain > 0)
             self.metrics.append({
@@ -349,32 +382,74 @@ class GraphEngine:
             final_map, n_comms = self._densify_labels()
             return {"modularity": q0, "q_trajectory": q_traj, "n_levels": 0,
                     "n_comms": n_comms}
-        # contract: gather pre-aggregated (csrc,cdst,w) partials
+        # contract: per-shard pre-aggregated (csrc,cdst,w) partials (A7
+        # combiner) stay in the object store until we know their size
         self._store_ghost_labels()
-        parts = ray.get([a.lv_contract_partial.remote() for a in self.actors])
-        tbl = pa.concat_tables(parts)
-        csrc = tbl.column("csrc").to_numpy()
-        cdst = tbl.column("cdst").to_numpy()
-        w = tbl.column("w").to_numpy()
-        # include empty-degree communities (isolated vertices' labels)
+        part_refs = [a.lv_contract_partial.remote() for a in self.actors]
+
+        @ray.remote
+        def _nrows(t: pa.Table) -> int:
+            return t.num_rows
+
+        n_contract = sum(ray.get([_nrows.remote(r) for r in part_refs]))
+        # include empty-degree communities (isolated vertices' labels);
+        # per-shard uniques -> driver ships #comms ids, not #vertices
         uniq_lbl = np.unique(np.concatenate(
-            ray.get([a.get_state.remote("labels") for a in self.actors])))
-        remap = {c: i for i, c in enumerate(uniq_lbl)}
+            ray.get([a.lv_unique_labels.remote() for a in self.actors])))
         remap_arr = np.full(int(uniq_lbl.max(initial=0)) + 1, -1, dtype=np.int64)
         remap_arr[uniq_lbl] = np.arange(len(uniq_lbl))
-        key = remap_arr[csrc] * np.int64(len(uniq_lbl)) + remap_arr[cdst]
-        order = np.argsort(key, kind="stable")
-        key_s, w_s = key[order], w[order]
-        uk, start = np.unique(key_s, return_index=True)
-        sums = np.add.reduceat(w_s, start) if len(start) else np.empty(0)
-        cg = CSRGraph.from_edges(uk // len(uniq_lbl), uk % len(uniq_lbl),
-                                 sums, n=len(uniq_lbl))
-        # Run remaining levels on the driver (oracle kernel, same
-        # semantics).  once_more is already consumed: reaching here means
-        # we contracted; the oracle loop runs the next level's one_level
-        # unconditionally and stops at the first no-change level — exactly
-        # the reference's post-aggregation behavior (gpulouvain.cu:105-128).
-        sub_res = oracle_lv.louvain(cg, min_gain=min_gain)
+        if n_contract <= self.SMALL_CONTRACT_ROWS:
+            # small contracted graph: remaining levels on the driver with
+            # the oracle kernel (identical semantics).  once_more is
+            # already consumed: reaching here means we contracted; the
+            # oracle loop runs the next level's one_level unconditionally
+            # and stops at the first no-change level — exactly the
+            # reference's post-aggregation behavior (gpulouvain.cu:105-128).
+            tbl = pa.concat_tables(ray.get(part_refs))
+            csrc = tbl.column("csrc").to_numpy()
+            cdst = tbl.column("cdst").to_numpy()
+            w = tbl.column("w").to_numpy()
+            key = remap_arr[csrc] * np.int64(len(uniq_lbl)) + remap_arr[cdst]
+            order = np.argsort(key, kind="stable")
+            key_s, w_s = key[order], w[order]
+            uk, start = np.unique(key_s, return_index=True)
+            sums = np.add.reduceat(w_s, start) if len(start) else np.empty(0)
+            cg = CSRGraph.from_edges(uk // len(uniq_lbl), uk % len(uniq_lbl),
+                                     sums, n=len(uniq_lbl))
+            sub_res = oracle_lv.louvain(cg, min_gain=min_gain)
+        else:
+            # large contracted graph: recurse DISTRIBUTED — remap the
+            # partials to dense ids via broadcast gather and feed a child
+            # engine (parallel multi-edges are summed by the CSR build,
+            # so no dedup shuffle is needed)
+            import ray.data as rd
+            map_ref = ray.put(remap_arr)
+
+            def remap_batch(t: pa.Table) -> pa.Table:
+                m = ray.get(map_ref)
+                return pa.table({
+                    "src": m[t.column("csrc").to_numpy()],
+                    "dst": m[t.column("cdst").to_numpy()],
+                    "w": t.column("w").to_numpy()})
+
+            cds = (rd.from_arrow_refs(part_refs)
+                   .map_batches(remap_batch, batch_format="pyarrow")
+                   .materialize())
+            n_sub = len(uniq_lbl)
+            child = GraphEngine.from_dataset(
+                cds, n_nodes=n_sub,
+                n_parts=max(2, min(self.P, n_sub // 1000)),
+                name=f"{self.name}_l")
+            try:
+                sub = child.louvain(min_gain=min_gain)
+                child_labels = (child.louvain_result()
+                                .column("comm").to_numpy())
+            finally:
+                child.shutdown()
+            sub_res = {"labels": child_labels,
+                       "modularity": sub["modularity"],
+                       "q_trajectory": sub["q_trajectory"],
+                       "n_levels": sub["n_levels"]}
         q_traj.extend(sub_res["q_trajectory"])
         # compose: label c (level-0 comm id) -> sub_res.labels[remap[c]]
         compose = np.full(len(remap_arr), -1, dtype=np.int64)
@@ -518,17 +593,18 @@ class GraphEngine:
         reqs = [a.screen_begin.options(num_returns=self.P)
                 .remote(parts[i][0], parts[i][1], mode)
                 for i, a in enumerate(self.actors)]
-        lab_vals = [[self.actors[j].serve.remote("labels", reqs[i][j])
-                     for j in range(self.P)] for i in range(self.P)]
+        lab_outs = [self.actors[j].serve_many.options(num_returns=self.P)
+                    .remote("labels", [reqs[i][j] for i in range(self.P)])
+                    for j in range(self.P)]
+        lab_vals = [[lab_outs[j][i] for j in range(self.P)]
+                    for i in range(self.P)]
         marks = ray.get([a.screen_mark.remote(lab_vals[i])
                          for i, a in enumerate(self.actors)])
         marked_comms = [m[0] for m in marks]
         if mode == "add":
             # second phase: serve tot/size for candidate comm requests
             comm_reqs = [m[2] for m in marks]
-            comm_vals = [[self.actors[j].lv_serve_comm_aggs
-                          .remote(comm_reqs[i][j]) for j in range(self.P)]
-                         for i in range(self.P)]
+            comm_vals = self._exchange_comm_aggs(comm_reqs)
             marks2 = ray.get([a.screen_mark2.remote(comm_vals[i])
                               for i, a in enumerate(self.actors)])
             marked_comms = [m[0] for m in marks2]

@@ -122,7 +122,25 @@ class GraphShard:
             "out_deg_nonzero": int((np.diff(self.indptr) > 0).sum()),
         }
 
+    def _msg_groups(self):
+        """Static grouping of ``self.indices`` (message destinations) —
+        (perm, uk, starts, owner_cuts), computed once per graph version.
+
+        Supersteps that aggregate messages by dst (PageRank sums, CC mins)
+        reuse this instead of re-sorting the shard's edge list every
+        iteration (the argsort was >80% of per-iteration time at scale).
+        ``perm`` is the stable argsort of indices, so reduce order — and
+        float sums — are bit-identical to the naive _grouped_sum path."""
+        if getattr(self, "_msg_cache", None) is None:
+            perm = np.argsort(self.indices, kind="stable")
+            k = self.indices[perm]
+            uk, starts = np.unique(k, return_index=True)
+            cuts = np.searchsorted(uk, self.bounds)
+            self._msg_cache = (perm, uk, starts, cuts)
+        return self._msg_cache
+
     def _build_csr(self, src: np.ndarray, dst: np.ndarray, w: np.ndarray):
+        self._msg_cache = None
         loc = src - self.lo
         order = np.lexsort((dst, loc))
         loc, dst, w = loc[order], dst[order], w[order]
@@ -181,6 +199,20 @@ class GraphShard:
     def serve(self, name: str, ids: np.ndarray) -> np.ndarray:
         """Values of a vertex-state array for the requested (local) ids."""
         return self.state[name][np.asarray(ids, dtype=np.int64) - self.lo]
+
+    def serve_many(self, name: str, reqs) -> tuple:
+        """Batched serve: one call answers ALL requesters (num_returns=P).
+
+        ``reqs`` may contain ObjectRefs (each requester's id array) —
+        resolved here so the driver issues P calls per exchange instead of
+        P^2 point-to-point calls (the P^2 pattern dominated wall time at
+        P>=16)."""
+        import ray
+        reqs = [ray.get(r) if isinstance(r, ray.ObjectRef) else r
+                for r in reqs]
+        arr = self.state[name]
+        return tuple(arr[np.asarray(r, dtype=np.int64) - self.lo]
+                     for r in reqs)
 
     def serve_comm(self, names: list[str], ids: np.ndarray) -> list[np.ndarray]:
         ids = np.asarray(ids, dtype=np.int64) - self.lo

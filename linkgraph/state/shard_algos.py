@@ -47,9 +47,12 @@ class AlgoShard(GraphShard):
         """
         rank = self.state["rank"]
         contrib = rank / np.maximum(self._outdeg, 1.0)
-        vals = np.repeat(contrib, np.diff(self.indptr))
-        ids, sums = _grouped_sum(self.indices, vals)
-        out = split_by_owner(ids, self.bounds, sums)
+        perm, uk, starts, cuts = self._msg_groups()
+        vals = np.repeat(contrib, np.diff(self.indptr))[perm]
+        sums = np.add.reduceat(vals, starts) if len(starts) \
+            else np.empty(0, np.float64)
+        out = [(uk[cuts[p]:cuts[p + 1]], sums[cuts[p]:cuts[p + 1]])
+               for p in range(self.P)]
         dangling = float(rank[self._outdeg == 0].sum())
         return tuple(out) + (dangling,)
 
@@ -81,16 +84,14 @@ class AlgoShard(GraphShard):
     def cc_partials(self):
         """min(comp[src]) grouped by dst, per owner (num_returns=P)."""
         comp = self.state["comp"]
-        vals = np.repeat(comp, np.diff(self.indptr))
-        ids = self.indices
-        if len(ids) == 0:
+        if len(self.indices) == 0:
             empty = np.empty(0, np.int64)
             return tuple((empty, empty) for _ in range(self.P))
-        order = np.argsort(ids, kind="stable")
-        k, v = ids[order], vals[order]
-        uk, start = np.unique(k, return_index=True)
-        mins = np.minimum.reduceat(v, start)
-        return tuple(split_by_owner(uk, self.bounds, mins))
+        perm, uk, starts, cuts = self._msg_groups()
+        v = np.repeat(comp, np.diff(self.indptr))[perm]
+        mins = np.minimum.reduceat(v, starts)
+        return tuple((uk[cuts[p]:cuts[p + 1]], mins[cuts[p]:cuts[p + 1]])
+                     for p in range(self.P))
 
     def cc_apply(self, msgs) -> int:
         msgs = _resolve_refs(msgs)
@@ -208,6 +209,11 @@ class AlgoShard(GraphShard):
         out = np.concatenate([self._tri_dst[a:b] for a, b in zip(lo_pos, hi_pos)]) \
             if len(ids) else np.empty(0, np.int64)
         return counts, out
+
+    def tri_serve_adjacency_many(self, reqs) -> tuple:
+        """Batched adjacency serve for all requesters (num_returns=P)."""
+        reqs = _resolve_refs(list(reqs))
+        return tuple(self.tri_serve_adjacency(r) for r in reqs)
 
     def tri_count_local(self, ghost_adj) -> int:
         """Count wedges (u -> v -> w), u local, closing as local (u -> w)."""

@@ -97,9 +97,14 @@ class LouvainShard(AlgoShard):
         if len(sel_idx) == 0:
             empty = np.empty(0, np.int64)
             return tuple(empty for _ in range(self.P))
-        take = np.concatenate([np.arange(self.indptr[v], self.indptr[v + 1])
-                               for v in sel_idx])
-        rows = np.repeat(sel_idx, deg[sel_idx])          # local index
+        # vectorized range-concat: edge positions of all selected vertices
+        counts = deg[sel_idx]
+        starts_e = self.indptr[sel_idx]
+        total = int(counts.sum())
+        take = (np.repeat(starts_e, counts)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+        rows = np.repeat(sel_idx, counts)                # local index
         cols = self.indices[take]                         # global ids
         w = self.weights[take]
         nonself = cols != rows + self.lo
@@ -210,6 +215,28 @@ class LouvainShard(AlgoShard):
         return (self.comm_state["tot"][ids],
                 self.comm_state["size"][ids].astype(np.int64))
 
+    def lv_serve_comm_aggs_many(self, reqs) -> tuple:
+        """Batched comm-agg serve for all requesters (num_returns=P)."""
+        reqs = _resolve(list(reqs))
+        out = []
+        for r in reqs:
+            ids = np.asarray(r, dtype=np.int64) - self.lo
+            out.append((self.comm_state["tot"][ids],
+                        self.comm_state["size"][ids].astype(np.int64)))
+        return tuple(out)
+
+    def lv_bucket_counts(self, use_subset: bool) -> np.ndarray:
+        """Vertices per degree bucket (restricted to R when screening) —
+        lets the driver skip empty buckets entirely."""
+        deg = np.diff(self.indptr)
+        if use_subset:
+            deg = deg[self.state["R"].astype(bool)]
+        counts = np.empty(len(BUCKET_BOUNDS) - 1, dtype=np.int64)
+        for b in range(len(counts)):
+            lo_b, hi_b = BUCKET_BOUNDS[b], BUCKET_BOUNDS[b + 1]
+            counts[b] = int(((deg > lo_b) & (deg <= hi_b)).sum())
+        return counts
+
     # ---------- modularity -------------------------------------------------
 
     def lv_q_terms(self) -> tuple[float, float]:
@@ -233,6 +260,11 @@ class LouvainShard(AlgoShard):
         uk, sums = _grouped_sum(key, self.weights)
         return pa.table({"csrc": uk // self.n_global,
                          "cdst": uk % self.n_global, "w": sums})
+
+    def lv_unique_labels(self) -> np.ndarray:
+        """Distinct local label values (for the contraction renumber —
+        ships #comms ids to the driver, not #vertices)."""
+        return np.unique(self.state["labels"])
 
     def lv_compose_labels(self, mapping_ref):
         """labels <- mapping[labels] (J4: original->community composition).
