@@ -104,16 +104,22 @@ def run_sf_bench(sf_dir: str, num_cpus: int) -> dict:
 
 # ---------------------------------------------------------- graph child
 
-GRAPH_EDGES = 15_000_000
-GRAPH_NODES = 1_000_000
+PR_EDGES = 100_000_000     # directed PageRank stress graph
+PR_NODES = 5_000_000
+LV_EDGES = 15_000_000      # Louvain/dynamic graph (symmetrized -> 30M)
+LV_NODES = 1_000_000
 
 
-def run_graph_stress(num_cpus: int, n_edges: int = GRAPH_EDGES,
-                     n_nodes: int = GRAPH_NODES) -> dict:
-    """Compute-dominated graph job on the deterministic synthetic edge
-    table (same seed -> identical input at any parallelism): PageRank
-    (fixed 20 iterations), static Louvain, one incremental timestep
-    (delta apply + screening + restricted Louvain)."""
+def run_graph_stress(num_cpus: int) -> dict:
+    """Compute-dominated graph jobs on deterministic synthetic edge
+    tables (same seed -> identical input at any parallelism):
+
+    1. PageRank on the 100M-edge directed graph — per-iteration
+       throughput measured as best of 3 ten-iteration windows (the
+       sandbox has noisy-neighbor CPU variance).
+    2. Static Louvain + one incremental timestep (delta apply +
+       screening + restricted Louvain) on the 30M-edge symmetric graph.
+    """
     import numpy as np
     import pyarrow as pa
     import ray
@@ -122,8 +128,32 @@ def run_graph_stress(num_cpus: int, n_edges: int = GRAPH_EDGES,
     from linkgraph.fixtures.edges import edge_batch, synthetic_edges_dataset
     from linkgraph.state.engine import GraphEngine
 
+    P = max(2, num_cpus // 2)
+
+    # ---- PageRank stress -------------------------------------------------
     t0 = time.time()
-    ds = synthetic_edges_dataset(n_edges, n_nodes,
+    pr_ds = synthetic_edges_dataset(PR_EDGES, PR_NODES,
+                                    parallelism=max(64, num_cpus * 2)) \
+        .materialize()
+    gen_pr_secs = time.time() - t0
+    t0 = time.time()
+    pr_eng = GraphEngine.from_dataset(pr_ds, n_nodes=PR_NODES, n_parts=P,
+                                      name="pr_stress")
+    pr_build_secs = time.time() - t0
+    n_pr_edges = sum(s["n_edges"] for s in pr_eng.stats)
+    pr_eng.pagerank(tol=0.0, max_iter=2)     # warm
+    windows = []
+    for _ in range(3):
+        t0 = time.time()
+        pr_eng.pagerank(tol=0.0, max_iter=10)
+        windows.append(time.time() - t0)
+    pr_secs = min(windows)
+    pr_eng.shutdown()
+    del pr_ds
+
+    # ---- Louvain + dynamic ----------------------------------------------
+    t0 = time.time()
+    ds = synthetic_edges_dataset(LV_EDGES, LV_NODES,
                                  parallelism=max(64, num_cpus * 2))
 
     def mirror(b: pa.Table) -> pa.Table:
@@ -133,16 +163,14 @@ def run_graph_stress(num_cpus: int, n_edges: int = GRAPH_EDGES,
 
     sym = ds.map_batches(mirror, batch_format="pyarrow",
                          zero_copy_batch=True).materialize()
+    n_nodes = LV_NODES
     gen_secs = time.time() - t0
 
-    P = max(2, num_cpus // 2)
     t0 = time.time()
     eng = GraphEngine.from_dataset(sym, n_nodes=n_nodes, n_parts=P,
                                    name="stress")
     build_secs = time.time() - t0
     n_sym_edges = sum(s["n_edges"] for s in eng.stats)
-
-    pr = eng.pagerank(tol=0.0, max_iter=20)
 
     t0 = time.time()
     lv = eng.louvain()
@@ -150,9 +178,9 @@ def run_graph_stress(num_cpus: int, n_edges: int = GRAPH_EDGES,
     lv_rounds = sum(1 for m in eng.metrics
                     if m.get("algo") == "louvain" and m.get("kind") == "round")
 
-    # incremental timestep: delete the first 200k generated edges, add a
+    # incremental timestep: delete the first 100k generated edges, add a
     # fresh deterministic batch (seed+1) of the same size
-    delta_n = 200_000
+    delta_n = 100_000
     idx = np.arange(delta_n, dtype=np.int64)
     del_tbl = edge_batch(42, n_nodes, 1000, 1024, idx)
     add_tbl = edge_batch(43, n_nodes, 1000, 1024, idx)
@@ -171,12 +199,13 @@ def run_graph_stress(num_cpus: int, n_edges: int = GRAPH_EDGES,
     return {
         "cpus": num_cpus,
         "n_parts": P,
+        "n_pr_edges": int(n_pr_edges),
         "n_edges_sym": int(n_sym_edges),
-        "gen_secs": round(gen_secs, 3),
-        "csr_build_secs": round(build_secs, 3),
-        "pagerank_iters": pr["iterations"],
-        "pagerank_secs": round(pr["secs"], 3),
-        "pagerank_edges_per_sec_iter": round(pr["edges_per_sec"], 1),
+        "gen_secs": round(gen_pr_secs + gen_secs, 3),
+        "csr_build_secs": round(pr_build_secs + build_secs, 3),
+        "pagerank_iters": 10,
+        "pagerank_secs": round(pr_secs, 3),
+        "pagerank_edges_per_sec_iter": round(n_pr_edges * 10 / pr_secs, 1),
         "louvain_secs": round(lv_secs, 3),
         "louvain_rounds": lv_rounds,
         "louvain_edges_per_sec_round": round(

@@ -36,20 +36,39 @@ from .shard_louvain import LouvainShard
 N_BUCKETS = len(oracle_lv.BUCKET_BOUNDS) - 1
 
 
+def _split_table(tbl: pa.Table, own: np.ndarray, P: int) -> list[pa.Table]:
+    order = np.argsort(own, kind="stable")
+    own_s = own[order]
+    cuts = np.searchsorted(own_s, np.arange(P + 1))
+    idx = pa.array(order)
+    return [tbl.take(idx[cuts[p]:cuts[p + 1]]) for p in range(P)]
+
+
 @ray.remote
 def _route_block(tbl: pa.Table, bounds: np.ndarray):
     """Split an edge block by owning partition of src (num_returns=P)."""
     src = tbl.column("src").to_numpy()
     own = np.searchsorted(bounds, src, side="right") - 1
-    order = np.argsort(own, kind="stable")
-    own_s = own[order]
     P = len(bounds) - 1
-    cuts = np.searchsorted(own_s, np.arange(P + 1))
-    out = []
-    idx = pa.array(order)
-    for p in range(P):
-        out.append(tbl.take(idx[cuts[p]:cuts[p + 1]]))
+    out = _split_table(tbl, own, P)
     return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
+def _route_block_split(tbl: pa.Table, bounds: np.ndarray, hub_bool):
+    """Like _route_block, plus: edges whose src is a hub are ALSO routed
+    by owner(dst) as fragments (num_returns=2P: P CSR parts then P
+    fragment parts) — the high-degree vertex split."""
+    src = tbl.column("src").to_numpy()
+    dst = tbl.column("dst").to_numpy()
+    P = len(bounds) - 1
+    own_src = np.searchsorted(bounds, src, side="right") - 1
+    csr_parts = _split_table(tbl, own_src, P)
+    is_hub = hub_bool[src]
+    hub_tbl = tbl.filter(pa.array(is_hub))
+    own_dst = np.searchsorted(bounds, dst[is_hub], side="right") - 1
+    frag_parts = _split_table(hub_tbl, own_dst, P)
+    return tuple(csr_parts) + tuple(frag_parts)
 
 
 def degree_balanced_bounds(src: "np.ndarray | None", n_nodes: int,
@@ -98,6 +117,8 @@ class GraphEngine:
         self.M = 0.0
         self.metrics: list[dict] = []
         self._ghost_reqs: list[list[ray.ObjectRef]] | None = None
+        self._frag_reqs: list[list[ray.ObjectRef]] | None = None
+        self.has_frags = False
 
     # ------------------------------------------------------------------ build
 
@@ -118,39 +139,97 @@ class GraphEngine:
         eng.finalize()
         return eng
 
+    # per-vertex out-degrees above this multiple of the average mark a
+    # vertex as a hub -> its out-edges are split across partitions
+    HUB_DEGREE_FACTOR = 32
+    # exact per-vertex degree vectors are held driver-side only up to this
+    # many vertices; beyond it, splitting would switch to a top-k sketch
+    MAX_EXACT_DEGREE_NODES = 50_000_000
+
     @classmethod
     def from_dataset(cls, edges_ds, *, n_nodes: int, n_parts: int = 4,
-                     name: str = "graph") -> "GraphEngine":
+                     name: str = "graph",
+                     split_hubs: bool = True) -> "GraphEngine":
         """Build from a Ray Data edge Dataset (src,dst[,w]) without moving
-        rows through the driver: coarse degree histogram via a tiny
-        groupby, then per-block routing tasks feed the shard actors."""
+        rows through the driver: per-block degree bincounts (combiner)
+        drive degree-balanced bounds + hub detection, then per-block
+        routing tasks feed the shard actors (hub-src edges additionally
+        routed by owner(dst) as fragments — skew mitigation)."""
         width = max(1, -(-n_nodes // 4096))
         nb = -(-n_nodes // width)
         block_refs = edges_ds.to_arrow_refs()
+        exact = split_hubs and n_nodes <= cls.MAX_EXACT_DEGREE_NODES
 
-        # coarse degree histogram: per-block partial bincounts (a few KB
-        # each) summed on the driver — a combiner, not a groupby shuffle
         @ray.remote
-        def _hist_block(tbl: pa.Table) -> np.ndarray:
-            b = tbl.column("src").to_numpy() // width
-            return np.bincount(b, minlength=nb).astype(np.float64)
+        def _deg_block(tbl: pa.Table) -> np.ndarray:
+            src = tbl.column("src").to_numpy()
+            if exact:
+                return np.bincount(src, minlength=n_nodes)
+            return np.bincount(src // width, minlength=nb).astype(np.float64)
 
-        hist = np.sum(ray.get([_hist_block.remote(b) for b in block_refs]),
-                      axis=0) if block_refs else np.zeros(nb)
+        parts_ = ray.get([_deg_block.remote(b) for b in block_refs])
+        agg = np.sum(parts_, axis=0) if parts_ else np.zeros(
+            n_nodes if exact else nb)
+        if exact:
+            deg = agg
+            pad = np.zeros(nb * width)
+            pad[:n_nodes] = deg
+            hist = pad.reshape(nb, width).sum(axis=1)
+            n_edges_tot = float(deg.sum())
+            thr = max(256, int(cls.HUB_DEGREE_FACTOR * n_edges_tot
+                               / max(1, n_nodes)))
+            hubs = np.flatnonzero(deg > thr).astype(np.int64)
+        else:
+            hist = agg
+            hubs = np.empty(0, np.int64)
         bounds = degree_balanced_bounds(None, n_nodes, n_parts,
                                         degree_hist=hist)
         eng = cls(bounds, name=name)
         bounds_ref = ray.put(eng.bounds)
         pending = []
-        for blk in block_refs:
-            parts = _route_block.options(num_returns=eng.P).remote(blk, bounds_ref)
-            if eng.P == 1:
-                parts = [parts]
-            for a, pref in zip(eng.actors, parts):
-                pending.append(a.ingest_edges.remote(pref))
+        if len(hubs):
+            hub_bool = np.zeros(n_nodes, dtype=bool)
+            hub_bool[hubs] = True
+            hub_bool_ref = ray.put(hub_bool)
+            for blk in block_refs:
+                parts = _route_block_split.options(num_returns=2 * eng.P) \
+                    .remote(blk, bounds_ref, hub_bool_ref)
+                for p, a in enumerate(eng.actors):
+                    pending.append(a.ingest_edges.remote(parts[p]))
+                    pending.append(a.ingest_fragments.remote(parts[eng.P + p]))
+        else:
+            for blk in block_refs:
+                parts = _route_block.options(num_returns=eng.P).remote(
+                    blk, bounds_ref)
+                if eng.P == 1:
+                    parts = [parts]
+                for a, pref in zip(eng.actors, parts):
+                    pending.append(a.ingest_edges.remote(pref))
         ray.get(pending)
         eng.finalize()
+        if len(hubs):
+            eng.install_hubs(hubs)
         return eng
+
+    def install_hubs(self, hubs: np.ndarray):
+        """Activate the high-degree split on already-ingested fragments.
+        The per-requester hub-id lists are pushed to the owners ONCE, so
+        each iteration's frag exchange is a single frag_serve wave."""
+        hub_ref = ray.put(np.asarray(hubs, dtype=np.int64))
+        ray.get([a.set_hubs.remote(hub_ref) for a in self.actors])
+        reqs = ray.get([a.get_frag_requests.remote() for a in self.actors])
+        ray.get([a.store_frag_requests.remote(
+            [reqs[i][j] for i in range(self.P)])
+            for j, a in enumerate(self.actors)])
+        self.has_frags = True
+
+    def _fetch_frag(self, state_name: str) -> list[list[ray.ObjectRef]]:
+        """vals[i][j] = state values of actor i's fragment hub-srcs owned
+        by actor j — one frag_serve wave (num_returns=P per owner)."""
+        outs = [a.frag_serve.options(num_returns=self.P).remote(state_name)
+                for a in self.actors]
+        return [[outs[j][i] for j in range(self.P)]
+                for i in range(self.P)]
 
     def finalize(self):
         stats = ray.get([a.finalize_graph.remote() for a in self.actors])
@@ -216,13 +295,15 @@ class GraphEngine:
         while it < max_iter and delta >= tol:
             it += 1
             t_it = time.time()
-            outs = [a.pagerank_partials.options(num_returns=self.P + 1).remote()
-                    for a in self.actors]
-            dangling_refs = [o[self.P] for o in outs]
-            dangling = float(sum(ray.get(dangling_refs)))
+            if self.has_frags:
+                vals = self._fetch_frag("pr_contrib")
+                outs = [a.pagerank_partials.options(num_returns=self.P)
+                        .remote(vals[i]) for i, a in enumerate(self.actors)]
+            else:
+                outs = [a.pagerank_partials.options(num_returns=self.P)
+                        .remote() for a in self.actors]
             deltas = ray.get([
-                a.pagerank_apply.remote([outs[i][j] for i in range(self.P)],
-                                        dangling)
+                a.pagerank_apply.remote([outs[i][j] for i in range(self.P)])
                 for j, a in enumerate(self.actors)])
             delta = float(sum(deltas))
             self.metrics.append({
@@ -249,8 +330,13 @@ class GraphEngine:
         it = 0
         while it < max_iter:
             it += 1
-            outs = [a.cc_partials.options(num_returns=self.P).remote()
-                    for a in self.actors]
+            if self.has_frags:
+                vals = self._fetch_frag("comp")
+                outs = [a.cc_partials.options(num_returns=self.P)
+                        .remote(vals[i]) for i, a in enumerate(self.actors)]
+            else:
+                outs = [a.cc_partials.options(num_returns=self.P).remote()
+                        for a in self.actors]
             changed = ray.get([
                 a.cc_apply.remote([outs[i][j] for i in range(self.P)])
                 for j, a in enumerate(self.actors)])
@@ -269,8 +355,13 @@ class GraphEngine:
         it = 0
         while it < max_iter:
             it += 1
-            outs = [a.lpa_partials.options(num_returns=self.P).remote()
-                    for a in self.actors]
+            if self.has_frags:
+                vals = self._fetch_frag("lpa")
+                outs = [a.lpa_partials.options(num_returns=self.P)
+                        .remote(vals[i]) for i, a in enumerate(self.actors)]
+            else:
+                outs = [a.lpa_partials.options(num_returns=self.P).remote()
+                        for a in self.actors]
             changed = ray.get([
                 a.lpa_apply.remote([outs[i][j] for i in range(self.P)])
                 for j, a in enumerate(self.actors)])
@@ -564,6 +655,10 @@ class GraphEngine:
                 add_tbl, ds_, dd_,
                 new_bounds.tolist() if new_bounds is not None else None))
         missing = sum(ray.get(calls))
+        # graph mutation drops the hub split (shards fall back to the
+        # unsplit message path; re-split via install_hubs if desired)
+        self.has_frags = False
+        self._frag_reqs = None
         stats = ray.get([a.local_stats.remote() for a in self.actors])
         self.stats = stats
         self.M = sum(s_["k_sum"] for s_ in stats) / 2.0

@@ -84,6 +84,15 @@ class GraphShard:
         self.n_local = self.hi - self.lo
         self.n_global = int(self.bounds[-1])
         self._pending: list[pa.Table] = []
+        self._frag_pending: list[pa.Table] = []
+        self.hub_mask = np.zeros(self.n_local, dtype=bool)
+        self._edge_keep: np.ndarray | None = None
+        self.frag_src_u = np.empty(0, np.int64)
+        self.frag_counts = np.empty(0, np.int64)
+        self.frag_dst = np.empty(0, np.int64)
+        self.frag_w = np.empty(0, np.float64)
+        self._frag_groups = (np.empty(0, np.int64), np.empty(0, np.int64),
+                             np.empty(0, np.int64))
         # CSR over local vertices: indptr local-indexed, indices GLOBAL ids
         self.indptr: np.ndarray | None = None
         self.indices: np.ndarray | None = None
@@ -100,6 +109,87 @@ class GraphShard:
         if tbl is not None and tbl.num_rows:
             self._pending.append(tbl)
         return sum(t.num_rows for t in self._pending)
+
+    # -- high-degree vertex splitting (north-rule skew mitigation) ----------
+    #
+    # Edges whose src is a HUB (global degree above the engine's split
+    # threshold) are *additionally* routed by owner(dst) and stored here
+    # as "fragments".  The message-pattern supersteps (PageRank, CC, LPA)
+    # then EXCLUDE hub rows from the CSR message path (their fan-out to
+    # ~every partition made the hub owner the per-iteration straggler) and
+    # replace them with fragment contributions that aggregate LOCALLY —
+    # the only cross-partition traffic left is fetching the hubs'
+    # per-iteration state (#hubs values, tiny).  Louvain/dynamic keep the
+    # full owner-routed CSR (hub rows included), so their semantics and
+    # oracle parity are untouched.
+
+    def ingest_fragments(self, tbl: pa.Table | None) -> int:
+        if tbl is not None and tbl.num_rows:
+            self._frag_pending.append(tbl)
+        return sum(t.num_rows for t in self._frag_pending)
+
+    def set_hubs(self, hub_ids: np.ndarray):
+        """Install the hub set: mask hub-src CSR rows out of the message
+        path and index the ingested fragments (sorted by src, then dst)."""
+        hub_ids = np.asarray(hub_ids, dtype=np.int64)
+        self.hub_mask = np.zeros(self.n_local, dtype=bool)
+        local = hub_ids[(hub_ids >= self.lo) & (hub_ids < self.hi)]
+        self.hub_mask[local - self.lo] = True
+        keep = ~np.repeat(self.hub_mask, np.diff(self.indptr))
+        self._edge_keep = None if keep.all() else keep
+        self._msg_cache = None
+        if self._frag_pending:
+            tbl = pa.concat_tables(self._frag_pending)
+            self._frag_pending = []
+            fsrc = tbl.column("src").to_numpy().astype(np.int64)
+            fdst = tbl.column("dst").to_numpy().astype(np.int64)
+            fw = (tbl.column("w").to_numpy().astype(np.float64)
+                  if "w" in tbl.column_names else np.ones(len(fsrc)))
+            order = np.lexsort((fdst, fsrc))
+            fsrc, fdst, fw = fsrc[order], fdst[order], fw[order]
+            self.frag_src_u, counts = np.unique(fsrc, return_counts=True)
+            self.frag_counts = counts
+            self.frag_dst, self.frag_w = fdst, fw
+            # static local dst-grouping of fragment edges
+            fperm = np.argsort(fdst, kind="stable")
+            fk = fdst[fperm]
+            fuk, fstarts = np.unique(fk, return_index=True)
+            self._frag_groups = (fperm, fuk, fstarts)
+        else:
+            self.frag_src_u = np.empty(0, np.int64)
+            self.frag_counts = np.empty(0, np.int64)
+            self.frag_dst = np.empty(0, np.int64)
+            self.frag_w = np.empty(0, np.float64)
+            self._frag_groups = (np.empty(0, np.int64),
+                                 np.empty(0, np.int64),
+                                 np.empty(0, np.int64))
+
+    def get_frag_requests(self) -> list[np.ndarray]:
+        """Per-owner hub-src id arrays whose state fragments need."""
+        return [ids for ids, in split_by_owner(self.frag_src_u, self.bounds)]
+
+    def store_frag_requests(self, reqs: list[np.ndarray]):
+        """Install the STATIC per-requester hub-id lists this shard owns,
+        so each iteration's frag exchange is one serve wave (no dynamic
+        request shipping)."""
+        self._frag_serve_reqs = [np.asarray(r, dtype=np.int64) - self.lo
+                                 for r in reqs]
+
+    def frag_serve(self, name: str) -> tuple:
+        """Serve state[name] for every requester's stored hub ids
+        (num_returns=P)."""
+        arr = self.state[name]
+        return tuple(arr[r] for r in self._frag_serve_reqs)
+
+    def _frag_src_values(self, vals: list) -> np.ndarray:
+        """Reassemble fetched per-owner value chunks into frag_src_u
+        order (split_by_owner on sorted unique ids preserves order)."""
+        import ray
+        vals = [ray.get(v) if isinstance(v, ray.ObjectRef) else v
+                for v in vals]
+        out = np.concatenate([np.asarray(v) for v in vals]) \
+            if vals else np.empty(0)
+        return out  # frag_src_u is sorted -> owner chunks concat in order
 
     def finalize_graph(self) -> dict:
         """Build the local CSR from ingested rows. Returns local stats."""
@@ -132,7 +222,11 @@ class GraphShard:
         ``perm`` is the stable argsort of indices, so reduce order — and
         float sums — are bit-identical to the naive _grouped_sum path."""
         if getattr(self, "_msg_cache", None) is None:
-            perm = np.argsort(self.indices, kind="stable")
+            if self._edge_keep is not None:
+                kept = np.flatnonzero(self._edge_keep)
+                perm = kept[np.argsort(self.indices[kept], kind="stable")]
+            else:
+                perm = np.argsort(self.indices, kind="stable")
             k = self.indices[perm]
             uk, starts = np.unique(k, return_index=True)
             cuts = np.searchsorted(uk, self.bounds)
@@ -141,6 +235,16 @@ class GraphShard:
 
     def _build_csr(self, src: np.ndarray, dst: np.ndarray, w: np.ndarray):
         self._msg_cache = None
+        # graph mutation invalidates the hub split (the engine re-splits
+        # explicitly if wanted); fall back to unsplit message paths
+        self.hub_mask = np.zeros(self.n_local, dtype=bool)
+        self._edge_keep = None
+        self.frag_src_u = np.empty(0, np.int64)
+        self.frag_counts = np.empty(0, np.int64)
+        self.frag_dst = np.empty(0, np.int64)
+        self.frag_w = np.empty(0, np.float64)
+        self._frag_groups = (np.empty(0, np.int64), np.empty(0, np.int64),
+                             np.empty(0, np.int64))
         loc = src - self.lo
         order = np.lexsort((dst, loc))
         loc, dst, w = loc[order], dst[order], w[order]

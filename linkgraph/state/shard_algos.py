@@ -36,38 +36,81 @@ class AlgoShard(GraphShard):
     def pagerank_init(self, damping: float):
         self.state["rank"] = np.full(self.n_local, 1.0 / self.n_global)
         self._pr_damping = damping
+        # out-degree comes from the full CSR (hub rows included — the
+        # fragment copies are duplicates, not extra edges)
         self._outdeg = np.diff(self.indptr).astype(np.float64)
+        self._frag_agg = None
+        # contrib published as state so frag_serve("pr_contrib") works;
+        # refreshed at the end of every apply
+        self.state["pr_contrib"] = \
+            self.state["rank"] / np.maximum(self._outdeg, 1.0)
 
-    def pagerank_partials(self):
-        """Per-owner (dst_ids, partial_sums) + local dangling mass.
+    def pagerank_set_frag(self, vals):
+        """Compute the LOCAL aggregate of fragment contributions:
+        fragments live with owner(dst), so no message leaves this shard."""
+        contrib_u = self._frag_src_values(vals)
+        if len(self.frag_src_u) == 0:
+            self._frag_agg = None
+            return
+        vals_e = np.repeat(contrib_u, self.frag_counts)
+        fperm, fuk, fstarts = self._frag_groups
+        sums = np.add.reduceat(vals_e[fperm], fstarts) if len(fstarts) \
+            else np.empty(0)
+        agg = np.zeros(self.n_local)
+        agg[fuk - self.lo] = sums
+        self._frag_agg = agg
 
-        Returns P+1 values (use num_returns=P+1): P message tuples then a
-        float.  Pre-aggregation by dst bounds exchange volume to
-        O(unique boundary dsts) per partition pair — the combiner.
+    def pagerank_partials(self, frag_vals=None):
+        """Per-owner (dst_ids, partial_sums, local_dangling) messages
+        (num_returns=P).  The dangling scalar rides along in EVERY
+        message so apply can total it without a driver-side barrier.
+        Pre-aggregation by dst bounds exchange volume to O(unique
+        boundary dsts) per partition pair — the combiner.
         """
+        if frag_vals is not None:
+            self.pagerank_set_frag(frag_vals)
         rank = self.state["rank"]
         contrib = rank / np.maximum(self._outdeg, 1.0)
         perm, uk, starts, cuts = self._msg_groups()
         vals = np.repeat(contrib, np.diff(self.indptr))[perm]
         sums = np.add.reduceat(vals, starts) if len(starts) \
             else np.empty(0, np.float64)
-        out = [(uk[cuts[p]:cuts[p + 1]], sums[cuts[p]:cuts[p + 1]])
-               for p in range(self.P)]
         dangling = float(rank[self._outdeg == 0].sum())
-        return tuple(out) + (dangling,)
+        out = []
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64), dangling)
+        for p in range(self.P):
+            chunk = (uk[cuts[p]:cuts[p + 1]], sums[cuts[p]:cuts[p + 1]],
+                     dangling)
+            if p == self.pid:
+                # self-message stays in-actor: it is the largest chunk
+                # (locality-partitioned graphs keep most edges local) and
+                # round-tripping it through the object store dominated
+                # per-iteration overhead
+                self._self_msg = chunk
+                out.append(empty)
+            else:
+                out.append(chunk)
+        return tuple(out)
 
-    def pagerank_apply(self, msgs, dangling_total: float) -> float:
+    def pagerank_apply(self, msgs) -> float:
         """Apply incoming messages; returns local L1 delta."""
         msgs = _resolve_refs(msgs)
+        msgs = list(msgs)
+        msgs[self.pid] = self._self_msg
         agg = np.zeros(self.n_local)
-        for ids, sums in msgs:
+        dangling_total = 0.0
+        for ids, sums, dang in msgs:
+            dangling_total += dang
             if len(ids):
                 agg[ids - self.lo] += sums
+        if getattr(self, "_frag_agg", None) is not None:
+            agg += self._frag_agg
         n = self.n_global
         d = self._pr_damping
         new = (1.0 - d) / n + d * (agg + dangling_total / n)
         delta = float(np.abs(new - self.state["rank"]).sum())
         self.state["rank"] = new
+        self.state["pr_contrib"] = new / np.maximum(self._outdeg, 1.0)
         return delta
 
     def pagerank_result(self) -> pa.Table:
@@ -80,9 +123,12 @@ class AlgoShard(GraphShard):
 
     def cc_init(self):
         self.state["comp"] = np.arange(self.lo, self.hi, dtype=np.int64)
+        self._frag_cc = None
 
-    def cc_partials(self):
+    def cc_partials(self, frag_vals=None):
         """min(comp[src]) grouped by dst, per owner (num_returns=P)."""
+        if frag_vals is not None:
+            self.cc_set_frag(frag_vals)
         comp = self.state["comp"]
         if len(self.indices) == 0:
             empty = np.empty(0, np.int64)
@@ -90,17 +136,45 @@ class AlgoShard(GraphShard):
         perm, uk, starts, cuts = self._msg_groups()
         v = np.repeat(comp, np.diff(self.indptr))[perm]
         mins = np.minimum.reduceat(v, starts)
-        return tuple((uk[cuts[p]:cuts[p + 1]], mins[cuts[p]:cuts[p + 1]])
-                     for p in range(self.P))
+        out = []
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        for p in range(self.P):
+            chunk = (uk[cuts[p]:cuts[p + 1]], mins[cuts[p]:cuts[p + 1]])
+            if p == self.pid:
+                self._self_cc = chunk
+                out.append(empty)
+            else:
+                out.append(chunk)
+        return tuple(out)
+
+    def cc_set_frag(self, vals):
+        """Local min over fragment edges: comp of hub srcs fetched
+        (#hubs values), min-combined into local dsts."""
+        comp_u = self._frag_src_values(vals).astype(np.int64) \
+            if len(self.frag_src_u) else np.empty(0, np.int64)
+        if len(self.frag_src_u) == 0:
+            self._frag_cc = None
+            return
+        vals_e = np.repeat(comp_u, self.frag_counts)
+        fperm, fuk, fstarts = self._frag_groups
+        mins = np.minimum.reduceat(vals_e[fperm], fstarts) if len(fstarts) \
+            else np.empty(0, np.int64)
+        self._frag_cc = (fuk, mins)
 
     def cc_apply(self, msgs) -> int:
         msgs = _resolve_refs(msgs)
+        if len(self.indices):
+            msgs = list(msgs)
+            msgs[self.pid] = self._self_cc
         comp = self.state["comp"]
         new = comp.copy()
         for ids, mins in msgs:
             if len(ids):
                 loc = ids - self.lo
                 np.minimum.at(new, loc, mins)
+        if getattr(self, "_frag_cc", None) is not None:
+            fuk, fmins = self._frag_cc
+            np.minimum.at(new, fuk - self.lo, fmins)
         changed = int((new != comp).sum())
         self.state["comp"] = new
         return changed
@@ -115,15 +189,20 @@ class AlgoShard(GraphShard):
 
     def lpa_init(self):
         self.state["lpa"] = np.arange(self.lo, self.hi, dtype=np.int64)
+        self._frag_lpa = None
 
-    def lpa_partials(self):
+    def lpa_partials(self, frag_vals=None):
         """(dst, src_label) weight sums per owner (num_returns=P).
 
         Self-loops ignored (oracle semantics)."""
+        if frag_vals is not None:
+            self.lpa_set_frag(frag_vals)
         lab = self.state["lpa"]
         src_g = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo,
                           np.diff(self.indptr))
         nonself = self.indices != src_g
+        if self._edge_keep is not None:
+            nonself &= self._edge_keep  # hub rows travel as fragments
         dst = self.indices[nonself]
         w = self.weights[nonself]
         l = np.repeat(lab, np.diff(self.indptr))[nonself]
@@ -131,10 +210,34 @@ class AlgoShard(GraphShard):
         uk, sums = _grouped_sum(key, w)
         ids = uk // self.n_global
         labs = uk % self.n_global
-        return tuple(split_by_owner(ids, self.bounds, labs, sums))
+        chunks = split_by_owner(ids, self.bounds, labs, sums)
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+                 np.empty(0, np.float64))
+        self._self_lpa = chunks[self.pid]
+        chunks[self.pid] = empty
+        return tuple(chunks)
+
+    def lpa_set_frag(self, vals):
+        """Local (dst, hub_label, w) sums over fragment edges."""
+        lab_u = self._frag_src_values(vals).astype(np.int64) \
+            if len(self.frag_src_u) else np.empty(0, np.int64)
+        if len(self.frag_src_u) == 0:
+            self._frag_lpa = None
+            return
+        fsrc_e = np.repeat(self.frag_src_u, self.frag_counts)
+        lab_e = np.repeat(lab_u, self.frag_counts)
+        nonself = self.frag_dst != fsrc_e
+        key = self.frag_dst[nonself] * np.int64(self.n_global) + lab_e[nonself]
+        uk, sums = _grouped_sum(key, self.frag_w[nonself])
+        self._frag_lpa = (uk // self.n_global, uk % self.n_global, sums)
 
     def lpa_apply(self, msgs) -> int:
         msgs = _resolve_refs(msgs)
+        msgs = list(msgs)
+        if getattr(self, "_self_lpa", None) is not None:
+            msgs[self.pid] = self._self_lpa
+        if getattr(self, "_frag_lpa", None) is not None:
+            msgs = msgs + [self._frag_lpa]
         ids = np.concatenate([m[0] for m in msgs]) if msgs else np.empty(0, np.int64)
         labs = np.concatenate([m[1] for m in msgs]) if msgs else np.empty(0, np.int64)
         sums = np.concatenate([m[2] for m in msgs]) if msgs else np.empty(0)
