@@ -1,0 +1,143 @@
+"""Unit tests for the text / multimodal operator batch bodies.
+
+These drive the map_batches callables directly on small Arrow tables —
+no Ray involved — pinning tokenization, hashing and near-dup semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from linkgraph.stages.multimodal import FEATURE_DIM, MediaFeatureExtractor, StubCodec
+from linkgraph.text.ops import (
+    MinHasher,
+    TokenStats,
+    _shingle_hashes,
+    fingerprint_batch,
+    langid_batch,
+    md5_batch,
+    quality_batch,
+    simhash_batch,
+)
+
+
+def docs_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_token_stats_matches_python_split():
+    texts = ["a b c", "", "hello", "x  y", " lead", "trail "]
+    out = TokenStats()(docs_table(texts))
+    got = out.column("n_tokens").to_pylist()
+    want = [len(t.split(" ")) for t in texts]
+    assert got == want
+    assert out.column("n_chars").to_pylist() == [len(t) for t in texts]
+
+
+def test_quality_counts():
+    texts = ["the cat and the hat", "a a a", "xyz"]
+    out = quality_batch(docs_table(texts))
+    assert out.column("n_stop").to_pylist() == [3, 3, 0]
+    assert out.column("n_distinct").to_pylist() == [4, 1, 1]
+    assert out.column("n_tokens").to_pylist() == [5, 3, 1]
+
+
+def test_md5_matches_hashlib():
+    texts = ["hello world", "", "ünïcode"]
+    out = md5_batch(docs_table(texts))
+    want = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    assert out.column("content_hash").to_pylist() == want
+
+
+def test_fingerprint_deterministic_and_content_sensitive():
+    t1 = fingerprint_batch(docs_table(["abc", "abd", "abc", ""]))
+    fps = t1.column("fingerprint").to_pylist()
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]
+    assert fps[3] == 0
+    # batch-split invariance
+    t2 = fingerprint_batch(docs_table(["abc"]))
+    assert t2.column("fingerprint").to_pylist()[0] == fps[0]
+
+
+def test_langid_profiles():
+    texts = [
+        "the cat is in the hat and a dog",
+        "der hund ist nicht das problem und die katze",
+        "le chat est un animal et la maison",
+        "el perro es un animal y los gatos",
+        "这 是 中文 文本 与 词",
+    ]
+    out = langid_batch(docs_table(texts))
+    assert out.column("pred_lang").to_pylist() == \
+        ["en", "de", "fr", "es", "zh"]
+
+
+def test_simhash_similarity_property():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words entirely unrelated content here " * 5
+    out = simhash_batch(docs_table([base, near, far]))
+    h = [np.uint64(x) for x in
+         np.array(out.column("simhash").to_pylist(), dtype=np.int64)
+         .view(np.uint64)]
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+    # determinism across calls
+    out2 = simhash_batch(docs_table([base]))
+    assert out2.column("simhash").to_pylist()[0] == \
+        out.column("simhash").to_pylist()[0]
+
+
+def test_minhash_signature_similarity():
+    mh = MinHasher(num_perm=64, bands=16, k=3)
+    base = "w" + " w".join(str(i) for i in range(100))
+    near = base + " extra token"
+    far = " ".join(f"z{i}" for i in range(100))
+    s0, s1, s2 = (mh.signature(t) for t in (base, near, far))
+    sim01 = (s0 == s1).mean()
+    sim02 = (s0 == s2).mean()
+    assert sim01 > 0.8
+    assert sim02 < 0.2
+    # band rows deterministic
+    t = mh(docs_table([base, near, far]))
+    assert t.num_rows == 3 * 16
+    t2 = mh(docs_table([base]))
+    assert t.slice(0, 16).column("band_hash").to_pylist() == \
+        t2.column("band_hash").to_pylist()
+
+
+def test_shingle_hashes_short_docs():
+    assert len(_shingle_hashes("one two", 3)) == 1
+    assert len(_shingle_hashes("", 3)) == 1
+
+
+def test_stub_codec_deterministic():
+    c = StubCodec()
+    f1 = c.decode(b"payload-bytes")
+    f2 = c.decode(b"payload-bytes")
+    f3 = c.decode(b"other-bytes")
+    assert np.array_equal(f1, f2)
+    assert not np.array_equal(f1, f3)
+    assert len(f1) == FEATURE_DIM
+    with pytest.raises(NotImplementedError):
+        StubCodec(deterministic=False).decode(b"x")
+
+
+def test_media_feature_extractor_batch():
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "media": pa.array([b"\x00" * 100, b"\xff" * 50], pa.binary()),
+    })
+    out = MediaFeatureExtractor()(tbl)
+    assert out.column("n_bytes").to_pylist() == [100, 50]
+    assert len(out.column("feature")[0].as_py()) == FEATURE_DIM
