@@ -450,7 +450,8 @@ class GraphEngine:
         return changed, q_before
 
     def louvain(self, *, init: bool = False, use_subset: bool = False,
-                min_gain: float = oracle_lv.DEFAULT_MIN_GAIN) -> dict:
+                min_gain: float = oracle_lv.DEFAULT_MIN_GAIN,
+                hierarchy_dir: str | None = None, _level: int = 0) -> dict:
         """Full Louvain: distributed level 0, contracted levels on the
         driver with the oracle kernel (identical semantics — contracted
         graphs are orders of magnitude smaller; SURVEY.md §7.1 step 6).
@@ -468,6 +469,12 @@ class GraphEngine:
         once_more = init
         changed, q0 = self._one_level(min_gain, use_subset)
         q_traj = [q0]
+        if hierarchy_dir is not None:
+            # S6 hierarchy writer: per-level (node, comm) parquet,
+            # one file per shard (louvain.cpp:236-257 .tree analog)
+            lvl_dir = os.path.join(hierarchy_dir, f"level-{_level:03d}")
+            ray.get([a.checkpoint.remote(lvl_dir, ["labels"])
+                     for a in self.actors])
         if not changed and not once_more:
             # densify labels anyway for stable downstream ids
             final_map, n_comms = self._densify_labels()
@@ -508,6 +515,17 @@ class GraphEngine:
             cg = CSRGraph.from_edges(uk // len(uniq_lbl), uk % len(uniq_lbl),
                                      sums, n=len(uniq_lbl))
             sub_res = oracle_lv.louvain(cg, min_gain=min_gain)
+            if hierarchy_dir is not None:
+                for li, lmap in enumerate(sub_res["levels"]):
+                    lvl_dir = os.path.join(
+                        hierarchy_dir, f"level-{_level + 1 + li:03d}")
+                    os.makedirs(lvl_dir, exist_ok=True)
+                    pq_tbl = pa.table({
+                        "node": np.arange(len(lmap), dtype=np.int64),
+                        "labels": lmap.astype(np.int64)})
+                    import pyarrow.parquet as _pq
+                    _pq.write_table(pq_tbl, os.path.join(
+                        lvl_dir, "part-00000.parquet"))
         else:
             # large contracted graph: recurse DISTRIBUTED — remap the
             # partials to dense ids via broadcast gather and feed a child
@@ -532,7 +550,9 @@ class GraphEngine:
                 n_parts=max(2, min(self.P, n_sub // 1000)),
                 name=f"{self.name}_l")
             try:
-                sub = child.louvain(min_gain=min_gain)
+                sub = child.louvain(min_gain=min_gain,
+                                    hierarchy_dir=hierarchy_dir,
+                                    _level=_level + 1)
                 child_labels = (child.louvain_result()
                                 .column("comm").to_numpy())
             finally:
@@ -566,6 +586,26 @@ class GraphEngine:
     def louvain_result(self) -> pa.Table:
         return pa.concat_tables(
             ray.get([a.lv_labels_result.remote() for a in self.actors]))
+
+    def comm_sizes(self) -> pa.Table:
+        """S8 ``cluster{t}.txt`` analog: (comm, size), sorted by comm.
+        Per-shard unique+count partials (one row per local community)
+        merged driver-side — ships #comms rows, not #vertices."""
+        parts = ray.get([a.lv_label_counts.remote() for a in self.actors])
+        ids = np.concatenate([p[0] for p in parts])
+        cnt = np.concatenate([p[1] for p in parts])
+        order = np.argsort(ids, kind="stable")
+        uk, start = np.unique(ids[order], return_index=True)
+        sums = np.add.reduceat(cnt[order], start) if len(start) \
+            else np.empty(0, np.int64)
+        return pa.table({"comm": uk, "size": sums.astype(np.int64)})
+
+    def comm_members(self):
+        """S8 ``comm{t}.txt`` analog: labels as a Ray Dataset sorted by
+        (comm, node) — a distributed sort, never a driver materialize."""
+        import ray.data as rd
+        refs = [a.lv_labels_result.remote() for a in self.actors]
+        return rd.from_arrow_refs(refs).sort(["comm", "node"])
 
     # ------------------------------------------------------------ checkpoint
 
@@ -715,12 +755,21 @@ class GraphEngine:
 
     def dynamic_step(self, ts: int, deltas: dict, *,
                      min_gain: float = oracle_lv.DEFAULT_MIN_GAIN,
-                     ckpt_dir: str | None = None) -> list[dict]:
+                     ckpt_dir: str | None = None,
+                     mode: str = "delta") -> list[dict]:
         """One timestep: deletion phase then addition phase (the reference
         driver order, main_louvain.cpp:1221/1458).  ``deltas`` =
         {"del": (src,dst,w), "add": (src,dst,w)} directed-as-written.
         Requires labels installed (prior louvain() or restore).  Returns
-        per-phase records mirroring the oracle's dynamic_louvain."""
+        per-phase records mirroring the oracle's dynamic_louvain.
+
+        ``mode`` (L13, main_louvain_gpu.cpp:946-954):
+        - "delta":  delta screening; restricted first level (default)
+        - "full":   incremental init partition, but re-evaluate ALL
+                    vertices (the GPU -f flag)
+        - "static": fresh static Louvain per phase, no init partition
+                    (the GPU -s flag)"""
+        assert mode in ("delta", "full", "static")
         records = []
         for phase in ("del", "add"):
             d_src, d_dst, d_w = (np.asarray(x) for x in deltas[phase])
@@ -735,13 +784,23 @@ class GraphEngine:
                                        add_w=d_w)
                 self._seed_new_nodes(n_old)
             self._rebuild_comm_aggs()
-            r_size = self._screen(phase, d_src, d_dst)
-            if r_size > 0:
-                res = self.louvain(init=True, use_subset=True,
+            if mode == "static":
+                r_size = self.n
+                res = self.louvain(init=False, min_gain=min_gain)
+                q = res["modularity"]
+            elif mode == "full":
+                r_size = self.n
+                res = self.louvain(init=True, use_subset=False,
                                    min_gain=min_gain)
                 q = res["modularity"]
             else:
-                q = self._modularity()
+                r_size = self._screen(phase, d_src, d_dst)
+                if r_size > 0:
+                    res = self.louvain(init=True, use_subset=True,
+                                       min_gain=min_gain)
+                    q = res["modularity"]
+                else:
+                    q = self._modularity()
             rec = {"ts": ts, "phase": phase, "modularity": q,
                    "r_size": r_size, "r_frac": r_size / max(1, self.n),
                    "n_nodes": self.n, "secs": time.time() - t0}

@@ -261,6 +261,11 @@ class LouvainShard(AlgoShard):
         return pa.table({"csrc": uk // self.n_global,
                          "cdst": uk % self.n_global, "w": sums})
 
+    def lv_label_counts(self) -> tuple[np.ndarray, np.ndarray]:
+        """(distinct labels, member counts) over local vertices — the
+        per-shard partial for community sizes (S8 combiner)."""
+        return np.unique(self.state["labels"], return_counts=True)
+
     def lv_unique_labels(self) -> np.ndarray:
         """Distinct local label values (for the contraction renumber —
         ships #comms ids to the driver, not #vertices)."""

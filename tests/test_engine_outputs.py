@@ -1,0 +1,87 @@
+"""Engine output surfaces: community sizes/members (S8), hierarchy
+parquet (S6), and dynamic mode flags (L13)."""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from linkgraph.state.engine import GraphEngine
+
+
+def planted_edges(n=120, k=4, seed=5):
+    rng = np.random.default_rng(seed)
+    src, dst = [], []
+    block = n // k
+    for _ in range(n * 6):
+        u = rng.integers(0, n)
+        if rng.random() < 0.85:
+            v = (u // block) * block + rng.integers(0, block)
+        else:
+            v = rng.integers(0, n)
+        if u != v:
+            src.append(u)
+            dst.append(v)
+    s = np.array(src + dst)
+    d = np.array(dst + src)
+    return s, d, n
+
+
+@pytest.fixture(scope="module")
+def eng(ray_session):
+    s, d, n = planted_edges()
+    e = GraphEngine.from_arrays(s, d, n=n, n_parts=2, name="outputs")
+    yield e
+    e.shutdown()
+
+
+def test_hierarchy_and_comm_outputs(eng, tmp_path_factory):
+    hdir = str(tmp_path_factory.mktemp("hier"))
+    res = eng.louvain(hierarchy_dir=hdir)
+    levels = sorted(glob.glob(os.path.join(hdir, "level-*")))
+    assert len(levels) >= 1
+    lvl0 = pq.read_table(levels[0] + "/part-00000.parquet") \
+        if os.path.exists(levels[0] + "/part-00000.parquet") else None
+    files0 = glob.glob(levels[0] + "/part-*.parquet")
+    rows0 = sum(pq.read_table(f).num_rows for f in files0)
+    assert rows0 == eng.n
+
+    sizes = eng.comm_sizes()
+    assert int(np.sum(sizes.column("size").to_numpy())) == eng.n
+    # must agree with a direct groupby of the labels result
+    labels = eng.louvain_result()
+    want = collections.Counter(labels.column("comm").to_pylist())
+    got = dict(zip(sizes.column("comm").to_pylist(),
+                   sizes.column("size").to_pylist()))
+    assert got == dict(want)
+    assert len(got) == res["n_comms"]
+
+    members = eng.comm_members().take_all()
+    assert len(members) == eng.n
+    keys = [(r["comm"], r["node"]) for r in members]
+    assert keys == sorted(keys)
+
+
+def test_dynamic_modes(ray_session):
+    s, d, n = planted_edges(seed=11)
+    results = {}
+    for mode in ("delta", "full", "static"):
+        e = GraphEngine.from_arrays(s, d, n=n, n_parts=2, name=f"m_{mode}")
+        e.louvain()
+        recs = e.dynamic_step(0, {
+            "del": (s[:5], d[:5], np.ones(5)),
+            "add": (np.array([1, 2]), np.array([50, 80]), np.ones(2)),
+        }, mode=mode)
+        assert len(recs) == 2
+        results[mode] = recs
+        if mode in ("full", "static"):
+            assert all(r["r_size"] == e.n for r in recs)
+        e.shutdown()
+    # all modes should land on a sane modularity for this planted graph
+    for mode, recs in results.items():
+        assert recs[-1]["modularity"] > 0.3, (mode, recs)
