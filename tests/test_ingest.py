@@ -85,3 +85,20 @@ def test_nodes_deterministic_across_runs(pages_path, ray_session):
     a = build_nodes(links).to_pandas().sort_values("node_id").reset_index(drop=True)
     b = build_nodes(links).to_pandas().sort_values("node_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_shuffle_join_path_matches_broadcast(pages_path, ray_session):
+    """resolve_edges' hash-shuffle join (the 100TB path) must agree with
+    the broadcast-map path used for small node tables."""
+    import ray.data as rd
+    cfg, path = pages_path
+    pages = rd.read_parquet(path, columns=["url", "html"])
+    links = extract_links(pages).materialize()
+    nodes = build_nodes(links).materialize()
+    bcast = resolve_edges(links, nodes).to_pandas()
+    shuf = resolve_edges(links, nodes, num_partitions=4,
+                         broadcast_threshold=0).to_pandas()
+    key = ["src", "dst"]
+    a = bcast.sort_values(key).reset_index(drop=True)
+    b = shuf.sort_values(key).reset_index(drop=True)
+    assert a.equals(b[a.columns])
