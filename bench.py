@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-PAGES_DIR = "/tmp/linkgraph_bench_pages"
+PAGES_DIR_BASE = "/tmp/linkgraph_bench_pages"
 DEFAULT_BENCH_PAGES = 100_000
 
 
@@ -229,12 +229,13 @@ def run_pages_pipeline(num_cpus: int, n_pages: int) -> dict:
     from linkgraph.state.engine import GraphEngine
 
     cfg = bench_config(n_pages=n_pages)
-    if not os.path.isdir(PAGES_DIR) or not os.listdir(PAGES_DIR):
-        os.makedirs(PAGES_DIR, exist_ok=True)
-        write_pages_parquet(cfg, PAGES_DIR, parallelism=max(32, num_cpus * 2))
+    pages_dir = f"{PAGES_DIR_BASE}_{n_pages}"
+    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+        os.makedirs(pages_dir, exist_ok=True)
+        write_pages_parquet(cfg, pages_dir, parallelism=max(32, num_cpus * 2))
 
     t0 = time.time()
-    out = ingest(PAGES_DIR, concurrency=(1, num_cpus))
+    out = ingest(pages_dir, concurrency=(1, num_cpus))
     n_nodes = out["nodes"].count()
     ingest_secs = time.time() - t0
 
@@ -301,8 +302,9 @@ def run_scaling(n_pages: int, lo: int = 8, hi: int = 32) -> dict:
         return round((d[hi][key] / d[lo][key]) / factor, 3)
 
     return {
-        "metric": ("scaling efficiency (PageRank edges/sec/iter on 30M-"
-                   f"edge synthetic graph), {lo} vs {hi} CPUs, same input"),
+        "metric": (f"scaling efficiency (PageRank edges/sec/iter on "
+                   f"{PR_EDGES // 10**6}M-edge synthetic graph), "
+                   f"{lo} vs {hi} CPUs, same input"),
         "value": eff(graph, "pagerank_edges_per_sec_iter"),
         "unit": "efficiency",
         "louvain_efficiency": eff(graph, "louvain_edges_per_sec_round"),

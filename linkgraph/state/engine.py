@@ -469,15 +469,13 @@ class GraphEngine:
         once_more = init
         changed, q0 = self._one_level(min_gain, use_subset)
         q_traj = [q0]
-        if hierarchy_dir is not None:
-            # S6 hierarchy writer: per-level (node, comm) parquet,
-            # one file per shard (louvain.cpp:236-257 .tree analog)
-            lvl_dir = os.path.join(hierarchy_dir, f"level-{_level:03d}")
-            ray.get([a.checkpoint.remote(lvl_dir, ["labels"])
-                     for a in self.actors])
         if not changed and not once_more:
             # densify labels anyway for stable downstream ids
             final_map, n_comms = self._densify_labels()
+            if hierarchy_dir is not None:
+                lvl_dir = os.path.join(hierarchy_dir, f"level-{_level:03d}")
+                ray.get([a.checkpoint.remote(lvl_dir, ["labels"])
+                         for a in self.actors])
             return {"modularity": q0, "q_trajectory": q_traj, "n_levels": 0,
                     "n_comms": n_comms}
         # contract: per-shard pre-aggregated (csrc,cdst,w) partials (A7
@@ -496,6 +494,13 @@ class GraphEngine:
             ray.get([a.lv_unique_labels.remote() for a in self.actors])))
         remap_arr = np.full(int(uniq_lbl.max(initial=0)) + 1, -1, dtype=np.int64)
         remap_arr[uniq_lbl] = np.arange(len(uniq_lbl))
+        if hierarchy_dir is not None:
+            # S6 hierarchy writer: per-level (node, dense comm) parquet,
+            # one file per shard (the .tree analog, louvain.cpp:236-257)
+            lvl_dir = os.path.join(hierarchy_dir, f"level-{_level:03d}")
+            remap_ref = ray.put(remap_arr)
+            ray.get([a.checkpoint_mapped.remote(lvl_dir, remap_ref)
+                     for a in self.actors])
         if n_contract <= self.SMALL_CONTRACT_ROWS:
             # small contracted graph: remaining levels on the driver with
             # the oracle kernel (identical semantics).  once_more is

@@ -358,6 +358,24 @@ class GraphShard:
         return {"pid": self.pid, "path": path,
                 "bytes": os.path.getsize(path), "rows": self.n_local}
 
+    def checkpoint_mapped(self, ckpt_dir: str, mapping_ref) -> dict:
+        """Write mapping[labels] as the 'labels' column (used by the
+        hierarchy writer: level files store DENSE renumbered comm ids,
+        like display_partition's .tree lines, louvain.cpp:236-257)."""
+        import ray
+        mapping = ray.get(mapping_ref) \
+            if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
+        os.makedirs(ckpt_dir, exist_ok=True)
+        tbl = pa.table({
+            "node": np.arange(self.lo, self.hi, dtype=np.int64),
+            "labels": mapping[self.state["labels"]],
+        })
+        path = os.path.join(ckpt_dir, f"part-{self.pid:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return {"pid": self.pid, "path": path}
+
     def restore(self, ckpt_dir: str, names: list[str],
                 dtypes: list | None = None) -> bool:
         path = os.path.join(ckpt_dir, f"part-{self.pid:05d}.parquet")

@@ -66,6 +66,15 @@ def test_hierarchy_and_comm_outputs(eng, tmp_path_factory):
     keys = [(r["comm"], r["node"]) for r in members]
     assert keys == sorted(keys)
 
+    # S7/J3: composing the hierarchy parquet must reproduce the final
+    # labels exactly
+    from linkgraph.pipelines.hierarchy import compose_hierarchy
+    composed = {r["node"]: r["comm"]
+                for r in compose_hierarchy(hdir).take_all()}
+    final = {r["node"]: r["comm"]
+             for r in labels.to_pylist()}
+    assert composed == final
+
 
 def test_dynamic_modes(ray_session):
     s, d, n = planted_edges(seed=11)
