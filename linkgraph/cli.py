@@ -1,0 +1,149 @@
+"""Job entry point — run pipelines via ``ray job submit`` (north rule):
+
+    ray job submit -- python -m linkgraph.cli ingest \
+        --pages /data/pages --out /data/graph
+    ray job submit -- python -m linkgraph.cli pagerank \
+        --edges /data/graph/edges --n-nodes 5000000 --out /data/rank \
+        --ckpt-dir /data/ckpt --checkpoint-every 5
+    ray job submit -- python -m linkgraph.cli louvain \
+        --edges /data/graph/sym_edges --n-nodes 5000000 \
+        --hierarchy-dir /data/hier --out /data/labels
+    ray job submit -- python -m linkgraph.cli dynamic \
+        --edges ... --deltas /data/deltas --out /data/labels
+
+Owns the Ray session (guarded init — the driver/pytest own theirs)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init(num_cpus: int | None):
+    import ray
+    import ray.data as rd
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False}
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(address="local", **kw)
+    rd.DataContext.get_current().enable_progress_bars = False
+
+
+def _build_engine(args):
+    import ray.data as rd
+    from .state.engine import GraphEngine
+    edges = rd.read_parquet(args.edges)
+    return GraphEngine.from_dataset(
+        edges, n_nodes=args.n_nodes,
+        n_parts=args.n_parts, name=args.job_name)
+
+
+def cmd_ingest(args):
+    from .pipelines.ingest import ingest
+    out = ingest(args.pages, out_dir=args.out)
+    print(json.dumps({"nodes": out["nodes"].count(),
+                      "edges": out["edges"].count(),
+                      "sym_edges": out["sym_edges"].count()}))
+
+
+def cmd_pagerank(args):
+    import ray.data as rd
+    eng = _build_engine(args)
+    res = eng.pagerank(tol=args.tol, max_iter=args.max_iter,
+                       checkpoint_every=args.checkpoint_every,
+                       ckpt_dir=args.ckpt_dir)
+    if args.out:
+        refs = [a.pagerank_result.remote() for a in eng.actors]
+        rd.from_arrow_refs(refs).write_parquet(args.out)
+    eng.shutdown()
+    print(json.dumps(res))
+
+
+def cmd_louvain(args):
+    import ray.data as rd
+    eng = _build_engine(args)
+    res = eng.louvain(hierarchy_dir=args.hierarchy_dir)
+    if args.out:
+        refs = [a.lv_labels_result.remote() for a in eng.actors]
+        rd.from_arrow_refs(refs).write_parquet(args.out)
+    eng.shutdown()
+    print(json.dumps({k: res[k] for k in
+                      ("modularity", "n_levels", "n_comms")}))
+
+
+def cmd_dynamic(args):
+    import numpy as np
+    import pyarrow.parquet as pq
+    eng = _build_engine(args)
+    eng.louvain()
+    deltas = pq.read_table(args.deltas).to_pandas() \
+        .sort_values(["ts", "op", "src", "dst"])
+    records = []
+    for ts, g in deltas.groupby("ts"):
+        batch = {}
+        for op in ("del", "add"):
+            sel = g[g["op"] == op]
+            batch[op] = (sel["src"].to_numpy(), sel["dst"].to_numpy(),
+                         sel["w"].to_numpy() if "w" in sel else
+                         np.ones(len(sel)))
+        records.extend(eng.dynamic_step(int(ts), batch, mode=args.mode,
+                                        ckpt_dir=args.ckpt_dir))
+    if args.out:
+        import ray.data as rd
+        refs = [a.lv_labels_result.remote() for a in eng.actors]
+        rd.from_arrow_refs(refs).write_parquet(args.out)
+    eng.shutdown()
+    print(json.dumps(records))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="linkgraph")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("ingest")
+    p.add_argument("--pages", required=True)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_ingest)
+
+    def graph_args(p):
+        p.add_argument("--edges", required=True)
+        p.add_argument("--n-nodes", type=int, required=True)
+        p.add_argument("--n-parts", type=int, default=8)
+        p.add_argument("--job-name", default="job")
+        p.add_argument("--out", default=None)
+        p.add_argument("--ckpt-dir", default=None)
+
+    p = sub.add_parser("pagerank")
+    graph_args(p)
+    p.add_argument("--tol", type=float, default=1e-10)
+    p.add_argument("--max-iter", type=int, default=200)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.set_defaults(fn=cmd_pagerank)
+
+    p = sub.add_parser("louvain")
+    graph_args(p)
+    p.add_argument("--hierarchy-dir", default=None)
+    p.set_defaults(fn=cmd_louvain)
+
+    p = sub.add_parser("dynamic")
+    graph_args(p)
+    p.add_argument("--deltas", required=True)
+    p.add_argument("--mode", choices=("delta", "full", "static"),
+                   default="delta")
+    p.set_defaults(fn=cmd_dynamic)
+
+    args = ap.parse_args(argv)
+    _init(args.num_cpus)
+    t0 = time.time()
+    args.fn(args)
+    print(f"# done in {time.time() - t0:.1f}s", file=sys.stderr)
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

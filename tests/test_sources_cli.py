@@ -1,0 +1,56 @@
+"""S1 text edge reader + the ray-job CLI entry."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from linkgraph.fixtures.toy import base_edge_array
+from linkgraph.sources.edge_text import parse_edge_lines, read_edge_text
+
+
+def test_parse_edge_lines_unweighted_and_weighted():
+    tbl = pa.table({"text": ["0 1", "  2   3  ", "", "4 5 2.5"]})
+    out = parse_edge_lines(tbl)
+    assert out.column("src").to_pylist() == [0, 2, 4]
+    assert out.column("dst").to_pylist() == [1, 3, 5]
+    assert out.column("w").to_pylist() == [1.0, 1.0, 2.5]
+
+
+def test_read_edge_text_toy(tmp_path, ray_session):
+    src, dst, w = base_edge_array()
+    path = tmp_path / "toy.txt"
+    path.write_text("".join(f"{s} {d}\n" for s, d in zip(src, dst)))
+    ds = read_edge_text(str(path))
+    got = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    order = np.lexsort((dst, src))
+    assert got["src"].tolist() == src[order].tolist()
+    assert got["dst"].tolist() == dst[order].tolist()
+
+
+def test_cli_pagerank_job(tmp_path):
+    """Drive the ray-job entry in a fresh process (owns its Ray session)."""
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 200, 3000)
+    dst = rng.integers(0, 200, 3000)
+    keep = src != dst
+    pq.write_table(pa.table({"src": src[keep], "dst": dst[keep]}),
+                   tmp_path / "edges.parquet")
+    out = subprocess.run(
+        [sys.executable, "-m", "linkgraph.cli", "--num-cpus", "4",
+         "pagerank", "--edges", str(tmp_path / "edges.parquet"),
+         "--n-nodes", "200", "--n-parts", "2",
+         "--out", str(tmp_path / "rank"), "--max-iter", "50"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-1500:]
+    res = json.loads([l for l in out.stdout.splitlines()
+                      if l.startswith("{")][-1])
+    assert res["iterations"] >= 1
+    rank = pq.read_table(str(tmp_path / "rank"))
+    assert rank.num_rows == 200
+    assert abs(sum(rank.column("rank").to_pylist()) - 1.0) < 1e-6
