@@ -243,6 +243,14 @@ class GraphEngine:
             a.get_ghost_requests.options(num_returns=self.P).remote()
             for a in self.actors
         ]
+        # push each requester's static ghost lists to the owners so label
+        # syncs can ship only CHANGED values (gathered driver-side here;
+        # at cluster scale this would be an owner-to-owner exchange)
+        reqs = ray.get([a.get_ghost_requests.remote() for a in self.actors])
+        ray.get([self.actors[j].store_label_sync_requests.remote(
+            [reqs[i][j] for i in range(self.P)])
+            for j in range(self.P)])
+        self._lv_synced = False
 
     # ------------------------------------------------------------- exchanges
 
@@ -274,9 +282,23 @@ class GraphEngine:
                 for i in range(self.P)]
 
     def _store_ghost_labels(self):
-        vals = self._fetch_ghost("labels")
-        ray.get([a.lv_store_ghost_labels.remote(vals[i])
-                 for i, a in enumerate(self.actors)])
+        """Label-cache refresh: full rebuild on first use / after an
+        invalidation, incremental (changed labels only) afterwards."""
+        if not getattr(self, "_lv_synced", False):
+            vals = self._fetch_ghost("labels")
+            ray.get([a.lv_store_ghost_labels.remote(vals[i])
+                     for i, a in enumerate(self.actors)])
+            self._lv_synced = True
+            return
+        outs = [a.lv_serve_changed.options(num_returns=self.P).remote()
+                for a in self.actors]
+        ray.get([a.lv_cache_apply.remote(
+            [outs[j][i] for j in range(self.P)])
+            for i, a in enumerate(self.actors)])
+
+    def _invalidate_label_cache(self):
+        self._lv_synced = False
+        ray.get([a.lv_cache_invalidate.remote() for a in self.actors])
 
     # -------------------------------------------------------------- PageRank
 
@@ -465,6 +487,7 @@ class GraphEngine:
         """
         if not init:
             ray.get([a.lv_init_labels.remote() for a in self.actors])
+            self._invalidate_label_cache()
         self._rebuild_comm_aggs()
         once_more = init
         changed, q0 = self._one_level(min_gain, use_subset)
@@ -572,6 +595,7 @@ class GraphEngine:
         compose[uniq_lbl] = sub_res["labels"][remap_arr[uniq_lbl]]
         map_ref = ray.put(compose)
         ray.get([a.lv_compose_labels.remote(map_ref) for a in self.actors])
+        self._invalidate_label_cache()
         self._rebuild_comm_aggs()
         q_final = sub_res["modularity"]
         return {"modularity": q_final, "q_trajectory": q_traj,
@@ -585,6 +609,7 @@ class GraphEngine:
         remap_arr[uniq_lbl] = np.arange(len(uniq_lbl))
         map_ref = ray.put(remap_arr)
         ray.get([a.lv_compose_labels.remote(map_ref) for a in self.actors])
+        self._invalidate_label_cache()
         self._rebuild_comm_aggs()
         return remap_arr, len(uniq_lbl)
 
@@ -651,6 +676,7 @@ class GraphEngine:
         step_dir = os.path.join(ckpt_dir, self.name, f"step-{superstep:06d}")
         oks = ray.get([a.restore.remote(step_dir, names, dtypes)
                        for a in self.actors])
+        self._invalidate_label_cache()
         return all(oks)
 
     # ------------------------------------------------------- dynamic updates
@@ -721,6 +747,7 @@ class GraphEngine:
         vals = [self.actors[j].serve.remote("labels", reqs[j])
                 for j in range(self.P)]
         ray.get(last.lv_seed_apply.remote(next_comm, vals))
+        self._invalidate_label_cache()
 
     def _screen(self, mode: str, d_src: np.ndarray, d_dst: np.ndarray) -> int:
         """Distributed delta screening (L7/L8 with GPU semantics L10/L11).

@@ -75,9 +75,52 @@ class LouvainShard(AlgoShard):
     # ---------- ghost labels ----------------------------------------------
 
     def lv_store_ghost_labels(self, ghost_vals):
-        """Cache the fetched ghost labels for this sub-round."""
+        """FULL (re)build of the label cache (local + ghost values) plus
+        the static position maps that make later syncs incremental."""
         ghost_vals = _resolve(ghost_vals)
         self._lv_ids, self._lv_labs = self._full_values("labels", ghost_vals)
+        self._lv_local_pos = np.searchsorted(
+            self._lv_ids, np.arange(self.lo, self.hi, dtype=np.int64))
+        self._lv_ghost_pos = [np.searchsorted(self._lv_ids, g)
+                              for g in self.ghosts]
+        self._lv_pending = []
+        self._lv_cache_ready = True
+
+    def store_label_sync_requests(self, reqs: list[np.ndarray]):
+        """Static per-requester ghost id lists this shard owns (sorted) —
+        lets lv_serve_changed ship ONLY moved labels each sync."""
+        self._lbl_serve_reqs = [np.asarray(r, dtype=np.int64) for r in reqs]
+
+    def lv_serve_changed(self) -> tuple:
+        """Per-requester (ghost-list index, new label) of local vertices
+        that moved since the last serve (num_returns=P).  The incremental
+        half of the ghost exchange: traffic is O(#moves), not O(#ghosts)."""
+        if self._lv_pending:
+            movers = np.unique(np.concatenate(self._lv_pending))
+        else:
+            movers = np.empty(0, np.int64)
+        self._lv_pending = []
+        out = []
+        labels = self.state["labels"]
+        for r in self._lbl_serve_reqs:
+            if len(movers) and len(r):
+                hit = np.isin(r, movers)
+                idx = np.flatnonzero(hit)
+                out.append((idx, labels[r[idx] - self.lo]))
+            else:
+                out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+        return tuple(out)
+
+    def lv_cache_apply(self, changed_vals):
+        """Apply incoming incremental ghost-label updates."""
+        changed_vals = _resolve(changed_vals)
+        for j, (idx, vals) in enumerate(changed_vals):
+            if len(idx):
+                self._lv_labs[self._lv_ghost_pos[j][idx]] = vals
+
+    def lv_cache_invalidate(self):
+        self._lv_cache_ready = False
+        self._lv_pending = []
 
     def _label_of(self, ids: np.ndarray) -> np.ndarray:
         return self._lookup(self._lv_ids, self._lv_labs, ids)
@@ -192,6 +235,11 @@ class LouvainShard(AlgoShard):
         new_c = best_new[movers]
         labels[movers] = new_c
         self._n_moved = len(movers)
+        if getattr(self, "_lv_cache_ready", False):
+            # keep own cache current; queue movers for the next
+            # incremental ghost serve
+            self._lv_labs[self._lv_local_pos[movers]] = new_c
+            self._lv_pending.append(movers + self.lo)
         # community deltas
         dc = np.concatenate([old_c, new_c])
         dtot = np.concatenate([-self.k[movers], self.k[movers]])
