@@ -17,6 +17,7 @@ import ray.data as rd
 
 from . import events as ev
 from . import graphs as g
+from . import relational as rel
 from ..text import ops as tx
 from ..embed import ops as em
 
@@ -156,6 +157,20 @@ EMB_SQL: dict[str, str] = {
 }
 
 
+def q_graph_comm_sizes(sf_dir: str):
+    """S8 cluster-sizes output: Louvain communities of the lineitem graph
+    with their member counts (rows-only — community ids are
+    renumbering-dependent; exactness is pinned by the oracle tests)."""
+    from . import graphs as _g
+    eng = _g._build_engine(sf_dir)
+    try:
+        eng.louvain()
+        tbl = eng.comm_sizes()
+    finally:
+        eng.shutdown()
+    return tbl
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[str], Any]] = {
@@ -195,6 +210,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ev_sessions": ev.q_sessions,
     "ev_type_counts": ev.q_type_counts,
     "ev_topk_per_user": ev.q_topk_per_user,
+    # general relational joins/aggregates (J7 machinery on other keys)
+    "rel_orders_by_segment": rel.q_orders_by_segment,
+    "rel_lineitem_nation_rollup": rel.q_lineitem_nation_rollup,
+    "rel_shuffle_join_orders": rel.q_shuffle_join_orders,
+    # community outputs (S8) over the lineitem graph
+    "graph_comm_sizes": q_graph_comm_sizes,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -202,4 +223,5 @@ ORACLE_SQL: dict[str, str] = {
     **TEXT_SQL,
     **EMB_SQL,
     **ev.EVENTS_SQL,
+    **rel.RELATIONAL_SQL,
 }
