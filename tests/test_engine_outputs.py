@@ -94,3 +94,44 @@ def test_dynamic_modes(ray_session):
     # all modes should land on a sane modularity for this planted graph
     for mode, recs in results.items():
         assert recs[-1]["modularity"] > 0.3, (mode, recs)
+
+
+def test_dynamic_resume_from_checkpoint(ray_session, tmp_path):
+    """North rule: jobs resume mid-algorithm. Kill the engine after the
+    initial partitioning checkpoint; a fresh engine restores the labels
+    and continues the timestep — results match the uninterrupted run."""
+    s, d, n = planted_edges(seed=23)
+    deltas = {"del": (s[:4], d[:4], np.ones(4)),
+              "add": (np.array([3, 7]), np.array([60, 90]), np.ones(2))}
+    ck = str(tmp_path / "ck")
+
+    # uninterrupted reference run
+    e1 = GraphEngine.from_arrays(s, d, n=n, n_parts=2, name="dynres")
+    e1.louvain()
+    e1.checkpoint(ck, 0, ["labels"])
+    recs_ref = e1.dynamic_step(0, deltas)
+    labels_ref = e1.louvain_result().column("comm").to_numpy()
+    e1.shutdown()
+
+    # resumed run: fresh actors, restore the committed labels checkpoint
+    e2 = GraphEngine.from_arrays(s, d, n=n, n_parts=2, name="dynres")
+    latest = e2.latest_checkpoint(ck)
+    assert latest is not None and latest[0] == 0
+    assert e2.restore(ck, 0, ["labels"], dtypes=[np.int64])
+    e2._rebuild_comm_aggs()
+    recs_res = e2.dynamic_step(0, deltas)
+    labels_res = e2.louvain_result().column("comm").to_numpy()
+    e2.shutdown()
+
+    assert [r["modularity"] for r in recs_res] == \
+        [r["modularity"] for r in recs_ref]
+    assert [r["r_size"] for r in recs_res] == \
+        [r["r_size"] for r in recs_ref]
+    # exact same partition up to renumbering
+    def canon(lbl):
+        first = {}
+        out = np.empty(len(lbl), np.int64)
+        for i, c in enumerate(lbl):
+            out[i] = first.setdefault(c, i)
+        return out
+    assert np.array_equal(canon(labels_ref), canon(labels_res))
