@@ -175,7 +175,9 @@ def ingest(pages_path: str, out_dir: str | None = None, *,
     also persisted as parquet (resumable layout: one directory per table).
     """
     pages = rd.read_parquet(pages_path, columns=["url", "html"])
-    links = extract_links(pages, concurrency=concurrency)
+    # materialize links once: both build_nodes and resolve_edges consume
+    # it — leaving it lazy re-runs the html parse per consumer
+    links = extract_links(pages, concurrency=concurrency).materialize()
     nodes = build_nodes(links).materialize()
     edges = resolve_edges(links, nodes).materialize()
     sym = symmetrize_edges(edges).materialize()
