@@ -235,6 +235,7 @@ class GraphShard:
 
     def _build_csr(self, src: np.ndarray, dst: np.ndarray, w: np.ndarray):
         self._msg_cache = None
+        self._lv_bucket_cache = {}
         # graph mutation invalidates the hub split (the engine re-splits
         # explicitly if wanted); fall back to unsplit message paths
         self.hub_mask = np.zeros(self.n_local, dtype=bool)

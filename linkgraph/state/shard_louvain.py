@@ -85,6 +85,7 @@ class LouvainShard(AlgoShard):
                               for g in self.ghosts]
         self._lv_pending = []
         self._lv_cache_ready = True
+        self._lv_cache_epoch = getattr(self, "_lv_cache_epoch", 0) + 1
 
     def store_label_sync_requests(self, reqs: list[np.ndarray]):
         """Static per-requester ghost id lists this shard owns (sorted) —
@@ -127,19 +128,31 @@ class LouvainShard(AlgoShard):
 
     # ---------- bucketed move phase ----------------------------------------
 
-    def lv_moves_phase1(self, bucket: int, use_subset: bool):
-        """Compute e_{v->C} for bucket vertices; return per-owner comm-id
-        request arrays (num_returns=P).  Intermediates stashed."""
+    def _bucket_slice(self, bucket: int, use_subset: bool):
+        """Static per-bucket edge slice (sel_idx, rows, cols, w, col_pos)
+        — cached per graph/R/label-cache version; rebuilding it every
+        round was pure recompute of invariants."""
+        key = (bucket, use_subset,
+               getattr(self, "_r_epoch", 0) if use_subset else -1,
+               getattr(self, "_lv_cache_epoch", 0))
+        cache = getattr(self, "_lv_bucket_cache", None)
+        if cache is None:
+            cache = self._lv_bucket_cache = {}
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        if len(cache) > 32:  # old epochs are dead weight
+            cache.clear()
         lo_b, hi_b = BUCKET_BOUNDS[bucket], BUCKET_BOUNDS[bucket + 1]
         deg = np.diff(self.indptr)
         sel = (deg > lo_b) & (deg <= hi_b)
         if use_subset:
             sel &= self.state["R"].astype(bool)
         sel_idx = np.flatnonzero(sel)
-        self._mv = None
         if len(sel_idx) == 0:
-            empty = np.empty(0, np.int64)
-            return tuple(empty for _ in range(self.P))
+            out = (sel_idx, None, None, None, None)
+            cache[key] = out
+            return out
         # vectorized range-concat: edge positions of all selected vertices
         counts = deg[sel_idx]
         starts_e = self.indptr[sel_idx]
@@ -152,7 +165,23 @@ class LouvainShard(AlgoShard):
         w = self.weights[take]
         nonself = cols != rows + self.lo
         rows, cols, w = rows[nonself], cols[nonself], w[nonself]
-        ncomm = self._label_of(cols)
+        # positions of cols in the sorted label cache: O(E log n) once,
+        # then label lookups are O(E) gathers per round
+        col_pos = np.searchsorted(self._lv_ids, cols)
+        out = (sel_idx, rows, cols, w, col_pos)
+        cache[key] = out
+        return out
+
+    def lv_moves_phase1(self, bucket: int, use_subset: bool):
+        """Compute e_{v->C} for bucket vertices; return per-owner comm-id
+        request arrays (num_returns=P).  Intermediates stashed."""
+        sel_idx, rows, cols, w, col_pos = self._bucket_slice(bucket,
+                                                            use_subset)
+        self._mv = None
+        if len(sel_idx) == 0:
+            empty = np.empty(0, np.int64)
+            return tuple(empty for _ in range(self.P))
+        ncomm = self._lv_labs[col_pos]
 
         order = np.lexsort((ncomm, rows))
         rows, ncomm, w = rows[order], ncomm[order], w[order]
@@ -602,6 +631,7 @@ class LouvainShard(AlgoShard):
 
     def screen_apply_marks(self, msgs) -> int:
         msgs = _resolve(msgs)
+        self._r_epoch = getattr(self, "_r_epoch", 0) + 1
         R = self.state["R"].astype(bool)
         for ids in msgs:
             if len(ids):
