@@ -388,4 +388,8 @@ class GraphShard:
             if dtypes:
                 arr = arr.astype(dtypes[i])
             self.state[n] = arr
+        if "rank" in names and getattr(self, "_outdeg", None) is not None:
+            # derived per-iteration state must follow the restored rank
+            self.state["pr_contrib"] = \
+                self.state["rank"] / np.maximum(self._outdeg, 1.0)
         return True

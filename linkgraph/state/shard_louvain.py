@@ -126,6 +126,18 @@ class LouvainShard(AlgoShard):
     def _label_of(self, ids: np.ndarray) -> np.ndarray:
         return self._lookup(self._lv_ids, self._lv_labs, ids)
 
+    def _labels_of_all_edges(self) -> np.ndarray:
+        """Labels of every edge target — position cache keyed by the
+        label-cache build epoch (q_terms/contraction run this per round)."""
+        if len(self.indices) == 0:
+            return np.empty(0, np.int64)
+        epoch = getattr(self, "_lv_cache_epoch", 0)
+        cached = getattr(self, "_all_col_pos", None)
+        if cached is None or cached[0] != epoch:
+            self._all_col_pos = (epoch,
+                                 np.searchsorted(self._lv_ids, self.indices))
+        return self._lv_labs[self._all_col_pos[1]]
+
     # ---------- bucketed move phase ----------------------------------------
 
     def _bucket_slice(self, bucket: int, use_subset: bool):
@@ -320,7 +332,7 @@ class LouvainShard(AlgoShard):
         """(local toOwn sum incl self-loops, sum of tot^2 over local comm
         slots).  Requires fresh ghost labels (lv_store_ghost_labels)."""
         src_lab = np.repeat(self.state["labels"], np.diff(self.indptr))
-        dst_lab = self._label_of(self.indices) if len(self.indices) else np.empty(0, np.int64)
+        dst_lab = self._labels_of_all_edges()
         own = src_lab == dst_lab
         to_own = float(self.weights[own].sum())
         tot_sq = float((self.comm_state["tot"] ** 2).sum())
@@ -332,7 +344,7 @@ class LouvainShard(AlgoShard):
         """Local (csrc, cdst, w) pre-aggregated (A7 combiner).  Requires
         fresh ghost labels."""
         csrc = np.repeat(self.state["labels"], np.diff(self.indptr))
-        cdst = self._label_of(self.indices) if len(self.indices) else np.empty(0, np.int64)
+        cdst = self._labels_of_all_edges()
         key = csrc * np.int64(self.n_global) + cdst
         uk, sums = _grouped_sum(key, self.weights)
         return pa.table({"csrc": uk // self.n_global,
