@@ -48,6 +48,12 @@ def q_doc_quality(sf_dir: str):
         tx.quality_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_doc_quality_score(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.quality_score_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def q_doc_dedup_exact(sf_dir: str):
     return tx.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -194,6 +200,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # text / training-data operators (north rule)
     "doc_tokens": q_doc_tokens,
     "doc_quality": q_doc_quality,
+    "doc_quality_score": q_doc_quality_score,
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_langid": q_doc_langid,

@@ -7,5 +7,6 @@ from .ops import (  # noqa: F401
     minhash_dup_pairs,
     simhash_batch,
     quality_batch,
+    quality_score_batch,
     token_jaccard_pairs,
 )

@@ -100,6 +100,27 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, score) — composite heuristic quality score in [0, 1]:
+    token-length band, stopword-ratio band, type-token ratio.  The
+    integer signals behind it are SQL-checked via quality_batch; the
+    score itself is a float heuristic (rows-only)."""
+    q = quality_batch(batch)
+    n_tok = q.column("n_tokens").to_numpy().astype(np.float64)
+    n_stop = q.column("n_stop").to_numpy().astype(np.float64)
+    n_dist = q.column("n_distinct").to_numpy().astype(np.float64)
+    lt = np.clip(n_tok / 64.0, 0.0, 1.0)            # enough text
+    sr = n_stop / np.maximum(n_tok, 1.0)
+    stop_band = 1.0 - np.abs(sr - 0.08) / 0.5        # natural stop ratio
+    ttr = n_dist / np.maximum(n_tok, 1.0)            # lexical diversity
+    # length gates the rest: a one-token document scores ~0 no matter
+    # how "diverse" it is
+    score = np.clip(lt * (0.4 + 0.3 * np.clip(stop_band, 0, 1)
+                          + 0.3 * np.clip(ttr * 2, 0, 1)), 0.0, 1.0)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "score": np.round(score, 6)})
+
+
 # ------------------------------------------------------------- exact dedup
 
 def md5_batch(batch: pa.Table) -> pa.Table:
