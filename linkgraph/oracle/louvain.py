@@ -87,10 +87,15 @@ def _bucket_moves(g: CSRGraph, sel: np.ndarray, labels: np.ndarray,
     deg = g.degrees
     counts = deg[sel]
     rows = np.repeat(sel, counts)
-    take = np.concatenate([np.arange(g.indptr[v], g.indptr[v + 1]) for v in sel]) \
-        if len(sel) < g.n else np.arange(len(g.indices))
     if len(sel) == g.n:
+        take = np.arange(len(g.indices))
         rows = np.repeat(np.arange(g.n, dtype=np.int64), deg)
+    else:
+        starts_e = g.indptr[sel]
+        total = int(counts.sum())
+        take = (np.repeat(starts_e, counts)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts))
     cols = g.indices[take]
     w = g.weights[take]
 

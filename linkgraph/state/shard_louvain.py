@@ -548,8 +548,15 @@ class LouvainShard(AlgoShard):
         cand_key = np.unique(cand_v * np.int64(self.n_global) + cand_c)
 
         deg = np.diff(self.indptr)
-        take = np.concatenate([np.arange(self.indptr[v], self.indptr[v + 1])
-                               for v in src_loc]) if len(src_loc) else np.empty(0, np.int64)
+        if len(src_loc):
+            counts = deg[src_loc]
+            starts_e = self.indptr[src_loc]
+            total = int(counts.sum())
+            take = (np.repeat(starts_e, counts)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(counts) - counts, counts))
+        else:
+            take = np.empty(0, np.int64)
         rows = np.repeat(sources, deg[src_loc])
         cols = self.indices[take]
         w = self.weights[take]
@@ -632,9 +639,17 @@ class LouvainShard(AlgoShard):
         marked_comms = np.asarray(marked_comms, dtype=np.int64)
         R = self.state["R"].astype(bool)
         marked_idx = np.flatnonzero(R)
-        nbr = np.concatenate([self.indices[self.indptr[v]:self.indptr[v + 1]]
-                              for v in marked_idx]) if len(marked_idx) else np.empty(0, np.int64)
-        nbr = np.unique(nbr)
+        if len(marked_idx):
+            deg = np.diff(self.indptr)
+            counts = deg[marked_idx]
+            starts_e = self.indptr[marked_idx]
+            total = int(counts.sum())
+            take = (np.repeat(starts_e, counts)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(counts) - counts, counts))
+            nbr = np.unique(self.indices[take])
+        else:
+            nbr = np.empty(0, np.int64)
         final = R.copy()
         if len(marked_comms):
             final |= np.isin(self.state["labels"], marked_comms)
