@@ -1,0 +1,1 @@
+from .edge_text import parse_edge_lines, read_edge_text  # noqa: F401
