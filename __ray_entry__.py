@@ -25,7 +25,7 @@ def entry() -> Any:
 
     from linkgraph.queries import graphs as g
 
-    eng = g._build_engine(SF_SMOKE, n_parts=2)
+    eng = g._build_engine(SF_SMOKE, n_parts=2, cache=False)
     try:
         eng.pagerank(tol=1e-10, max_iter=100)
         rank = eng.pagerank_result()

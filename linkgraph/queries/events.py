@@ -163,7 +163,9 @@ def q_dynamic_louvain(sf_dir: str):
     Rows-only check; oracle parity is covered by tests/test_dynamic.py."""
     from .graphs import NMOD, _build_engine
 
-    eng = _build_engine(sf_dir)
+    # mutates the graph (delta application) -> owns a fresh engine; the
+    # shared cache entry must stay pristine for the other queries
+    eng = _build_engine(sf_dir, cache=False)
     try:
         eng.louvain()
         rows = []

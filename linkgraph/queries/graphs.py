@@ -273,10 +273,53 @@ GRAPH_SQL: dict[str, str] = {
 
 # ------------------------------------------------- engine-backed algorithms
 
-def _build_engine(sf_dir: str, n_parts: int = 4):
+# The registry's engine queries all run over the SAME derived edge table,
+# so the built engine (actor pool + CSR) is cached per (sf_dir, kind,
+# n_parts) and shared: per-algorithm state arrays are independent
+# (pagerank_init / cc_init / lpa_init / lv_init_labels each reset their
+# own), so reuse is free.  Mutating pipelines (dynamic deltas) must pass
+# ``cache=False`` and own their engine.  Small graphs opt in to the
+# driver Louvain fast path (GraphEngine.louvain_driver_threshold).
+_ENG_CACHE: dict[tuple, object] = {}
+LOUVAIN_DRIVER_THRESHOLD = 2_000_000
+
+
+def _default_parts() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    except Exception:
+        return 4
+
+
+def _build_engine(sf_dir: str, n_parts: int | None = None, *,
+                  kind: str = "sym", cache: bool = True):
     from ..state.engine import GraphEngine
-    eng = GraphEngine.from_dataset(sym_edges(sf_dir), n_nodes=NMOD,
-                                   n_parts=n_parts, name="q")
+    if n_parts is None:
+        n_parts = _default_parts()
+    key = (sf_dir, kind, n_parts)
+    if cache and key in _ENG_CACHE:
+        return _ENG_CACHE[key]
+    ds = sym_edges(sf_dir) if kind == "sym" else dedup_edges(sf_dir)
+    eng = GraphEngine.from_dataset(ds, n_nodes=NMOD, n_parts=n_parts,
+                                   name=f"q_{kind}")
+    eng.louvain_driver_threshold = LOUVAIN_DRIVER_THRESHOLD
+    if cache:
+        _ENG_CACHE[key] = eng
+    return eng
+
+
+def clear_engine_cache():
+    for eng in _ENG_CACHE.values():
+        eng.shutdown()
+    _ENG_CACHE.clear()
+
+
+def _louvain_engine(sf_dir: str):
+    """Cached engine with the static Louvain result computed once (the
+    summary query and the community-output queries share it)."""
+    eng = _build_engine(sf_dir)
+    if getattr(eng, "_q_louvain_res", None) is None:
+        eng._q_louvain_res = eng.louvain()
     return eng
 
 
@@ -284,58 +327,37 @@ def q_pagerank(sf_dir: str):
     """North-rule PageRank on the *directed* deduped edge graph; weights
     are link multiplicities folded into parallel edges (unweighted CSR
     semantics match the oracle).  Rows-only check (iterative float)."""
-    from ..state.engine import GraphEngine
-    eng = GraphEngine.from_dataset(dedup_edges(sf_dir), n_nodes=NMOD,
-                                   n_parts=4, name="qpr")
-    try:
-        eng.pagerank(tol=1e-10, max_iter=100)
-        tbl = eng.pagerank_result()
-    finally:
-        eng.shutdown()
-    return tbl
+    eng = _build_engine(sf_dir, kind="dir")
+    eng.pagerank(tol=1e-10, max_iter=100)
+    return eng.pagerank_result()
 
 
 def q_connected_components(sf_dir: str):
     eng = _build_engine(sf_dir)
-    try:
-        eng.connected_components()
-        tbl = eng.cc_result()
-    finally:
-        eng.shutdown()
-    return tbl
+    eng.connected_components()
+    return eng.cc_result()
 
 
 def q_label_propagation(sf_dir: str):
     eng = _build_engine(sf_dir)
-    try:
-        eng.label_propagation(max_iter=20)
-        tbl = eng.lpa_result()
-    finally:
-        eng.shutdown()
-    return tbl
+    eng.label_propagation(max_iter=20)
+    return eng.lpa_result()
 
 
 def q_louvain(sf_dir: str):
     """Static Louvain summary (modularity trajectory is float/iterative —
     rows-only; exactness vs the oracle kernel is covered by tests/)."""
-    eng = _build_engine(sf_dir)
-    try:
-        res = eng.louvain()
-        tbl = pa.table({
-            "n_comms": pa.array([int(res["n_comms"])], pa.int64()),
-            "n_levels": pa.array([int(res["n_levels"])], pa.int64()),
-            "modularity": pa.array([round(res["modularity"], 9)],
-                                   pa.float64()),
-        })
-    finally:
-        eng.shutdown()
-    return tbl
+    eng = _louvain_engine(sf_dir)
+    res = eng._q_louvain_res
+    return pa.table({
+        "n_comms": pa.array([int(res["n_comms"])], pa.int64()),
+        "n_levels": pa.array([int(res["n_levels"])], pa.int64()),
+        "modularity": pa.array([round(res["modularity"], 9)],
+                               pa.float64()),
+    })
 
 
 def q_triangles(sf_dir: str):
     eng = _build_engine(sf_dir)
-    try:
-        n = eng.triangles()
-    finally:
-        eng.shutdown()
+    n = eng.triangles()
     return pa.table({"n_triangles": pa.array([int(n)], pa.int64())})

@@ -168,13 +168,8 @@ def q_graph_comm_sizes(sf_dir: str):
     with their member counts (rows-only — community ids are
     renumbering-dependent; exactness is pinned by the oracle tests)."""
     from . import graphs as _g
-    eng = _g._build_engine(sf_dir)
-    try:
-        eng.louvain()
-        tbl = eng.comm_sizes()
-    finally:
-        eng.shutdown()
-    return tbl
+    eng = _g._louvain_engine(sf_dir)   # shared engine + cached labels
+    return eng.comm_sizes()
 
 
 # ---------------------------------------------------------------- registry

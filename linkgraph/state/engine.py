@@ -105,6 +105,15 @@ class GraphEngine:
     # child engine (distributed levels)
     SMALL_CONTRACT_ROWS = 1_000_000
 
+    # ``louvain()`` gathers the graph to the driver and runs the oracle
+    # kernel when total edges <= this threshold (0 = always distributed).
+    # Opt-in (queries/pipelines set it): at a few million edges the graph
+    # is "small side" — distributing its level-0 rounds is pure exchange
+    # overhead, the cluster-scale analog of a broadcast join's build side.
+    # Semantics are identical (the oracle IS the parity target); tests
+    # leave it 0 so the distributed path stays exercised.
+    louvain_driver_threshold = 0
+
     def __init__(self, bounds: np.ndarray, *, name: str = "graph"):
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.P = len(self.bounds) - 1
@@ -485,6 +494,13 @@ class GraphEngine:
         Final labels (dense ids in the final level's space) are composed
         back into each shard's ``labels`` state.
         """
+        n_edges = sum(s["n_edges"] for s in self.stats)
+        if (self.louvain_driver_threshold
+                and n_edges <= self.louvain_driver_threshold
+                and _level == 0):
+            return self._louvain_driver(init=init, use_subset=use_subset,
+                                        min_gain=min_gain,
+                                        hierarchy_dir=hierarchy_dir)
         if not init:
             ray.get([a.lv_init_labels.remote() for a in self.actors])
             self._invalidate_label_cache()
@@ -601,6 +617,63 @@ class GraphEngine:
         return {"modularity": q_final, "q_trajectory": q_traj,
                 "n_levels": 1 + sub_res["n_levels"],
                 "n_comms": int(sub_res["labels"].max()) + 1}
+
+    def _louvain_driver(self, *, init: bool, use_subset: bool,
+                        min_gain: float,
+                        hierarchy_dir: str | None) -> dict:
+        """Small-graph Louvain: gather the shard CSR rows (they ARE the
+        whole graph) and run the oracle kernel on the driver — identical
+        semantics/results, none of the per-bucket exchange waves.  Used
+        when edges <= ``louvain_driver_threshold`` (broadcast-small-side
+        reasoning; see class attribute docstring)."""
+        t0 = time.time()
+        tbl = pa.concat_tables(
+            ray.get([a.edge_arrays.remote() for a in self.actors]))
+        g = CSRGraph.from_edges(tbl.column("src").to_numpy(),
+                                tbl.column("dst").to_numpy(),
+                                tbl.column("w").to_numpy(), n=self.n)
+        init_labels = None
+        if init:
+            init_labels = np.concatenate(
+                ray.get([a.get_state.remote("labels") for a in self.actors]))
+        subset = None
+        if use_subset:
+            subset = np.concatenate(
+                ray.get([a.get_state.remote("R")
+                         for a in self.actors])).astype(bool)
+        res = oracle_lv.louvain(g, init_labels=init_labels, subset=subset,
+                                min_gain=min_gain)
+        final = res["labels"]
+        if hierarchy_dir is not None:
+            import pyarrow.parquet as _pq
+            if res["n_levels"] == 0:
+                lvl_dir = os.path.join(hierarchy_dir, "level-000")
+                os.makedirs(lvl_dir, exist_ok=True)
+                _pq.write_table(pa.table({
+                    "node": np.arange(len(final), dtype=np.int64),
+                    "labels": final.astype(np.int64)}),
+                    os.path.join(lvl_dir, "part-00000.parquet"))
+            for li, lmap in enumerate(res["levels"]):
+                lvl_dir = os.path.join(hierarchy_dir, f"level-{li:03d}")
+                os.makedirs(lvl_dir, exist_ok=True)
+                _pq.write_table(pa.table({
+                    "node": np.arange(len(lmap), dtype=np.int64),
+                    "labels": lmap.astype(np.int64)}),
+                    os.path.join(lvl_dir, "part-00000.parquet"))
+        ray.get([a.lv_init_labels.remote(final[self.bounds[p]:
+                                               self.bounds[p + 1]])
+                 for p, a in enumerate(self.actors)])
+        self._invalidate_label_cache()
+        self._rebuild_comm_aggs()
+        self.metrics.append({
+            "job": self.name, "algo": "louvain", "kind": "driver_small",
+            "edges": int(len(g.indices)), "q": res["modularity"],
+            "secs": time.time() - t0,
+        })
+        return {"modularity": res["modularity"],
+                "q_trajectory": res["q_trajectory"],
+                "n_levels": res["n_levels"],
+                "n_comms": int(final.max(initial=-1)) + 1}
 
     def _densify_labels(self) -> tuple[np.ndarray, int]:
         uniq_lbl = np.unique(np.concatenate(

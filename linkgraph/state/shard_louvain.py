@@ -218,6 +218,7 @@ class LouvainShard(AlgoShard):
         comm_vals = _resolve(comm_vals)
         empty = (np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64))
         if self._mv is None:
+            self._n_moved = 0
             return tuple(empty for _ in range(self.P))
         mv = self._mv
         need = mv["need"]

@@ -135,3 +135,45 @@ def test_dynamic_resume_from_checkpoint(ray_session, tmp_path):
             out[i] = first.setdefault(c, i)
         return out
     assert np.array_equal(canon(labels_ref), canon(labels_res))
+
+
+def test_louvain_driver_fast_path_parity(ray_session, tmp_path):
+    """Small-graph opt-in (louvain_driver_threshold): the driver oracle
+    path must be indistinguishable from the distributed level-0 path —
+    same modularity, same labels up to renumbering, same hierarchy
+    shape, same dynamic-timestep records."""
+    s, d, n = planted_edges(seed=31)
+    deltas = {"del": (s[:4], d[:4], np.ones(4)),
+              "add": (np.array([2, 9]), np.array([70, 95]), np.ones(2))}
+
+    def canon(lbl):
+        first = {}
+        out = np.empty(len(lbl), np.int64)
+        for i, c in enumerate(lbl):
+            out[i] = first.setdefault(c, i)
+        return out
+
+    runs = {}
+    for name, thr in (("dist", 0), ("driver", 10**9)):
+        e = GraphEngine.from_arrays(s, d, n=n, n_parts=2, name=f"fp_{name}")
+        e.louvain_driver_threshold = thr
+        hdir = str(tmp_path / f"h_{name}")
+        res = e.louvain(hierarchy_dir=hdir)
+        labels = e.louvain_result().column("comm").to_numpy()
+        recs = e.dynamic_step(0, deltas)
+        labels2 = e.louvain_result().column("comm").to_numpy()
+        n_level_dirs = len(glob.glob(os.path.join(hdir, "level-*")))
+        e.shutdown()
+        runs[name] = (res, labels, recs, labels2, n_level_dirs)
+
+    r_d, lab_d, recs_d, lab2_d, nl_d = runs["dist"]
+    r_f, lab_f, recs_f, lab2_f, nl_f = runs["driver"]
+    assert abs(r_d["modularity"] - r_f["modularity"]) < 1e-12
+    assert r_d["n_comms"] == r_f["n_comms"]
+    assert r_d["n_levels"] == r_f["n_levels"]
+    assert nl_d == nl_f
+    assert np.array_equal(canon(lab_d), canon(lab_f))
+    assert [r["r_size"] for r in recs_d] == [r["r_size"] for r in recs_f]
+    assert [round(r["modularity"], 12) for r in recs_d] == \
+        [round(r["modularity"], 12) for r in recs_f]
+    assert np.array_equal(canon(lab2_d), canon(lab2_f))
