@@ -52,6 +52,38 @@ BUCKET_BOUNDS = [0, 4, 8, 16, 32, 84, 319, np.iinfo(np.int64).max]
 DEFAULT_MIN_GAIN = 1e-3  # reference -e default (main_louvain.cpp:80)
 
 
+def _ranges_concat(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """concat([arange(s, s+c) for s, c in zip(starts, counts)]) without
+    the Python loop."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    return (np.repeat(np.asarray(starts, dtype=np.int64), counts)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts))
+
+
+def _segment_argmax(seg: np.ndarray, cand: np.ndarray, score: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-segment winner of (max score, tie -> first) over data sorted by
+    (seg asc, cand asc).  Equivalent to the lexsort((cand, -score, seg))
+    take-first tournament, in O(n) instead of a sort.  Returns
+    (seg_winner, cand_winner, score_winner), one row per segment."""
+    first = np.empty(len(seg), dtype=bool)
+    first[0] = True
+    first[1:] = seg[1:] != seg[:-1]
+    starts = np.flatnonzero(first)
+    seg_id = np.cumsum(first) - 1
+    smax = np.maximum.reduceat(score, starts)
+    is_max = score == smax[seg_id]
+    idx = np.flatnonzero(is_max)
+    # first max per segment: seg_id[idx] is sorted; take first occurrence
+    keep = np.empty(len(idx), dtype=bool)
+    keep[0] = True
+    keep[1:] = seg_id[idx][1:] != seg_id[idx][:-1]
+    win = idx[keep]
+    return seg[win], cand[win], score[win]
+
+
 # ---------------------------------------------------------------------------
 # aggregates
 
@@ -103,13 +135,27 @@ def _bucket_moves(g: CSRGraph, sel: np.ndarray, labels: np.ndarray,
     rows, cols, w = rows[nonself], cols[nonself], w[nonself]
     ncomm = labels[cols]
 
-    # e_{v->C}: grouped sums by (v, C), sorted order — deterministic.
-    order = np.lexsort((ncomm, rows))
-    rows, ncomm, w = rows[order], ncomm[order], w[order]
-    newgrp = np.empty(len(rows), dtype=bool)
-    if len(rows):
-        newgrp[0] = True
-        newgrp[1:] = (rows[1:] != rows[:-1]) | (ncomm[1:] != ncomm[:-1])
+    # e_{v->C}: grouped sums by (v, C).  Integral weights (every level of
+    # an unweighted graph) make sums exact => order-free, so a single
+    # composite-key unstable sort replaces the stable lexsort; the float
+    # fallback keeps the deterministic sorted order.
+    if len(w) == 0 or (w == np.floor(w)).all():
+        mult = np.int64(max(g.n, int(ncomm.max(initial=0)) + 1))
+        key = rows * mult + ncomm
+        order = np.argsort(key)
+        rows, ncomm, w = rows[order], ncomm[order], w[order]
+        key = key[order]
+        newgrp = np.empty(len(rows), dtype=bool)
+        if len(rows):
+            newgrp[0] = True
+            newgrp[1:] = key[1:] != key[:-1]
+    else:
+        order = np.lexsort((ncomm, rows))
+        rows, ncomm, w = rows[order], ncomm[order], w[order]
+        newgrp = np.empty(len(rows), dtype=bool)
+        if len(rows):
+            newgrp[0] = True
+            newgrp[1:] = (rows[1:] != rows[:-1]) | (ncomm[1:] != ncomm[:-1])
     starts = np.flatnonzero(newgrp)
     gv = rows[starts]
     gc = ncomm[starts]
@@ -138,14 +184,12 @@ def _bucket_moves(g: CSRGraph, sel: np.ndarray, labels: np.ndarray,
     best_new = np.full(g.n, -1, dtype=np.int64)
     best_gain = np.zeros(g.n, dtype=np.float64)
     if len(gv_c):
-        # tournament: sort by (v, -gain, C); first row per v wins, but must
-        # also beat the initial (gain 0, C = cur) incumbent.
-        ordc = np.lexsort((gc_c, -gain, gv_c))
-        v_s, c_s, g_s = gv_c[ordc], gc_c[ordc], gain[ordc]
-        first = np.empty(len(v_s), dtype=bool)
-        first[0] = True
-        first[1:] = v_s[1:] != v_s[:-1]
-        v_f, c_f, g_f = v_s[first], c_s[first], g_s[first]
+        # tournament: (max gain, tie -> lowest C) per vertex, then beat
+        # the initial (gain 0, C = cur) incumbent.  (gv_c, gc_c) is
+        # sorted by (v, C asc), so the winner is the FIRST index hitting
+        # the per-vertex max — identical to the reference's sequential
+        # strictly-greater scan in C order, without a sort.
+        v_f, c_f, g_f = _segment_argmax(gv_c, gc_c, gain)
         beats_incumbent = (g_f > 0) | ((g_f == 0) & (c_f < labels[v_f]))
         v_f, c_f, g_f = v_f[beats_incumbent], c_f[beats_incumbent], g_f[beats_incumbent]
         best_new[v_f] = c_f
@@ -170,8 +214,10 @@ def one_level(g: CSRGraph, labels: np.ndarray, min_gain: float,
     deg = g.degrees
     changed = False
     total_gain = min_gain
+    # q_before of round r+1 == q_after of round r (no mutation between
+    # the round-end and round-start computations) — compute once per round
+    q_before = modularity(g, labels, tot)
     while total_gain >= min_gain:
-        q_before = modularity(g, labels, tot)
         for lo, hi in zip(BUCKET_BOUNDS[:-1], BUCKET_BOUNDS[1:]):
             sel = (deg > lo) & (deg <= hi)
             if subset is not None:
@@ -187,6 +233,7 @@ def one_level(g: CSRGraph, labels: np.ndarray, min_gain: float,
         q_after = modularity(g, labels, tot)
         total_gain = q_after - q_before
         changed = changed or (total_gain > 0)
+        q_before = q_after
     return changed
 
 
@@ -290,8 +337,7 @@ def screen_add(g: CSRGraph, labels: np.ndarray, add_src: np.ndarray,
         deg = g.degrees
         counts = deg[sources]
         rows = np.repeat(sources, counts)
-        take = np.concatenate(
-            [np.arange(g.indptr[v], g.indptr[v + 1]) for v in sources])
+        take = _ranges_concat(g.indptr[sources], counts)
         cols = g.indices[take]
         w = g.weights[take]
         ncomm = labels[cols]
@@ -301,12 +347,23 @@ def screen_add(g: CSRGraph, labels: np.ndarray, add_src: np.ndarray,
         nonself = cols != rows
         rows, w, ncomm = rows[nonself], w[nonself], ncomm[nonself]
 
-        order = np.lexsort((ncomm, rows))
-        rows, ncomm, w = rows[order], ncomm[order], w[order]
-        newgrp = np.empty(len(rows), dtype=bool)
-        if len(rows):
-            newgrp[0] = True
-            newgrp[1:] = (rows[1:] != rows[:-1]) | (ncomm[1:] != ncomm[:-1])
+        if len(w) == 0 or (w == np.floor(w)).all():
+            mult = np.int64(max(n_slots, int(ncomm.max(initial=0)) + 1))
+            key = rows * mult + ncomm
+            order = np.argsort(key)
+            rows, ncomm, w = rows[order], ncomm[order], w[order]
+            key = key[order]
+            newgrp = np.empty(len(rows), dtype=bool)
+            if len(rows):
+                newgrp[0] = True
+                newgrp[1:] = key[1:] != key[:-1]
+        else:
+            order = np.lexsort((ncomm, rows))
+            rows, ncomm, w = rows[order], ncomm[order], w[order]
+            newgrp = np.empty(len(rows), dtype=bool)
+            if len(rows):
+                newgrp[0] = True
+                newgrp[1:] = (rows[1:] != rows[:-1]) | (ncomm[1:] != ncomm[:-1])
         starts = np.flatnonzero(newgrp)
         gv, gc = rows[starts], ncomm[starts]
         e_vc = np.add.reduceat(w, starts) if len(starts) else np.empty(0)
@@ -320,12 +377,7 @@ def screen_add(g: CSRGraph, labels: np.ndarray, add_src: np.ndarray,
         cur_c = labels[gv_c]
         gain = e_c / g.M + g.k[gv_c] * ((tot[cur_c] - g.k[gv_c]) - tot[gc_c]) / (2 * g.M * g.M)
         if len(gv_c):
-            ordc = np.lexsort((gc_c, -gain, gv_c))
-            v_s, c_s, g_s = gv_c[ordc], gc_c[ordc], gain[ordc]
-            first = np.empty(len(v_s), dtype=bool)
-            first[0] = True
-            first[1:] = v_s[1:] != v_s[:-1]
-            v_f, c_f, g_f = v_s[first], c_s[first], g_s[first]
+            v_f, c_f, g_f = _segment_argmax(gv_c, gc_c, gain)
             ok = (g_f > 0) | ((g_f == 0) & (c_f < labels[v_f]))
             v_f, c_f, g_f = v_f[ok], c_f[ok], g_f[ok]
             pos = g_f - e_cur[v_f] / g.M > 0
@@ -359,8 +411,7 @@ def _expand_marks(g: CSRGraph, labels: np.ndarray, node_eval: np.ndarray,
     final = node_eval.copy()
     marked = np.flatnonzero(node_eval)
     if len(marked):
-        take = np.concatenate(
-            [np.arange(g.indptr[v], g.indptr[v + 1]) for v in marked])
+        take = _ranges_concat(g.indptr[marked], g.degrees[marked])
         final[g.indices[take]] = True
     final |= comm_eval[labels]
     return final

@@ -64,13 +64,36 @@ def base_pairs(sf_dir: str) -> rd.Dataset:
                           zero_copy_batch=True)
 
 
+# Derived edge/degree tables are shared by many registry queries; the
+# shuffle that builds each one runs ONCE per process and the materialized
+# blocks (object store) are reused — the "pick one partitioning and reuse
+# it across stages" rule.  Values are identical to the lazy pipelines.
+_DS_CACHE: dict[tuple, rd.Dataset] = {}
+
+
+def _cached_ds(key: tuple, build) -> rd.Dataset:
+    ds = _DS_CACHE.get(key)
+    if ds is None:
+        ds = _DS_CACHE[key] = build().materialize()
+    return ds
+
+
+def clear_dataset_cache():
+    _DS_CACHE.clear()
+
+
 def dedup_edges(sf_dir: str) -> rd.Dataset:
     """E2: directed edges with multiplicity weight (key = (src, dst))."""
-    return (base_pairs(sf_dir).groupby(["src", "dst"])
-            .aggregate(Count(alias_name="w"))
-            .map_batches(lambda t: t.set_column(
-                t.schema.get_field_index("w"), "w",
-                t.column("w").cast(pa.float64())), batch_format="pyarrow"))
+
+    def build():
+        return (base_pairs(sf_dir).groupby(["src", "dst"])
+                .aggregate(Count(alias_name="w"))
+                .map_batches(lambda t: t.set_column(
+                    t.schema.get_field_index("w"), "w",
+                    t.column("w").cast(pa.float64())),
+                    batch_format="pyarrow"))
+
+    return _cached_ds((sf_dir, "dedup"), build)
 
 
 def sym_edges(sf_dir: str) -> rd.Dataset:
@@ -90,21 +113,29 @@ def sym_edges(sf_dir: str) -> rd.Dataset:
             "dst": np.concatenate([dst, src[nonself]]),
         })
 
-    return (base_pairs(sf_dir)
-            .map_batches(mirror_raw, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby(["src", "dst"]).aggregate(Count(alias_name="w"))
-            .map_batches(lambda t: t.set_column(
-                t.schema.get_field_index("w"), "w",
-                t.column("w").cast(pa.float64())), batch_format="pyarrow"))
+    def build():
+        return (base_pairs(sf_dir)
+                .map_batches(mirror_raw, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(["src", "dst"]).aggregate(Count(alias_name="w"))
+                .map_batches(lambda t: t.set_column(
+                    t.schema.get_field_index("w"), "w",
+                    t.column("w").cast(pa.float64())),
+                    batch_format="pyarrow"))
+
+    return _cached_ds((sf_dir, "sym"), build)
 
 
 def degrees(sf_dir: str) -> rd.Dataset:
     """A1: per-node degree / weighted degree from the symmetric table."""
-    return (sym_edges(sf_dir).groupby("src")
-            .aggregate(Count(alias_name="degree"),
-                       Sum("w", alias_name="wdegree"))
-            .rename_columns({"src": "node"}))
+
+    def build():
+        return (sym_edges(sf_dir).groupby("src")
+                .aggregate(Count(alias_name="degree"),
+                           Sum("w", alias_name="wdegree"))
+                .rename_columns({"src": "node"}))
+
+    return _cached_ds((sf_dir, "deg"), build)
 
 
 # ----------------------------------------------------------------- operators
@@ -312,6 +343,7 @@ def clear_engine_cache():
     for eng in _ENG_CACHE.values():
         eng.shutdown()
     _ENG_CACHE.clear()
+    clear_dataset_cache()
 
 
 def _louvain_engine(sf_dir: str):

@@ -176,7 +176,18 @@ class GraphEngine:
                 return np.bincount(src, minlength=n_nodes)
             return np.bincount(src // width, minlength=nb).astype(np.float64)
 
-        parts_ = ray.get([_deg_block.remote(b) for b in block_refs])
+        @ray.remote
+        def _deg_merge(*parts) -> np.ndarray:
+            return np.sum(parts, axis=0)
+
+        # tree-reduce the per-block bincounts task-side: with exact
+        # degrees each partial is n_nodes long, so a flat driver-side sum
+        # would pull (#blocks x n_nodes) through the driver
+        refs = [_deg_block.remote(b) for b in block_refs]
+        while len(refs) > 8:
+            refs = [_deg_merge.remote(*refs[i:i + 8])
+                    for i in range(0, len(refs), 8)]
+        parts_ = ray.get(refs)
         agg = np.sum(parts_, axis=0) if parts_ else np.zeros(
             n_nodes if exact else nb)
         if exact:

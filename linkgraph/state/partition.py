@@ -44,11 +44,20 @@ def owner_of(ids: np.ndarray, bounds: np.ndarray) -> np.ndarray:
 
 def split_by_owner(ids: np.ndarray, bounds: np.ndarray,
                    *arrays: np.ndarray) -> list[tuple]:
-    """Split (ids, *arrays) into per-owner tuples; owners are the P ranges."""
+    """Split (ids, *arrays) into per-owner tuples; owners are the P ranges.
+
+    Sorted ids (the common case: grouped-sum outputs are key-sorted) hit
+    a zero-copy fast path — owners are monotone over contiguous ranges,
+    so the per-owner pieces are plain slices."""
     own = owner_of(ids, bounds)
+    P = len(bounds) - 1
+    if len(own) == 0 or bool((own[1:] >= own[:-1]).all()):
+        cuts = np.searchsorted(own, np.arange(P + 1))
+        return [(ids[cuts[p]:cuts[p + 1]],)
+                + tuple(a[cuts[p]:cuts[p + 1]] for a in arrays)
+                for p in range(P)]
     order = np.argsort(own, kind="stable")
     own_s = own[order]
-    P = len(bounds) - 1
     cuts = np.searchsorted(own_s, np.arange(P + 1))
     out = []
     for p in range(P):

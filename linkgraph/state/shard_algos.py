@@ -248,14 +248,12 @@ class AlgoShard(GraphShard):
         uk, s = _grouped_sum(key, sums)
         gv = uk // self.n_global
         gl = uk % self.n_global
-        # argmax, tie -> lower label (oracle order)
-        ordc = np.lexsort((gl, -s, gv))
-        v_s, l_s = gv[ordc], gl[ordc]
-        first = np.empty(len(v_s), dtype=bool)
-        first[0] = True
-        first[1:] = v_s[1:] != v_s[:-1]
+        # argmax, tie -> lower label (oracle order); uk is sorted so
+        # (gv, gl) is (v asc, label asc) — segment argmax, no sort
+        from .shard_louvain import _segment_argmax
+        v_f, l_f, _ = _segment_argmax(gv, gl, s)
         new = lab.copy()
-        new[v_s[first]] = l_s[first]
+        new[v_f] = l_f
         changed = int((new != lab).sum())
         self.state["lpa"] = new
         return changed

@@ -39,6 +39,9 @@ def _resolve(msgs):
     return msgs
 
 
+from ..oracle.louvain import _segment_argmax  # noqa: E402  (shared kernel)
+
+
 class LouvainShard(AlgoShard):
 
     # ---------- state init -------------------------------------------------
@@ -162,7 +165,7 @@ class LouvainShard(AlgoShard):
             sel &= self.state["R"].astype(bool)
         sel_idx = np.flatnonzero(sel)
         if len(sel_idx) == 0:
-            out = (sel_idx, None, None, None, None)
+            out = (sel_idx, None, None, None, None, True)
             cache[key] = out
             return out
         # vectorized range-concat: edge positions of all selected vertices
@@ -180,25 +183,41 @@ class LouvainShard(AlgoShard):
         # positions of cols in the sorted label cache: O(E log n) once,
         # then label lookups are O(E) gathers per round
         col_pos = np.searchsorted(self._lv_ids, cols)
-        out = (sel_idx, rows, cols, w, col_pos)
+        # integral weights => grouped sums are exact integers, so the
+        # per-round (row, comm) sort may be UNSTABLE (sum order is
+        # irrelevant); float weights keep the oracle's stable order
+        w_int = bool(len(w) == 0 or (w == np.floor(w)).all())
+        out = (sel_idx, rows, cols, w, col_pos, w_int)
         cache[key] = out
         return out
 
     def lv_moves_phase1(self, bucket: int, use_subset: bool):
         """Compute e_{v->C} for bucket vertices; return per-owner comm-id
         request arrays (num_returns=P).  Intermediates stashed."""
-        sel_idx, rows, cols, w, col_pos = self._bucket_slice(bucket,
-                                                            use_subset)
+        sel_idx, rows, cols, w, col_pos, w_int = self._bucket_slice(
+            bucket, use_subset)
         self._mv = None
         if len(sel_idx) == 0:
             empty = np.empty(0, np.int64)
             return tuple(empty for _ in range(self.P))
         ncomm = self._lv_labs[col_pos]
 
-        order = np.lexsort((ncomm, rows))
-        rows, ncomm, w = rows[order], ncomm[order], w[order]
-        newgrp = np.empty(len(rows), dtype=bool)
-        if len(rows):
+        if w_int:
+            # single composite key + unstable introsort (the stable
+            # mergesort lexsort was the per-round hot spot; integral
+            # weights make sum order irrelevant — sums are exact)
+            mult = np.int64(max(self.n_global, int(ncomm.max(initial=0)) + 1))
+            key = rows * mult + ncomm
+            order = np.argsort(key)
+            rows, ncomm, w = rows[order], ncomm[order], w[order]
+            key = key[order]
+            newgrp = np.empty(len(rows), dtype=bool)
+            newgrp[0] = True
+            newgrp[1:] = key[1:] != key[:-1]
+        else:
+            order = np.lexsort((ncomm, rows))
+            rows, ncomm, w = rows[order], ncomm[order], w[order]
+            newgrp = np.empty(len(rows), dtype=bool)
             newgrp[0] = True
             newgrp[1:] = (rows[1:] != rows[:-1]) | (ncomm[1:] != ncomm[:-1])
         starts = np.flatnonzero(newgrp)
@@ -222,14 +241,14 @@ class LouvainShard(AlgoShard):
             return tuple(empty for _ in range(self.P))
         mv = self._mv
         need = mv["need"]
-        # reassemble (tot,size) lookup: concat per-owner chunks in the same
-        # order split_by_owner produced them, then sort ids once
-        chunks_ids = [ids for ids, in split_by_owner(need, self.bounds)]
-        all_ids = np.concatenate(chunks_ids) if chunks_ids else need
-        all_tot = np.concatenate([v[0] for v in comm_vals]) if comm_vals else np.empty(0)
-        all_size = np.concatenate([v[1] for v in comm_vals]) if comm_vals else np.empty(0)
-        o = np.argsort(all_ids, kind="stable")
-        sorted_ids, sorted_tot, sorted_size = all_ids[o], all_tot[o], all_size[o]
+        # (tot,size) lookup: ``need`` is sorted-unique and owner ranges
+        # are contiguous ascending, so the per-owner chunks concatenate
+        # back in sorted-id order — no re-sort needed
+        sorted_ids = need
+        sorted_tot = np.concatenate([v[0] for v in comm_vals]) \
+            if comm_vals else np.empty(0)
+        sorted_size = np.concatenate([v[1] for v in comm_vals]) \
+            if comm_vals else np.empty(0)
 
         def tot_of(ids):
             i = np.searchsorted(sorted_ids, ids)
@@ -256,12 +275,11 @@ class LouvainShard(AlgoShard):
         best_new = np.full(self.n_local, -1, dtype=np.int64)
         best_gain = np.zeros(self.n_local)
         if len(gv_c):
-            ordc = np.lexsort((gc_c, -gain, gv_c))
-            v_s, c_s, g_s = gv_c[ordc], gc_c[ordc], gain[ordc]
-            first = np.empty(len(v_s), dtype=bool)
-            first[0] = True
-            first[1:] = v_s[1:] != v_s[:-1]
-            v_f, c_f, g_f = v_s[first], c_s[first], g_s[first]
+            # (gv_c, gc_c) is sorted by (v, C ascending) — the winner per
+            # vertex is the FIRST index attaining the segment max gain
+            # (max gain, tie -> smallest C), identical to the oracle's
+            # lexsort((C, -gain, v)) tournament without the sort
+            v_f, c_f, g_f = _segment_argmax(gv_c, gc_c, gain)
             ok = (g_f > 0) | ((g_f == 0) & (c_f < labels[v_f]))
             v_f, c_f, g_f = v_f[ok], c_f[ok], g_f[ok]
             best_new[v_f] = c_f
@@ -464,13 +482,9 @@ class LouvainShard(AlgoShard):
         comm ids in ascending node order.  Returns #fresh assigned."""
         nbr_label_vals = _resolve(nbr_label_vals)
         sd = self._seed
-        need = sd["need"]
-        chunks = [ids for ids, in split_by_owner(need, self.bounds)]
-        all_ids = np.concatenate(chunks) if chunks else need
-        all_vals = np.concatenate([np.asarray(v) for v in nbr_label_vals]) \
+        s_ids = sd["need"]         # sorted-unique; owner chunks in order
+        s_vals = np.concatenate([np.asarray(v) for v in nbr_label_vals]) \
             if nbr_label_vals else np.empty(0, np.int64)
-        o = np.argsort(all_ids, kind="stable")
-        s_ids, s_vals = all_ids[o], all_vals[o]
         labels = self.state["labels"]
         inherit_map = dict(zip(sd["inherit_loc"].tolist(),
                                sd["inherit_nbr"].tolist()))
@@ -521,13 +535,11 @@ class LouvainShard(AlgoShard):
         are not needed and marking completes here."""
         dst_label_vals = _resolve(dst_label_vals)
         sc = self._sc
-        need = np.unique(sc["dst"])
-        all_ids = np.concatenate([ids for ids, in split_by_owner(need, self.bounds)]) \
-            if len(need) else need
-        all_vals = np.concatenate([np.asarray(v) for v in dst_label_vals]) \
+        # sorted-unique ids + contiguous owner ranges -> chunks concat in
+        # sorted order (same property as lv_moves_phase2)
+        s_ids = np.unique(sc["dst"])
+        s_vals = np.concatenate([np.asarray(v) for v in dst_label_vals]) \
             if dst_label_vals else np.empty(0, np.int64)
-        o = np.argsort(all_ids, kind="stable")
-        s_ids, s_vals = all_ids[o], all_vals[o]
         dst_lab = s_vals[np.searchsorted(s_ids, sc["dst"])] if len(sc["dst"]) else np.empty(0, np.int64)
         labels = self.state["labels"]
         node_eval = np.zeros(self.n_local, dtype=bool)
@@ -590,13 +602,9 @@ class LouvainShard(AlgoShard):
         node_eval = np.zeros(self.n_local, dtype=bool)
         marked: list[int] = []
         if len(sc.get("gv", [])):
-            need = sc["need"]
-            chunks = [ids for ids, in split_by_owner(need, self.bounds)]
-            all_ids = np.concatenate(chunks)
-            all_tot = np.concatenate([v[0] for v in comm_vals])
-            all_size = np.concatenate([v[1] for v in comm_vals])
-            o = np.argsort(all_ids, kind="stable")
-            s_ids, s_tot, s_size = all_ids[o], all_tot[o], all_size[o]
+            s_ids = sc["need"]     # sorted-unique; owner chunks in order
+            s_tot = np.concatenate([v[0] for v in comm_vals])
+            s_size = np.concatenate([v[1] for v in comm_vals])
 
             def tot_of(ids):
                 return s_tot[np.searchsorted(s_ids, ids)]
@@ -616,12 +624,8 @@ class LouvainShard(AlgoShard):
             M = self.M
             gain = e_c / M + kv * ((tot_of(cur_c) - kv) - tot_of(gc_c)) / (2 * M * M)
             if len(gv_c):
-                ordc = np.lexsort((gc_c, -gain, gv_c))
-                v_s, c_s, g_s = gv_c[ordc], gc_c[ordc], gain[ordc]
-                first = np.empty(len(v_s), dtype=bool)
-                first[0] = True
-                first[1:] = v_s[1:] != v_s[:-1]
-                v_f, c_f, g_f = v_s[first], c_s[first], g_s[first]
+                # (gv_c, gc_c) sorted by (v, C asc) — see lv_moves_phase2
+                v_f, c_f, g_f = _segment_argmax(gv_c, gc_c, gain)
                 ok = (g_f > 0) | ((g_f == 0) & (c_f < labels[v_f - self.lo]))
                 v_f, c_f, g_f = v_f[ok], c_f[ok], g_f[ok]
                 pos = g_f - e_cur[v_f - self.lo] / M > 0
