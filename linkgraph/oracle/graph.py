@@ -50,7 +50,13 @@ class CSRGraph:
         w = np.asarray(w, dtype=np.float64)
         if n is None:
             n = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
-        order = np.lexsort((dst, src))
+        if (len(w) == 0 or (w == np.floor(w)).all()) and n < 3_000_000_000:
+            # integral weights: kernel sums are exact, so the order of
+            # equal (src,dst) multi-edges is irrelevant — one unstable
+            # composite-key sort instead of the stable lexsort
+            order = np.argsort(src * np.int64(n) + dst)
+        else:
+            order = np.lexsort((dst, src))
         src, dst, w = src[order], dst[order], w[order]
         indptr = np.zeros(n + 1, dtype=np.int64)
         np.add.at(indptr, src + 1, 1)

@@ -108,14 +108,12 @@ def modularity(g: CSRGraph, labels: np.ndarray, tot: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 # one bucket of synchronous moves (vectorized)
 
-def _bucket_moves(g: CSRGraph, sel: np.ndarray, labels: np.ndarray,
-                  tot: np.ndarray, size: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Best-move computation for vertices ``sel`` against current state.
-
-    Returns (vertices_that_move, their_new_labels).
-    """
+def _bucket_slice(g: CSRGraph, sel: np.ndarray):
+    """Static per-bucket edge slice (rows, cols, w, w_integral) — the
+    vertex sets and adjacency are invariant within a level, so one_level
+    hoists this out of its round loop."""
     if len(sel) == 0:
-        return sel, sel
+        return None
     deg = g.degrees
     counts = deg[sel]
     rows = np.repeat(sel, counts)
@@ -130,16 +128,31 @@ def _bucket_moves(g: CSRGraph, sel: np.ndarray, labels: np.ndarray,
                 - np.repeat(np.cumsum(counts) - counts, counts))
     cols = g.indices[take]
     w = g.weights[take]
-
     nonself = cols != rows
     rows, cols, w = rows[nonself], cols[nonself], w[nonself]
+    w_int = bool(len(w) == 0 or (w == np.floor(w)).all())
+    return rows, cols, w, w_int
+
+
+def _bucket_moves(g: CSRGraph, sel: np.ndarray, labels: np.ndarray,
+                  tot: np.ndarray, size: np.ndarray,
+                  slc=None) -> tuple[np.ndarray, np.ndarray]:
+    """Best-move computation for vertices ``sel`` against current state.
+
+    Returns (vertices_that_move, their_new_labels).
+    """
+    if len(sel) == 0:
+        return sel, sel
+    if slc is None:
+        slc = _bucket_slice(g, sel)
+    rows, cols, w, w_int = slc
     ncomm = labels[cols]
 
     # e_{v->C}: grouped sums by (v, C).  Integral weights (every level of
     # an unweighted graph) make sums exact => order-free, so a single
     # composite-key unstable sort replaces the stable lexsort; the float
     # fallback keeps the deterministic sorted order.
-    if len(w) == 0 or (w == np.floor(w)).all():
+    if w_int:
         mult = np.int64(max(g.n, int(ncomm.max(initial=0)) + 1))
         key = rows * mult + ncomm
         order = np.argsort(key)
@@ -214,18 +227,23 @@ def one_level(g: CSRGraph, labels: np.ndarray, min_gain: float,
     deg = g.degrees
     changed = False
     total_gain = min_gain
+    # static per-bucket vertex sets + edge slices, hoisted out of the
+    # round loop (they only depend on degrees and the subset mask)
+    buckets = []
+    for lo, hi in zip(BUCKET_BOUNDS[:-1], BUCKET_BOUNDS[1:]):
+        sel = (deg > lo) & (deg <= hi)
+        if subset is not None:
+            sel &= subset
+        sel_idx = np.flatnonzero(sel)
+        if len(sel_idx):
+            buckets.append((sel_idx, _bucket_slice(g, sel_idx)))
     # q_before of round r+1 == q_after of round r (no mutation between
     # the round-end and round-start computations) — compute once per round
     q_before = modularity(g, labels, tot)
     while total_gain >= min_gain:
-        for lo, hi in zip(BUCKET_BOUNDS[:-1], BUCKET_BOUNDS[1:]):
-            sel = (deg > lo) & (deg <= hi)
-            if subset is not None:
-                sel &= subset
-            sel_idx = np.flatnonzero(sel)
-            if len(sel_idx) == 0:
-                continue
-            movers, newc = _bucket_moves(g, sel_idx, labels, tot, size)
+        for sel_idx, slc in buckets:
+            movers, newc = _bucket_moves(g, sel_idx, labels, tot, size,
+                                         slc=slc)
             if len(movers):
                 labels[movers] = newc
                 tot = np.bincount(labels, weights=g.k, minlength=n_slots)
@@ -254,7 +272,9 @@ def contract(g: CSRGraph, labels: np.ndarray
     csrc, cdst = new_labels[src], new_labels[dst]
     n_new = len(uniq)
     key = csrc * np.int64(n_new) + cdst
-    order = np.argsort(key, kind="stable")
+    order = (np.argsort(key)
+             if len(w) == 0 or (w == np.floor(w)).all()
+             else np.argsort(key, kind="stable"))
     key_s, w_s = key[order], w[order]
     uk, start = np.unique(key_s, return_index=True)
     sums = np.add.reduceat(w_s, start) if len(start) else np.empty(0)

@@ -638,11 +638,17 @@ class GraphEngine:
         when edges <= ``louvain_driver_threshold`` (broadcast-small-side
         reasoning; see class attribute docstring)."""
         t0 = time.time()
-        tbl = pa.concat_tables(
-            ray.get([a.edge_arrays.remote() for a in self.actors]))
-        g = CSRGraph.from_edges(tbl.column("src").to_numpy(),
-                                tbl.column("dst").to_numpy(),
-                                tbl.column("w").to_numpy(), n=self.n)
+        ver = getattr(self, "_graph_version", 0)
+        cached = getattr(self, "_gathered_csr", None)
+        if cached is not None and cached[0] == ver and cached[1].n == self.n:
+            g = cached[1]
+        else:
+            tbl = pa.concat_tables(
+                ray.get([a.edge_arrays.remote() for a in self.actors]))
+            g = CSRGraph.from_edges(tbl.column("src").to_numpy(),
+                                    tbl.column("dst").to_numpy(),
+                                    tbl.column("w").to_numpy(), n=self.n)
+            self._gathered_csr = (ver, g)
         init_labels = None
         if init:
             init_labels = np.concatenate(
@@ -810,6 +816,7 @@ class GraphEngine:
                 add_tbl, ds_, dd_,
                 new_bounds.tolist() if new_bounds is not None else None))
         missing = sum(ray.get(calls))
+        self._graph_version = getattr(self, "_graph_version", 0) + 1
         # graph mutation drops the hub split (shards fall back to the
         # unsplit message path; re-split via install_hubs if desired)
         self.has_frags = False
