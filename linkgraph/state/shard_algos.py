@@ -303,12 +303,13 @@ class AlgoShard(GraphShard):
     def tri_serve_adjacency(self, ids: np.ndarray):
         """Oriented out-neighborhoods of requested local heads:
         (counts, concatenated_dsts)."""
+        from ..oracle.louvain import _ranges_concat
         ids = np.asarray(ids, dtype=np.int64)
         lo_pos = np.searchsorted(self._tri_src, ids, side="left")
         hi_pos = np.searchsorted(self._tri_src, ids, side="right")
         counts = hi_pos - lo_pos
-        out = np.concatenate([self._tri_dst[a:b] for a, b in zip(lo_pos, hi_pos)]) \
-            if len(ids) else np.empty(0, np.int64)
+        out = (self._tri_dst[_ranges_concat(lo_pos, counts)]
+               if len(ids) else np.empty(0, np.int64))
         return counts, out
 
     def tri_serve_adjacency_many(self, reqs) -> tuple:
@@ -344,17 +345,33 @@ class AlgoShard(GraphShard):
             return 0
         pos = sorted_pos[np.searchsorted(sorted_ids, v)]
         v_counts = counts[pos]
-        if v_counts.sum() == 0:
+        total_wedges = int(v_counts.sum())
+        if total_wedges == 0:
             return 0
-        w_off = np.concatenate([[0], np.cumsum(v_counts)])
-        take = (np.arange(w_off[-1], dtype=np.int64)
-                - np.repeat(w_off[:-1], v_counts)
-                + np.repeat(offs[pos], v_counts))
-        wedge_w = flat[take]
-        wedge_u = np.repeat(u, v_counts)
         local_keys = u * np.int64(self.n_global) + v  # sorted by (u,v)
-        q = wedge_u * np.int64(self.n_global) + wedge_w
-        i = np.searchsorted(local_keys, q)
-        i = np.minimum(i, len(local_keys) - 1)
-        closed = local_keys[i] == q
-        return int(closed.sum())
+        # expand wedges (u -> v -> w) in bounded chunks: the full wedge
+        # set is E * avg_outdeg entries — chunking keeps peak memory flat
+        # regardless of graph density
+        CHUNK = 4_000_000
+        cum = np.concatenate([[0], np.cumsum(v_counts)])
+        n_closed = 0
+        e_start = 0
+        while e_start < len(u):
+            e_end = int(np.searchsorted(cum, cum[e_start] + CHUNK,
+                                        side="left"))
+            e_end = max(e_end, e_start + 1)
+            vc = v_counts[e_start:e_end]
+            nw = int(vc.sum())
+            if nw:
+                w_off = np.concatenate([[0], np.cumsum(vc)])
+                take = (np.arange(nw, dtype=np.int64)
+                        - np.repeat(w_off[:-1], vc)
+                        + np.repeat(offs[pos[e_start:e_end]], vc))
+                wedge_w = flat[take]
+                wedge_u = np.repeat(u[e_start:e_end], vc)
+                q = wedge_u * np.int64(self.n_global) + wedge_w
+                i = np.searchsorted(local_keys, q)
+                i = np.minimum(i, len(local_keys) - 1)
+                n_closed += int((local_keys[i] == q).sum())
+            e_start = e_end
+        return n_closed
