@@ -253,3 +253,68 @@ class TestDeltas:
         full = louvain(g, init_labels=res["labels"],
                        subset=np.ones(60, dtype=bool))
         assert full["modularity"] >= res["modularity"] - 1e-9
+
+
+class TestKernelHelpers:
+    """The shared vectorized kernels behind the sort-free tournaments and
+    message splits."""
+
+    def test_segment_argmax_matches_lexsort_tournament(self):
+        from linkgraph.oracle.louvain import _segment_argmax
+        rng = np.random.default_rng(7)
+        for trial in range(20):
+            n = rng.integers(1, 400)
+            seg = np.sort(rng.integers(0, 40, n))
+            # cand ascending within each segment (the kernels' invariant)
+            cand = rng.integers(0, 1000, n)
+            order = np.lexsort((cand, seg))
+            seg, cand = seg[order], cand[order]
+            # force plenty of score ties
+            score = rng.integers(0, 4, n).astype(np.float64)
+            v, c, s = _segment_argmax(seg, cand, score)
+            # reference: lexsort((cand, -score, seg)), first per segment
+            ordc = np.lexsort((cand, -score, seg))
+            v_s, c_s, s_s = seg[ordc], cand[ordc], score[ordc]
+            first = np.empty(len(v_s), dtype=bool)
+            first[0] = True
+            first[1:] = v_s[1:] != v_s[:-1]
+            assert np.array_equal(v, v_s[first])
+            assert np.array_equal(c, c_s[first])
+            assert np.array_equal(s, s_s[first])
+
+    def test_ranges_concat(self):
+        from linkgraph.oracle.louvain import _ranges_concat
+        starts = np.array([5, 0, 7], dtype=np.int64)
+        counts = np.array([3, 0, 2], dtype=np.int64)
+        want = np.array([5, 6, 7, 7, 8], dtype=np.int64)
+        assert np.array_equal(_ranges_concat(starts, counts), want)
+
+    def test_split_by_owner_sorted_fast_path_matches_general(self):
+        from linkgraph.state.partition import split_by_owner
+        rng = np.random.default_rng(3)
+        bounds = np.array([0, 10, 25, 60, 100], dtype=np.int64)
+        ids_unsorted = rng.integers(0, 100, 57).astype(np.int64)
+        vals = rng.random(57)
+        general = split_by_owner(ids_unsorted, bounds, vals)
+        order = np.argsort(ids_unsorted, kind="stable")
+        fast = split_by_owner(ids_unsorted[order], bounds, vals[order])
+        for (gi, gv), (fi, fv) in zip(general, fast):
+            assert np.array_equal(np.sort(gi), np.sort(fi))
+            assert np.allclose(np.sort(gv), np.sort(fv))
+
+    def test_from_edges_integral_vs_float_paths_same_graph(self):
+        rng = np.random.default_rng(5)
+        src = rng.integers(0, 30, 200)
+        dst = rng.integers(0, 30, 200)
+        w_int = rng.integers(1, 4, 200).astype(np.float64)
+        g1 = CSRGraph.from_edges(src, dst, w_int, n=30)       # unstable
+        g2 = CSRGraph.from_edges(src, dst, w_int + 0.5, n=30)  # stable
+        # same structure; k sums differ by exactly 0.5*degree
+        assert np.array_equal(g1.indptr, g2.indptr)
+        deg = np.diff(g1.indptr)
+        assert np.allclose(g2.k - g1.k, 0.5 * deg)
+        # grouped neighbor ids identical per row
+        for v in range(30):
+            a0, a1 = g1.indptr[v], g1.indptr[v + 1]
+            assert np.array_equal(np.sort(g1.indices[a0:a1]),
+                                  np.sort(g2.indices[a0:a1]))
