@@ -36,9 +36,11 @@ def _build_engine(args):
     import ray.data as rd
     from .state.engine import GraphEngine
     edges = rd.read_parquet(args.edges)
-    return GraphEngine.from_dataset(
+    eng = GraphEngine.from_dataset(
         edges, n_nodes=args.n_nodes,
         n_parts=args.n_parts, name=args.job_name)
+    eng.louvain_driver_threshold = getattr(args, "driver_threshold", 0)
+    return eng
 
 
 def cmd_ingest(args):
@@ -116,6 +118,9 @@ def main(argv=None):
         p.add_argument("--job-name", default="job")
         p.add_argument("--out", default=None)
         p.add_argument("--ckpt-dir", default=None)
+        # opt-in small-graph Louvain fast path (0 = always distributed);
+        # see GraphEngine.louvain_driver_threshold
+        p.add_argument("--driver-threshold", type=int, default=0)
 
     p = sub.add_parser("pagerank")
     graph_args(p)
