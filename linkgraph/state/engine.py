@@ -450,37 +450,49 @@ class GraphEngine:
         return to_own / (2 * self.M) - tot_sq / (4 * self.M * self.M)
 
     def _one_level(self, min_gain: float, use_subset: bool) -> tuple[bool, float]:
-        """Distributed level-0 one_level.  Returns (changed, final_q)."""
+        """Distributed level-0 one_level.  Returns (changed, final_q).
+
+        A whole round (all active buckets) is submitted as ONE pipelined
+        chain of actor calls with a single driver barrier at round end:
+        each actor's task queue runs [sync-serve, sync-apply, phase1,
+        comm-serve, phase2, apply] per bucket in submission order, and
+        cross-actor dependencies resolve through ObjectRefs inside the
+        actors.  At P partitions this cuts driver round-trips per round
+        from ~2x#buckets to 1 — the barrier-latency term that dominated
+        scaling once the per-bucket compute was vectorized down."""
         changed = False
         total_gain = min_gain
-        q_before = self._modularity()
+        q_before = self._modularity()  # refreshes ghost labels (barrier)
         # skip globally-empty degree buckets (the common case at high
-        # bucket ids); ghost labels refresh only after actual moves
+        # bucket ids)
         counts = np.sum(ray.get([a.lv_bucket_counts.remote(use_subset)
                                  for a in self.actors]), axis=0)
         active_buckets = [b for b in range(N_BUCKETS) if counts[b] > 0]
-        labels_dirty = False  # _modularity() above refreshed ghosts
         while total_gain >= min_gain:
             t_round = time.time()
-            moved_round = 0
-            for bucket in active_buckets:
-                if labels_dirty:
-                    self._store_ghost_labels()
+            apply_refs = []
+            for k, bucket in enumerate(active_buckets):
+                if k > 0:
+                    # incremental ghost-label sync for the previous
+                    # bucket's moves, pipelined (no driver barrier);
+                    # the first bucket's cache is fresh from _modularity
+                    outs = [a.lv_serve_changed.options(num_returns=self.P)
+                            .remote() for a in self.actors]
+                    for i, a in enumerate(self.actors):
+                        a.lv_cache_apply.remote(
+                            [outs[j][i] for j in range(self.P)])
                 reqs = [a.lv_moves_phase1.options(num_returns=self.P)
                         .remote(bucket, use_subset) for a in self.actors]
                 comm_vals = self._exchange_comm_aggs(reqs)
                 deltas = [a.lv_moves_phase2.options(num_returns=self.P)
                           .remote(comm_vals[i])
                           for i, a in enumerate(self.actors)]
-                moved = ray.get([
+                apply_refs.extend(
                     a.lv_apply_comm_deltas.remote(
                         [deltas[i][j] for i in range(self.P)])
-                    for j, a in enumerate(self.actors)])
-                moved_bucket = sum(moved)
-                labels_dirty = labels_dirty or moved_bucket > 0
-                moved_round += moved_bucket
-            q_after = self._modularity()
-            labels_dirty = False  # _modularity refreshed ghosts
+                    for j, a in enumerate(self.actors))
+            moved_round = int(sum(ray.get(apply_refs)))
+            q_after = self._modularity()  # syncs the last bucket's moves
             total_gain = q_after - q_before
             changed = changed or (total_gain > 0)
             self.metrics.append({
