@@ -332,6 +332,39 @@ class GraphEngine:
             ray.get([a.pagerank_init.remote(damping) for a in self.actors])
         n_edges = sum(s["n_edges"] for s in self.stats)
         t0 = time.time()
+        if tol <= 0 and not (checkpoint_every and ckpt_dir):
+            # fixed-iteration mode: every superstep wave is submitted up
+            # front (per-actor queue order + refs carry the dependencies,
+            # as in _one_level) and the driver blocks ONCE on all deltas
+            delta_refs: list[list] = []
+            for _ in range(start_iter, max_iter):
+                if self.has_frags:
+                    vals = self._fetch_frag("pr_contrib")
+                    outs = [a.pagerank_partials.options(num_returns=self.P)
+                            .remote(vals[i])
+                            for i, a in enumerate(self.actors)]
+                else:
+                    outs = [a.pagerank_partials.options(num_returns=self.P)
+                            .remote() for a in self.actors]
+                delta_refs.append([
+                    a.pagerank_apply.remote(
+                        [outs[i][j] for i in range(self.P)])
+                    for j, a in enumerate(self.actors)])
+            flat = ray.get([r for refs in delta_refs for r in refs])
+            secs = time.time() - t0
+            n_it = max_iter - start_iter
+            per_iter = [float(sum(flat[k * self.P:(k + 1) * self.P]))
+                        for k in range(n_it)]
+            for k, d in enumerate(per_iter):
+                self.metrics.append({
+                    "job": self.name, "algo": "pagerank",
+                    "superstep": start_iter + k + 1, "delta": d,
+                    "secs": secs / max(1, n_it), "edges": n_edges,
+                    "edges_per_sec": n_edges * n_it / max(1e-9, secs),
+                })
+            return {"iterations": max_iter, "delta": per_iter[-1] if per_iter
+                    else 0.0, "secs": secs,
+                    "edges_per_sec": n_edges * max(1, n_it) / max(1e-9, secs)}
         it = start_iter
         delta = float("inf")
         while it < max_iter and delta >= tol:
@@ -367,23 +400,38 @@ class GraphEngine:
 
     # ------------------------------------------------- connected components
 
+    # supersteps per driver barrier for the convergence-checked algorithms
+    # (min-propagation / argmax-label updates are idempotent at the fixed
+    # point, so overshooting a converged state by <block supersteps is a
+    # no-op; the barrier count drops block-fold)
+    SUPERSTEP_BLOCK = 4
+
     def connected_components(self, max_iter: int = 10_000) -> dict:
         ray.get([a.cc_init.remote() for a in self.actors])
         it = 0
         while it < max_iter:
-            it += 1
-            if self.has_frags:
-                vals = self._fetch_frag("comp")
-                outs = [a.cc_partials.options(num_returns=self.P)
-                        .remote(vals[i]) for i, a in enumerate(self.actors)]
-            else:
-                outs = [a.cc_partials.options(num_returns=self.P).remote()
-                        for a in self.actors]
-            changed = ray.get([
-                a.cc_apply.remote([outs[i][j] for i in range(self.P)])
-                for j, a in enumerate(self.actors)])
-            if sum(changed) == 0:
+            block_refs = []
+            n_b = min(self.SUPERSTEP_BLOCK, max_iter - it)
+            for _ in range(n_b):
+                if self.has_frags:
+                    vals = self._fetch_frag("comp")
+                    outs = [a.cc_partials.options(num_returns=self.P)
+                            .remote(vals[i])
+                            for i, a in enumerate(self.actors)]
+                else:
+                    outs = [a.cc_partials.options(num_returns=self.P)
+                            .remote() for a in self.actors]
+                block_refs.append([
+                    a.cc_apply.remote([outs[i][j] for i in range(self.P)])
+                    for j, a in enumerate(self.actors)])
+            flat = ray.get([r for refs in block_refs for r in refs])
+            per_iter = [sum(flat[k * self.P:(k + 1) * self.P])
+                        for k in range(n_b)]
+            done = [k for k, c in enumerate(per_iter) if c == 0]
+            if done:
+                it += done[0] + 1
                 break
+            it += n_b
         return {"iterations": it}
 
     def cc_result(self) -> pa.Table:
@@ -396,19 +444,28 @@ class GraphEngine:
         ray.get([a.lpa_init.remote() for a in self.actors])
         it = 0
         while it < max_iter:
-            it += 1
-            if self.has_frags:
-                vals = self._fetch_frag("lpa")
-                outs = [a.lpa_partials.options(num_returns=self.P)
-                        .remote(vals[i]) for i, a in enumerate(self.actors)]
-            else:
-                outs = [a.lpa_partials.options(num_returns=self.P).remote()
-                        for a in self.actors]
-            changed = ray.get([
-                a.lpa_apply.remote([outs[i][j] for i in range(self.P)])
-                for j, a in enumerate(self.actors)])
-            if sum(changed) == 0:
+            block_refs = []
+            n_b = min(self.SUPERSTEP_BLOCK, max_iter - it)
+            for _ in range(n_b):
+                if self.has_frags:
+                    vals = self._fetch_frag("lpa")
+                    outs = [a.lpa_partials.options(num_returns=self.P)
+                            .remote(vals[i])
+                            for i, a in enumerate(self.actors)]
+                else:
+                    outs = [a.lpa_partials.options(num_returns=self.P)
+                            .remote() for a in self.actors]
+                block_refs.append([
+                    a.lpa_apply.remote([outs[i][j] for i in range(self.P)])
+                    for j, a in enumerate(self.actors)])
+            flat = ray.get([r for refs in block_refs for r in refs])
+            per_iter = [sum(flat[k * self.P:(k + 1) * self.P])
+                        for k in range(n_b)]
+            done = [k for k, c in enumerate(per_iter) if c == 0]
+            if done:
+                it += done[0] + 1
                 break
+            it += n_b
         return {"iterations": it}
 
     def lpa_result(self) -> pa.Table:
