@@ -228,15 +228,22 @@ class GraphEngine:
         ray.get(pending)
         eng.finalize()
         if len(hubs):
-            eng.install_hubs(hubs)
+            eng.install_hubs(hubs, deg[hubs].astype(np.int64))
         return eng
 
-    def install_hubs(self, hubs: np.ndarray):
+    def install_hubs(self, hubs: np.ndarray,
+                     hub_degs: np.ndarray | None = None):
         """Activate the high-degree split on already-ingested fragments.
         The per-requester hub-id lists are pushed to the owners ONCE, so
-        each iteration's frag exchange is a single frag_serve wave."""
+        each iteration's frag exchange is a single frag_serve wave.
+        ``hub_degs`` (global degrees aligned with ``hubs``) additionally
+        enables the Louvain hub split (fragment holders bucket their hub
+        srcs by degree)."""
         hub_ref = ray.put(np.asarray(hubs, dtype=np.int64))
-        ray.get([a.set_hubs.remote(hub_ref) for a in self.actors])
+        degs_ref = ray.put(np.asarray(hub_degs, dtype=np.int64)) \
+            if hub_degs is not None else None
+        ray.get([a.set_hubs.remote(hub_ref, degs_ref)
+                 for a in self.actors])
         reqs = ray.get([a.get_frag_requests.remote() for a in self.actors])
         ray.get([a.store_frag_requests.remote(
             [reqs[i][j] for i in range(self.P)])
@@ -525,6 +532,16 @@ class GraphEngine:
         counts = np.sum(ray.get([a.lv_bucket_counts.remote(use_subset)
                                  for a in self.actors]), axis=0)
         active_buckets = [b for b in range(N_BUCKETS) if counts[b] > 0]
+        if self.has_frags:
+            # Louvain hub split: fragment holders need the per-level R
+            # membership of their hub srcs (static per level)
+            if use_subset:
+                r_vals = self._fetch_frag("R")
+                ray.get([a.lv_frag_install_subset.remote(r_vals[i])
+                         for i, a in enumerate(self.actors)])
+            else:
+                ray.get([a.lv_frag_install_subset.remote(None)
+                         for a in self.actors])
         while total_gain >= min_gain:
             t_round = time.time()
             apply_refs = []
@@ -538,8 +555,19 @@ class GraphEngine:
                     for i, a in enumerate(self.actors):
                         a.lv_cache_apply.remote(
                             [outs[j][i] for j in range(self.P)])
-                reqs = [a.lv_moves_phase1.options(num_returns=self.P)
-                        .remote(bucket, use_subset) for a in self.actors]
+                if self.has_frags:
+                    frag_outs = [a.lv_frag_partials
+                                 .options(num_returns=self.P)
+                                 .remote(bucket) for a in self.actors]
+                    reqs = [a.lv_moves_phase1.options(num_returns=self.P)
+                            .remote(bucket, use_subset,
+                                    [frag_outs[j][i]
+                                     for j in range(self.P)])
+                            for i, a in enumerate(self.actors)]
+                else:
+                    reqs = [a.lv_moves_phase1.options(num_returns=self.P)
+                            .remote(bucket, use_subset)
+                            for a in self.actors]
                 comm_vals = self._exchange_comm_aggs(reqs)
                 deltas = [a.lv_moves_phase2.options(num_returns=self.P)
                           .remote(comm_vals[i])

@@ -100,6 +100,10 @@ class GraphShard:
         self.frag_counts = np.empty(0, np.int64)
         self.frag_dst = np.empty(0, np.int64)
         self.frag_w = np.empty(0, np.float64)
+        self.frag_offsets = np.zeros(1, np.int64)
+        self.frag_src_bucket = np.empty(0, np.int64)
+        self._hub_ids_sorted = np.empty(0, np.int64)
+        self._hub_degs: np.ndarray | None = None
         self._frag_groups = (np.empty(0, np.int64), np.empty(0, np.int64),
                              np.empty(0, np.int64))
         # CSR over local vertices: indptr local-indexed, indices GLOBAL ids
@@ -137,10 +141,15 @@ class GraphShard:
             self._frag_pending.append(tbl)
         return sum(t.num_rows for t in self._frag_pending)
 
-    def set_hubs(self, hub_ids: np.ndarray):
+    def set_hubs(self, hub_ids: np.ndarray, hub_degs: np.ndarray | None = None):
         """Install the hub set: mask hub-src CSR rows out of the message
-        path and index the ingested fragments (sorted by src, then dst)."""
+        path and index the ingested fragments (sorted by src, then dst).
+        ``hub_degs`` (global out-degrees, aligned with ``hub_ids``) lets
+        fragment holders bucket their hub srcs for the Louvain split."""
         hub_ids = np.asarray(hub_ids, dtype=np.int64)
+        self._hub_ids_sorted = hub_ids  # engine sends them sorted
+        self._hub_degs = (np.asarray(hub_degs, dtype=np.int64)
+                          if hub_degs is not None else None)
         self.hub_mask = np.zeros(self.n_local, dtype=bool)
         local = hub_ids[(hub_ids >= self.lo) & (hub_ids < self.hi)]
         self.hub_mask[local - self.lo] = True
@@ -159,6 +168,17 @@ class GraphShard:
             self.frag_src_u, counts = np.unique(fsrc, return_counts=True)
             self.frag_counts = counts
             self.frag_dst, self.frag_w = fdst, fw
+            self.frag_offsets = np.concatenate(
+                [[0], np.cumsum(counts)]).astype(np.int64)
+            if self._hub_degs is not None and len(self.frag_src_u):
+                degs = self._hub_degs[np.searchsorted(self._hub_ids_sorted,
+                                                      self.frag_src_u)]
+                from ..oracle.louvain import BUCKET_BOUNDS
+                self.frag_src_bucket = (np.searchsorted(
+                    np.asarray(BUCKET_BOUNDS), degs, side="left") - 1)
+            else:
+                self.frag_src_bucket = np.full(len(self.frag_src_u), -1,
+                                               dtype=np.int64)
             # static local dst-grouping of fragment edges
             fperm = np.argsort(fdst, kind="stable")
             fk = fdst[fperm]
@@ -169,6 +189,8 @@ class GraphShard:
             self.frag_counts = np.empty(0, np.int64)
             self.frag_dst = np.empty(0, np.int64)
             self.frag_w = np.empty(0, np.float64)
+            self.frag_offsets = np.zeros(1, np.int64)
+            self.frag_src_bucket = np.empty(0, np.int64)
             self._frag_groups = (np.empty(0, np.int64),
                                  np.empty(0, np.int64),
                                  np.empty(0, np.int64))
@@ -253,10 +275,18 @@ class GraphShard:
         self.frag_counts = np.empty(0, np.int64)
         self.frag_dst = np.empty(0, np.int64)
         self.frag_w = np.empty(0, np.float64)
+        self.frag_offsets = np.zeros(1, np.int64)
+        self.frag_src_bucket = np.empty(0, np.int64)
         self._frag_groups = (np.empty(0, np.int64), np.empty(0, np.int64),
                              np.empty(0, np.int64))
         loc = src - self.lo
-        order = np.lexsort((dst, loc))
+        if len(w) == 0 or (w == np.floor(w)).all():
+            # integral weights: kernel sums are exact, so multi-edge
+            # order is irrelevant — unstable composite-key sort (the
+            # stable lexsort dominated CSR build time at 100M edges)
+            order = np.argsort(loc * np.int64(self.n_global) + dst)
+        else:
+            order = np.lexsort((dst, loc))
         loc, dst, w = loc[order], dst[order], w[order]
         indptr = np.zeros(self.n_local + 1, dtype=np.int64)
         np.add.at(indptr, loc + 1, 1)

@@ -108,8 +108,11 @@ class LouvainShard(AlgoShard):
         labels = self.state["labels"]
         for r in self._lbl_serve_reqs:
             if len(movers) and len(r):
-                hit = np.isin(r, movers)
-                idx = np.flatnonzero(hit)
+                # movers is sorted-unique: membership via searchsorted
+                # (np.isin would re-sort movers once per requester)
+                pos = np.minimum(np.searchsorted(movers, r),
+                                 len(movers) - 1)
+                idx = np.flatnonzero(movers[pos] == r)
                 out.append((idx, labels[r[idx] - self.lo]))
             else:
                 out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
@@ -141,15 +144,71 @@ class LouvainShard(AlgoShard):
                                  np.searchsorted(self._lv_ids, self.indices))
         return self._lv_labs[self._all_col_pos[1]]
 
+    # ---------- hub-split fragments (skew mitigation for the move phase) --
+    #
+    # Hub vertices' e_{v->C} grouped sums are computed where the EDGES
+    # live: each fragment holder groups its hub-src edges by the labels
+    # of its LOCAL dst vertices (no ghost fetch needed) and ships the
+    # per-owner (hub, comm, partial_e) triples; the owner merges them
+    # into its move tournament.  Exact for integral weights (partial
+    # sums are exact integers), so identical decisions to the unsplit
+    # path — without the one-actor-per-hub-range straggler.
+
+    def lv_frag_install_subset(self, r_vals=None):
+        """Install the per-level R membership of this shard's fragment
+        hub srcs (``r_vals``: per-owner chunks served by frag_serve("R");
+        None = no subset, all hubs active)."""
+        if r_vals is None:
+            self._frag_src_R = np.ones(len(self.frag_src_u), dtype=bool)
+        else:
+            self._frag_src_R = self._frag_src_values(r_vals).astype(bool)
+
+    def lv_frag_partials(self, bucket: int):
+        """Per-owner (hub_id, comm, partial_e) triples for fragment hub
+        srcs in ``bucket`` ∩ R (num_returns=P)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+        sel = self.frag_src_bucket == bucket
+        r = getattr(self, "_frag_src_R", None)
+        if r is not None and len(r) == len(sel):
+            sel &= r
+        sel_idx = np.flatnonzero(sel)
+        if len(sel_idx) == 0:
+            return tuple(empty for _ in range(self.P))
+        from ..oracle.louvain import _ranges_concat
+        counts = self.frag_counts[sel_idx]
+        take = _ranges_concat(self.frag_offsets[sel_idx], counts)
+        v = np.repeat(self.frag_src_u[sel_idx], counts)
+        u = self.frag_dst[take]
+        w = self.frag_w[take]
+        nonself = u != v
+        v, u, w = v[nonself], u[nonself], w[nonself]
+        lab = self.state["labels"][u - self.lo]   # dsts are local here
+        if len(w) == 0 or (w == np.floor(w)).all():
+            mult = np.int64(max(self.n_global, int(lab.max(initial=0)) + 1))
+            key = v * mult + lab
+            order = np.argsort(key)
+        else:
+            order = np.lexsort((lab, v))
+        v, lab, w = v[order], lab[order], w[order]
+        newgrp = np.empty(len(v), dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = (v[1:] != v[:-1]) | (lab[1:] != lab[:-1])
+        starts = np.flatnonzero(newgrp)
+        gv, gc = v[starts], lab[starts]
+        e = np.add.reduceat(w, starts)
+        return tuple(split_by_owner(gv, self.bounds, gc, e))
+
     # ---------- bucketed move phase ----------------------------------------
 
-    def _bucket_slice(self, bucket: int, use_subset: bool):
+    def _bucket_slice(self, bucket: int, use_subset: bool,
+                      exclude_hubs: bool = False):
         """Static per-bucket edge slice (sel_idx, rows, cols, w, col_pos)
         — cached per graph/R/label-cache version; rebuilding it every
-        round was pure recompute of invariants."""
+        round was pure recompute of invariants.  ``exclude_hubs`` drops
+        hub-src rows (their grouped sums arrive as fragment partials)."""
         key = (bucket, use_subset,
                getattr(self, "_r_epoch", 0) if use_subset else -1,
-               getattr(self, "_lv_cache_epoch", 0))
+               getattr(self, "_lv_cache_epoch", 0), exclude_hubs)
         cache = getattr(self, "_lv_bucket_cache", None)
         if cache is None:
             cache = self._lv_bucket_cache = {}
@@ -163,6 +222,8 @@ class LouvainShard(AlgoShard):
         sel = (deg > lo_b) & (deg <= hi_b)
         if use_subset:
             sel &= self.state["R"].astype(bool)
+        if exclude_hubs:
+            sel &= ~self.hub_mask
         sel_idx = np.flatnonzero(sel)
         if len(sel_idx) == 0:
             out = (sel_idx, None, None, None, None, True)
@@ -191,16 +252,45 @@ class LouvainShard(AlgoShard):
         cache[key] = out
         return out
 
-    def lv_moves_phase1(self, bucket: int, use_subset: bool):
+    def lv_moves_phase1(self, bucket: int, use_subset: bool,
+                        frag_msgs=None):
         """Compute e_{v->C} for bucket vertices; return per-owner comm-id
-        request arrays (num_returns=P).  Intermediates stashed."""
+        request arrays (num_returns=P).  Intermediates stashed.
+
+        ``frag_msgs`` (hub split active): per-frag-shard (hub, comm,
+        partial_e) triples for LOCAL hubs; hub-src CSR rows are excluded
+        from the local slice and the partials merged into the grouped
+        sums instead — same totals, skew-balanced."""
+        use_frags = frag_msgs is not None
         sel_idx, rows, cols, w, col_pos, w_int = self._bucket_slice(
-            bucket, use_subset)
+            bucket, use_subset, exclude_hubs=use_frags)
         self._mv = None
-        if len(sel_idx) == 0:
+        if use_frags:
+            fm = _resolve(list(frag_msgs))
+            f_gv = np.concatenate([m[0] for m in fm]) if fm \
+                else np.empty(0, np.int64)
+            f_gc = np.concatenate([m[1] for m in fm]) if fm \
+                else np.empty(0, np.int64)
+            f_e = np.concatenate([m[2] for m in fm]) if fm else np.empty(0)
+        else:
+            f_gv = f_gc = np.empty(0, np.int64)
+            f_e = np.empty(0)
+        if len(sel_idx) == 0 and len(f_gv) == 0:
             empty = np.empty(0, np.int64)
             return tuple(empty for _ in range(self.P))
-        ncomm = self._lv_labs[col_pos]
+        if len(sel_idx):
+            ncomm = self._lv_labs[col_pos]
+        else:
+            rows = np.empty(0, np.int64)
+            ncomm = np.empty(0, np.int64)
+            w = np.empty(0)
+        if len(f_gv):
+            # append hub partial-sum entries as weighted pseudo-edges;
+            # the grouped sum below merges them with any local entries
+            rows = np.concatenate([rows, f_gv - self.lo])
+            ncomm = np.concatenate([ncomm, f_gc])
+            w = np.concatenate([w, f_e])
+            w_int = w_int and bool((f_e == np.floor(f_e)).all())
 
         if w_int:
             # single composite key + unstable introsort (the stable

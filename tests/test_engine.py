@@ -136,3 +136,70 @@ class TestCheckpointResume:
         assert np.allclose(got, want, atol=1e-9)
         eng.shutdown()
         eng2.shutdown()
+
+
+class TestHubSplitLouvain:
+    """The Louvain hub split (fragment partial e_{v,C} sums) must be
+    indistinguishable from the unsplit path and from the oracle."""
+
+    @staticmethod
+    def hub_graph(n=1500, seed=9):
+        rng = np.random.RandomState(seed)
+        # planted blocks + 3 mega-hubs (degree >> HUB_DEGREE_FACTOR*avg)
+        block = n // 5
+        src, dst = [], []
+        for _ in range(n * 5):
+            u = rng.randint(0, n)
+            v = ((u // block) * block + rng.randint(0, block)
+                 if rng.rand() < 0.8 else rng.randint(0, n))
+            if u != v:
+                src.append(u)
+                dst.append(v)
+        for hub in (7, 400, 1100):
+            tgts = rng.choice(n, 700, replace=False)
+            for v in tgts:
+                if v != hub:
+                    src.append(hub)
+                    dst.append(v)
+        s = np.array(src + dst, dtype=np.int64)
+        d = np.array(dst + src, dtype=np.int64)
+        return s, d
+
+    def test_split_matches_unsplit_and_oracle(self, engine_mod, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        s, d = self.hub_graph()
+        n = 1500
+        ds = rd.from_arrow(pa.table({"src": s, "dst": d})) \
+            .repartition(8).materialize()
+
+        eng_split = engine_mod.from_dataset(ds, n_nodes=n, n_parts=3,
+                                            name="hub_on", split_hubs=True)
+        assert eng_split.has_frags, "fixture must actually trigger the split"
+        eng_plain = engine_mod.from_dataset(ds, n_nodes=n, n_parts=3,
+                                            name="hub_off",
+                                            split_hubs=False)
+        res_s = eng_split.louvain()
+        res_p = eng_plain.louvain()
+        lab_s = eng_split.louvain_result().to_pandas() \
+            .sort_values("node")["comm"].to_numpy()
+        lab_p = eng_plain.louvain_result().to_pandas() \
+            .sort_values("node")["comm"].to_numpy()
+
+        g = CSRGraph.from_edges(s, d, np.ones(len(s)), n=n)
+        want = olv.louvain(g)
+
+        assert abs(res_s["modularity"] - want["modularity"]) < 1e-12
+        assert abs(res_p["modularity"] - want["modularity"]) < 1e-12
+        assert np.array_equal(lab_s, lab_p)
+        assert np.array_equal(lab_s, want["labels"])
+
+        # PageRank on the same split engine still matches the oracle
+        eng_split.pagerank(tol=1e-12)
+        pr = eng_split.pagerank_result().to_pandas() \
+            .sort_values("node")["rank"].to_numpy()
+        want_pr, _ = pagerank(n, s, d, tol=1e-12)
+        assert np.allclose(pr, want_pr, atol=1e-9)
+        eng_split.shutdown()
+        eng_plain.shutdown()
