@@ -54,21 +54,6 @@ def _route_block(tbl: pa.Table, bounds: np.ndarray):
     return tuple(out) if P > 1 else out[0]
 
 
-@ray.remote
-def _route_block_split(tbl: pa.Table, bounds: np.ndarray, hub_bool):
-    """Like _route_block, plus: edges whose src is a hub are ALSO routed
-    by owner(dst) as fragments (num_returns=2P: P CSR parts then P
-    fragment parts) — the high-degree vertex split."""
-    src = tbl.column("src").to_numpy()
-    dst = tbl.column("dst").to_numpy()
-    P = len(bounds) - 1
-    own_src = np.searchsorted(bounds, src, side="right") - 1
-    csr_parts = _split_table(tbl, own_src, P)
-    is_hub = hub_bool[src]
-    hub_tbl = tbl.filter(pa.array(is_hub))
-    own_dst = np.searchsorted(bounds, dst[is_hub], side="right") - 1
-    frag_parts = _split_table(hub_tbl, own_dst, P)
-    return tuple(csr_parts) + tuple(frag_parts)
 
 
 def degree_balanced_bounds(src: "np.ndarray | None", n_nodes: int,
@@ -151,85 +136,74 @@ class GraphEngine:
     # per-vertex out-degrees above this multiple of the average mark a
     # vertex as a hub -> its out-edges are split across partitions
     HUB_DEGREE_FACTOR = 32
-    # exact per-vertex degree vectors are held driver-side only up to this
-    # many vertices; beyond it, splitting would switch to a top-k sketch
-    MAX_EXACT_DEGREE_NODES = 50_000_000
 
     @classmethod
     def from_dataset(cls, edges_ds, *, n_nodes: int, n_parts: int = 4,
                      name: str = "graph",
                      split_hubs: bool = True) -> "GraphEngine":
         """Build from a Ray Data edge Dataset (src,dst[,w]) without moving
-        rows through the driver: per-block degree bincounts (combiner)
-        drive degree-balanced bounds + hub detection, then per-block
-        routing tasks feed the shard actors (hub-src edges additionally
-        routed by owner(dst) as fragments — skew mitigation)."""
+        rows through the driver: a COARSE per-block degree histogram
+        (4096 buckets — O(1) per block regardless of n_nodes) drives the
+        degree-balanced bounds, per-block routing tasks feed the shard
+        actors, and hubs are detected POST-build from each shard's local
+        CSR degrees (no n_nodes-length vector ever touches the driver, so
+        this scales to billions of vertices).  Hub fragments are then
+        exported owner→owner(dst) as a targeted mini-shuffle of only the
+        hub edges (skew mitigation, see install_hubs)."""
         width = max(1, -(-n_nodes // 4096))
         nb = -(-n_nodes // width)
         block_refs = edges_ds.to_arrow_refs()
-        exact = split_hubs and n_nodes <= cls.MAX_EXACT_DEGREE_NODES
 
         @ray.remote
         def _deg_block(tbl: pa.Table) -> np.ndarray:
             src = tbl.column("src").to_numpy()
-            if exact:
-                return np.bincount(src, minlength=n_nodes)
             return np.bincount(src // width, minlength=nb).astype(np.float64)
 
-        @ray.remote
-        def _deg_merge(*parts) -> np.ndarray:
-            return np.sum(parts, axis=0)
-
-        # tree-reduce the per-block bincounts task-side: with exact
-        # degrees each partial is n_nodes long, so a flat driver-side sum
-        # would pull (#blocks x n_nodes) through the driver
-        refs = [_deg_block.remote(b) for b in block_refs]
-        while len(refs) > 8:
-            refs = [_deg_merge.remote(*refs[i:i + 8])
-                    for i in range(0, len(refs), 8)]
-        parts_ = ray.get(refs)
-        agg = np.sum(parts_, axis=0) if parts_ else np.zeros(
-            n_nodes if exact else nb)
-        if exact:
-            deg = agg
-            pad = np.zeros(nb * width)
-            pad[:n_nodes] = deg
-            hist = pad.reshape(nb, width).sum(axis=1)
-            n_edges_tot = float(deg.sum())
-            thr = max(256, int(cls.HUB_DEGREE_FACTOR * n_edges_tot
-                               / max(1, n_nodes)))
-            hubs = np.flatnonzero(deg > thr).astype(np.int64)
-        else:
-            hist = agg
-            hubs = np.empty(0, np.int64)
+        hist_parts = ray.get([_deg_block.remote(b) for b in block_refs])
+        hist = np.sum(hist_parts, axis=0) if hist_parts else np.zeros(nb)
         bounds = degree_balanced_bounds(None, n_nodes, n_parts,
                                         degree_hist=hist)
         eng = cls(bounds, name=name)
         bounds_ref = ray.put(eng.bounds)
         pending = []
-        if len(hubs):
-            hub_bool = np.zeros(n_nodes, dtype=bool)
-            hub_bool[hubs] = True
-            hub_bool_ref = ray.put(hub_bool)
-            for blk in block_refs:
-                parts = _route_block_split.options(num_returns=2 * eng.P) \
-                    .remote(blk, bounds_ref, hub_bool_ref)
-                for p, a in enumerate(eng.actors):
-                    pending.append(a.ingest_edges.remote(parts[p]))
-                    pending.append(a.ingest_fragments.remote(parts[eng.P + p]))
-        else:
-            for blk in block_refs:
-                parts = _route_block.options(num_returns=eng.P).remote(
-                    blk, bounds_ref)
-                if eng.P == 1:
-                    parts = [parts]
-                for a, pref in zip(eng.actors, parts):
-                    pending.append(a.ingest_edges.remote(pref))
+        for blk in block_refs:
+            parts = _route_block.options(num_returns=eng.P).remote(
+                blk, bounds_ref)
+            if eng.P == 1:
+                parts = [parts]
+            for a, pref in zip(eng.actors, parts):
+                pending.append(a.ingest_edges.remote(pref))
         ray.get(pending)
         eng.finalize()
-        if len(hubs):
-            eng.install_hubs(hubs, deg[hubs].astype(np.int64))
+        if split_hubs:
+            eng.split_hubs_post()
         return eng
+
+    def split_hubs_post(self) -> int:
+        """Detect hubs from shard-local CSR degrees and install the
+        high-degree split: owners export their hub-src rows re-routed by
+        owner(dst) (a mini-shuffle of ONLY the hub edges), peers ingest
+        them as fragments, then install_hubs activates the split.
+        Returns the number of hubs found."""
+        n_edges_tot = sum(s["n_edges"] for s in self.stats)
+        thr = max(256, int(self.HUB_DEGREE_FACTOR * n_edges_tot
+                           / max(1, self.n)))
+        found = ray.get([a.local_hubs.remote(thr) for a in self.actors])
+        ids = np.concatenate([f[0] for f in found])
+        degs = np.concatenate([f[1] for f in found])
+        if len(ids) == 0:
+            return 0
+        order = np.argsort(ids)
+        ids, degs = ids[order], degs[order]
+        frag_parts = [a.export_hub_fragments.options(num_returns=self.P)
+                      .remote(thr) for a in self.actors]
+        if self.P == 1:
+            frag_parts = [[fp] for fp in frag_parts]
+        ray.get([a.ingest_fragments.remote(frag_parts[j][p])
+                 for j in range(self.P)
+                 for p, a in enumerate(self.actors)])
+        self.install_hubs(ids, degs)
+        return len(ids)
 
     def install_hubs(self, hubs: np.ndarray,
                      hub_degs: np.ndarray | None = None):

@@ -195,6 +195,34 @@ class GraphShard:
                                  np.empty(0, np.int64),
                                  np.empty(0, np.int64))
 
+    def local_hubs(self, thr: int) -> tuple[np.ndarray, np.ndarray]:
+        """(global ids, degrees) of local vertices with CSR degree > thr
+        — the post-build hub detection (tiny result, scales to any n)."""
+        deg = np.diff(self.indptr)
+        loc = np.flatnonzero(deg > thr)
+        return loc + self.lo, deg[loc]
+
+    def export_hub_fragments(self, thr: int):
+        """Hub-src CSR rows re-routed by owner(dst) — the targeted
+        mini-shuffle feeding peers' ingest_fragments (num_returns=P)."""
+        from ..oracle.louvain import _ranges_concat
+        deg = np.diff(self.indptr)
+        loc = np.flatnonzero(deg > thr)
+        if len(loc) == 0:
+            empty = pa.table({"src": pa.array([], pa.int64()),
+                              "dst": pa.array([], pa.int64()),
+                              "w": pa.array([], pa.float64())})
+            return tuple(empty for _ in range(self.P)) if self.P > 1 \
+                else empty
+        take = _ranges_concat(self.indptr[loc], deg[loc])
+        src = np.repeat(loc + self.lo, deg[loc])
+        dst = self.indices[take]
+        w = self.weights[take]
+        parts = split_by_owner(dst, self.bounds, src, w)
+        out = [pa.table({"src": s, "dst": d, "w": ww})
+               for d, s, ww in parts]
+        return tuple(out) if self.P > 1 else out[0]
+
     def get_frag_requests(self) -> list[np.ndarray]:
         """Per-owner hub-src id arrays whose state fragments need."""
         return [ids for ids, in split_by_owner(self.frag_src_u, self.bounds)]
