@@ -210,12 +210,24 @@ class GraphEngine:
         """Activate the high-degree split on already-ingested fragments.
         The per-requester hub-id lists are pushed to the owners ONCE, so
         each iteration's frag exchange is a single frag_serve wave.
-        ``hub_degs`` (global degrees aligned with ``hubs``) additionally
-        enables the Louvain hub split (fragment holders bucket their hub
-        srcs by degree)."""
-        hub_ref = ray.put(np.asarray(hubs, dtype=np.int64))
-        degs_ref = ray.put(np.asarray(hub_degs, dtype=np.int64)) \
-            if hub_degs is not None else None
+        ``hub_degs`` (global degrees aligned with ``hubs``) enables the
+        Louvain hub split (fragment holders bucket their hub srcs by
+        degree); when omitted the degrees are fetched from the owners —
+        a None here used to leave every frag_src_bucket at -1, silently
+        excluding hub vertices from Louvain moves."""
+        hubs = np.asarray(hubs, dtype=np.int64)
+        order = np.argsort(hubs, kind="stable")
+        hubs = hubs[order]
+        if hub_degs is not None:
+            hub_degs = np.asarray(hub_degs, dtype=np.int64)[order]
+        elif len(hubs):
+            parts = split_by_owner(hubs, self.bounds)
+            deg_parts = ray.get([self.actors[p].csr_degrees_of.remote(ids)
+                                 for p, (ids,) in enumerate(parts)])
+            hub_degs = np.concatenate(
+                [np.asarray(d, dtype=np.int64) for d in deg_parts])
+        hub_ref = ray.put(hubs)
+        degs_ref = ray.put(hub_degs) if hub_degs is not None else None
         ray.get([a.set_hubs.remote(hub_ref, degs_ref)
                  for a in self.actors])
         reqs = ray.get([a.get_frag_requests.remote() for a in self.actors])
@@ -229,6 +241,8 @@ class GraphEngine:
         by actor j — one frag_serve wave (num_returns=P per owner)."""
         outs = [a.frag_serve.options(num_returns=self.P).remote(state_name)
                 for a in self.actors]
+        if self.P == 1:
+            outs = [[o] for o in outs]
         return [[outs[j][i] for j in range(self.P)]
                 for i in range(self.P)]
 
@@ -533,6 +547,8 @@ class GraphEngine:
                     frag_outs = [a.lv_frag_partials
                                  .options(num_returns=self.P)
                                  .remote(bucket) for a in self.actors]
+                    if self.P == 1:
+                        frag_outs = [[o] for o in frag_outs]
                     reqs = [a.lv_moves_phase1.options(num_returns=self.P)
                             .remote(bucket, use_subset,
                                     [frag_outs[j][i]

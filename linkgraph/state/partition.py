@@ -37,6 +37,41 @@ import pyarrow.parquet as pq
 from ..oracle.graph import CSRGraph
 
 
+_INT64_MAX = np.iinfo(np.int64).max
+
+
+def composite_fits(hi_card: int, lo_card: int) -> bool:
+    """True when ``hi * lo_card + lo`` composite keys (hi < hi_card,
+    lo < lo_card) stay within int64.  Guards the unstable composite-key
+    sorts against silent overflow mis-sorting for graphs approaching
+    ~3e9 vertices (mirrors the oracle's guard, oracle/graph.py:53); the
+    fallback at every call site is np.lexsort on the key pair."""
+    if hi_card <= 0 or lo_card <= 0:
+        return True
+    return int(hi_card) <= _INT64_MAX // int(lo_card)
+
+
+def _pair_view(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """(hi, lo) int64 pairs as a structured array — sortable/comparable,
+    so set membership works without a composite int64 key."""
+    arr = np.empty(len(hi), dtype=[("h", "<i8"), ("l", "<i8")])
+    arr["h"] = hi
+    arr["l"] = lo
+    return arr
+
+
+def pair_isin(a_hi: np.ndarray, a_lo: np.ndarray,
+              b_hi: np.ndarray, b_lo: np.ndarray,
+              hi_card: int, lo_card: int) -> np.ndarray:
+    """Elementwise membership of pairs (a_hi, a_lo) in {(b_hi, b_lo)}.
+    Composite int64 key when it fits, structured-dtype np.isin otherwise
+    (exact at any cardinality)."""
+    if composite_fits(hi_card, lo_card):
+        mult = np.int64(lo_card)
+        return np.isin(a_hi * mult + a_lo, b_hi * mult + b_lo)
+    return np.isin(_pair_view(a_hi, a_lo), _pair_view(b_hi, b_lo))
+
+
 def owner_of(ids: np.ndarray, bounds: np.ndarray) -> np.ndarray:
     """Partition index owning each id (bounds = [b0..bP], b0=0, bP=n)."""
     return np.searchsorted(bounds, ids, side="right") - 1
@@ -75,6 +110,26 @@ def _grouped_sum(keys: np.ndarray, vals: np.ndarray
     k, v = keys[order], vals[order]
     uk, start = np.unique(k, return_index=True)
     return uk, np.add.reduceat(v, start)
+
+
+def _grouped_sum2(hi: np.ndarray, lo: np.ndarray, vals: np.ndarray,
+                  lo_card: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic grouped sum over (hi, lo) pair keys, output sorted by
+    (hi, lo).  Composite int64 key when it fits (same stable sort order as
+    _grouped_sum), np.lexsort fallback past the ~3e9-id overflow point."""
+    if len(hi) == 0:
+        return hi, lo, vals
+    if composite_fits(int(hi.max()) + 1, lo_card):
+        key = hi * np.int64(lo_card) + lo
+        uk, sums = _grouped_sum(key, vals)
+        return uk // lo_card, uk % lo_card, sums
+    order = np.lexsort((lo, hi))
+    h, l, v = hi[order], lo[order], vals[order]
+    newgrp = np.empty(len(h), dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
+    starts = np.flatnonzero(newgrp)
+    return h[starts], l[starts], np.add.reduceat(v, starts)
 
 
 class GraphShard:
@@ -195,6 +250,11 @@ class GraphShard:
                                  np.empty(0, np.int64),
                                  np.empty(0, np.int64))
 
+    def csr_degrees_of(self, ids: np.ndarray) -> np.ndarray:
+        """CSR degrees of the requested LOCAL vertices (global ids)."""
+        loc = np.asarray(ids, dtype=np.int64) - self.lo
+        return np.diff(self.indptr)[loc].astype(np.int64)
+
     def local_hubs(self, thr: int) -> tuple[np.ndarray, np.ndarray]:
         """(global ids, degrees) of local vertices with CSR degree > thr
         — the post-build hub detection (tiny result, scales to any n)."""
@@ -308,7 +368,8 @@ class GraphShard:
         self._frag_groups = (np.empty(0, np.int64), np.empty(0, np.int64),
                              np.empty(0, np.int64))
         loc = src - self.lo
-        if len(w) == 0 or (w == np.floor(w)).all():
+        if (len(w) == 0 or (w == np.floor(w)).all()) \
+                and composite_fits(self.n_local, self.n_global):
             # integral weights: kernel sums are exact, so multi-edge
             # order is irrelevant — unstable composite-key sort (the
             # stable lexsort dominated CSR build time at 100M edges)

@@ -18,7 +18,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from .partition import GraphShard, _grouped_sum, split_by_owner
+from .partition import (GraphShard, _grouped_sum, _grouped_sum2, _pair_view,
+                        composite_fits, split_by_owner)
 
 
 def _resolve_refs(msgs):
@@ -206,10 +207,7 @@ class AlgoShard(GraphShard):
         dst = self.indices[nonself]
         w = self.weights[nonself]
         l = np.repeat(lab, np.diff(self.indptr))[nonself]
-        key = dst * np.int64(self.n_global) + l
-        uk, sums = _grouped_sum(key, w)
-        ids = uk // self.n_global
-        labs = uk % self.n_global
+        ids, labs, sums = _grouped_sum2(dst, l, w, self.n_global)
         chunks = split_by_owner(ids, self.bounds, labs, sums)
         empty = (np.empty(0, np.int64), np.empty(0, np.int64),
                  np.empty(0, np.float64))
@@ -227,9 +225,9 @@ class AlgoShard(GraphShard):
         fsrc_e = np.repeat(self.frag_src_u, self.frag_counts)
         lab_e = np.repeat(lab_u, self.frag_counts)
         nonself = self.frag_dst != fsrc_e
-        key = self.frag_dst[nonself] * np.int64(self.n_global) + lab_e[nonself]
-        uk, sums = _grouped_sum(key, self.frag_w[nonself])
-        self._frag_lpa = (uk // self.n_global, uk % self.n_global, sums)
+        self._frag_lpa = _grouped_sum2(self.frag_dst[nonself],
+                                       lab_e[nonself],
+                                       self.frag_w[nonself], self.n_global)
 
     def lpa_apply(self, msgs) -> int:
         msgs = _resolve_refs(msgs)
@@ -244,10 +242,7 @@ class AlgoShard(GraphShard):
         lab = self.state["lpa"]
         if len(ids) == 0:
             return 0
-        key = (ids - self.lo) * np.int64(self.n_global) + labs
-        uk, s = _grouped_sum(key, sums)
-        gv = uk // self.n_global
-        gl = uk % self.n_global
+        gv, gl, s = _grouped_sum2(ids - self.lo, labs, sums, self.n_global)
         # argmax, tie -> lower label (oracle order); uk is sorted so
         # (gv, gl) is (v asc, label asc) — segment argmax, no sort
         from .shard_louvain import _segment_argmax
@@ -348,7 +343,10 @@ class AlgoShard(GraphShard):
         total_wedges = int(v_counts.sum())
         if total_wedges == 0:
             return 0
-        local_keys = u * np.int64(self.n_global) + v  # sorted by (u,v)
+        # sorted by (u,v); pair-view fallback past the int64 key range
+        use_pairs = not composite_fits(self.n_global, self.n_global)
+        local_keys = (_pair_view(u, v) if use_pairs
+                      else u * np.int64(self.n_global) + v)
         # expand wedges (u -> v -> w) in bounded chunks: the full wedge
         # set is E * avg_outdeg entries — chunking keeps peak memory flat
         # regardless of graph density
@@ -369,7 +367,8 @@ class AlgoShard(GraphShard):
                         + np.repeat(offs[pos[e_start:e_end]], vc))
                 wedge_w = flat[take]
                 wedge_u = np.repeat(u[e_start:e_end], vc)
-                q = wedge_u * np.int64(self.n_global) + wedge_w
+                q = (_pair_view(wedge_u, wedge_w) if use_pairs
+                     else wedge_u * np.int64(self.n_global) + wedge_w)
                 i = np.searchsorted(local_keys, q)
                 i = np.minimum(i, len(local_keys) - 1)
                 n_closed += int((local_keys[i] == q).sum())

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from .partition import _grouped_sum, split_by_owner
+from .partition import _grouped_sum, composite_fits, pair_isin, split_by_owner
 from .shard_algos import AlgoShard
 
 BUCKET_BOUNDS = [0, 4, 8, 16, 32, 84, 319, np.iinfo(np.int64).max]
@@ -183,9 +183,10 @@ class LouvainShard(AlgoShard):
         nonself = u != v
         v, u, w = v[nonself], u[nonself], w[nonself]
         lab = self.state["labels"][u - self.lo]   # dsts are local here
-        if len(w) == 0 or (w == np.floor(w)).all():
-            mult = np.int64(max(self.n_global, int(lab.max(initial=0)) + 1))
-            key = v * mult + lab
+        mult = max(self.n_global, int(lab.max(initial=0)) + 1)
+        if (len(w) == 0 or (w == np.floor(w)).all()) \
+                and composite_fits(self.n_global, mult):
+            key = v * np.int64(mult) + lab
             order = np.argsort(key)
         else:
             order = np.lexsort((lab, v))
@@ -292,7 +293,9 @@ class LouvainShard(AlgoShard):
             w = np.concatenate([w, f_e])
             w_int = w_int and bool((f_e == np.floor(f_e)).all())
 
-        if w_int:
+        if w_int and composite_fits(self.n_local,
+                                    max(self.n_global,
+                                        int(ncomm.max(initial=0)) + 1)):
             # single composite key + unstable introsort (the stable
             # mergesort lexsort was the per-round hot spot; integral
             # weights make sum order irrelevant — sums are exact)
@@ -454,10 +457,25 @@ class LouvainShard(AlgoShard):
         fresh ghost labels."""
         csrc = np.repeat(self.state["labels"], np.diff(self.indptr))
         cdst = self._labels_of_all_edges()
-        key = csrc * np.int64(self.n_global) + cdst
-        uk, sums = _grouped_sum(key, self.weights)
-        return pa.table({"csrc": uk // self.n_global,
-                         "cdst": uk % self.n_global, "w": sums})
+        mult = max(self.n_global,
+                   int(max(csrc.max(initial=0), cdst.max(initial=0))) + 1)
+        if composite_fits(mult, mult):
+            key = csrc * np.int64(mult) + cdst
+            uk, sums = _grouped_sum(key, self.weights)
+            return pa.table({"csrc": uk // mult,
+                             "cdst": uk % mult, "w": sums})
+        # billion-vertex guard: pair keys would overflow int64 — stable
+        # lexsort on the (csrc, cdst) pair instead
+        order = np.lexsort((cdst, csrc))
+        cs, cd, ws = csrc[order], cdst[order], self.weights[order]
+        if len(cs) == 0:
+            return pa.table({"csrc": cs, "cdst": cd, "w": ws})
+        newgrp = np.empty(len(cs), dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = (cs[1:] != cs[:-1]) | (cd[1:] != cd[:-1])
+        starts = np.flatnonzero(newgrp)
+        return pa.table({"csrc": cs[starts], "cdst": cd[starts],
+                         "w": np.add.reduceat(ws, starts)})
 
     def lv_label_counts(self) -> tuple[np.ndarray, np.ndarray]:
         """(distinct labels, member counts) over local vertices — the
@@ -519,18 +537,33 @@ class LouvainShard(AlgoShard):
         keep = np.ones(len(src), dtype=bool)
         n_missing = 0
         if del_src is not None and len(del_src):
-            key = src * np.int64(self.n_global) + dst
-            order = np.argsort(key, kind="stable")
-            skey = key[order]
+            if composite_fits(self.n_global, self.n_global):
+                key = src * np.int64(self.n_global) + dst
+                order = np.argsort(key, kind="stable")
+                skey = key[order]
+
+                def find_range(s, d):
+                    kk = s * np.int64(self.n_global) + d
+                    return (np.searchsorted(skey, kk, side="left"),
+                            np.searchsorted(skey, kk, side="right"))
+            else:
+                # billion-vertex guard: two-level searchsorted on the
+                # lexsorted (src, dst) pair instead of a composite key
+                order = np.lexsort((dst, src))
+                ssrc, sdst = src[order], dst[order]
+
+                def find_range(s, d):
+                    a = np.searchsorted(ssrc, s, side="left")
+                    b = np.searchsorted(ssrc, s, side="right")
+                    return (a + np.searchsorted(sdst[a:b], d, side="left"),
+                            a + np.searchsorted(sdst[a:b], d, side="right"))
             for s, d in zip(del_src, del_dst):
-                kk = s * np.int64(self.n_global) + d
-                i = np.searchsorted(skey, kk)
+                i0, i1 = find_range(s, d)
                 hit = -1
-                while i < len(skey) and skey[i] == kk:
+                for i in range(i0, i1):
                     if keep[order[i]]:
                         hit = order[i]
                         break
-                    i += 1
                 if hit >= 0:
                     keep[hit] = False
                 else:
@@ -648,7 +681,6 @@ class LouvainShard(AlgoShard):
         src_loc = sources - self.lo
         cand_v = np.concatenate([sc["src"], sc["src"]])
         cand_c = np.concatenate([dst_lab, labels[sc["src"] - self.lo]])
-        cand_key = np.unique(cand_v * np.int64(self.n_global) + cand_c)
 
         deg = np.diff(self.indptr)
         if len(src_loc):
@@ -664,7 +696,10 @@ class LouvainShard(AlgoShard):
         cols = self.indices[take]
         w = self.weights[take]
         ncomm = self._label_of(cols) if len(cols) else np.empty(0, np.int64)
-        in_cand = np.isin(rows * np.int64(self.n_global) + ncomm, cand_key)
+        c_card = max(self.n_global, int(ncomm.max(initial=0)) + 1,
+                     int(cand_c.max(initial=0)) + 1)
+        in_cand = pair_isin(rows, ncomm, cand_v, cand_c,
+                            self.n_global, c_card)
         rows, cols, w, ncomm = rows[in_cand], cols[in_cand], w[in_cand], ncomm[in_cand]
         nonself = cols != rows
         rows, w, ncomm = rows[nonself], w[nonself], ncomm[nonself]

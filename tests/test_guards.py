@@ -1,0 +1,86 @@
+"""Round-2 advisor-fix regressions:
+
+- int64 composite-key overflow guards (ADVICE: partition.py unstable
+  composite sorts could silently mis-sort past ~3e9 vertices) — the
+  lexsort / structured-dtype fallbacks must agree bit-for-bit with the
+  composite paths on the same input.
+- ``GraphEngine.install_hubs(hubs)`` without ``hub_degs`` must fetch the
+  degrees from the owners (a None used to freeze every hub out of the
+  Louvain move phase).
+"""
+
+import numpy as np
+
+from linkgraph.state.partition import (_grouped_sum2, composite_fits,
+                                       pair_isin)
+
+
+class TestCompositeGuards:
+    def test_composite_fits(self):
+        assert composite_fits(1000, 1000)
+        assert composite_fits(0, 2**62)
+        assert not composite_fits(4, 2**62)
+        assert not composite_fits(3_000_000_000, 3_100_000_000)
+
+    def test_grouped_sum2_fallback_agrees(self):
+        rng = np.random.RandomState(0)
+        hi = rng.randint(0, 50, 1000).astype(np.int64)
+        lo = rng.randint(0, 40, 1000).astype(np.int64)
+        v = rng.rand(1000)
+        a = _grouped_sum2(hi, lo, v, 40)
+        b = _grouped_sum2(hi, lo, v, 2**62)   # forces the lexsort path
+        assert np.array_equal(a[0], b[0])
+        assert np.array_equal(a[1], b[1])
+        # both paths are stable sorts by (hi, lo) -> identical sum order
+        assert np.array_equal(a[2], b[2])
+
+    def test_pair_isin_fallback_agrees(self):
+        rng = np.random.RandomState(1)
+        a_hi = rng.randint(0, 30, 500).astype(np.int64)
+        a_lo = rng.randint(0, 30, 500).astype(np.int64)
+        b_hi = rng.randint(0, 30, 60).astype(np.int64)
+        b_lo = rng.randint(0, 30, 60).astype(np.int64)
+        fast = pair_isin(a_hi, a_lo, b_hi, b_lo, 30, 30)
+        slow = pair_isin(a_hi, a_lo, b_hi, b_lo, 30, 2**62)
+        assert np.array_equal(fast, slow)
+
+
+class TestInstallHubsDegreeFetch:
+    def test_install_without_degs_matches_oracle(self, ray_session):
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        from linkgraph.oracle import louvain as olv
+        from linkgraph.oracle.graph import CSRGraph
+        from linkgraph.state.engine import GraphEngine
+        from test_engine import TestHubSplitLouvain
+
+        s, d = TestHubSplitLouvain.hub_graph()
+        n = 1500
+        ds = rd.from_arrow(pa.table({"src": s, "dst": d})) \
+            .repartition(8).materialize()
+        eng = GraphEngine.from_dataset(ds, n_nodes=n, n_parts=3,
+                                       name="hub_nodeg", split_hubs=False)
+        # mirror split_hubs_post, but install WITHOUT degrees (the
+        # apply_deltas-comment re-split path)
+        n_edges_tot = sum(st["n_edges"] for st in eng.stats)
+        thr = max(256, int(eng.HUB_DEGREE_FACTOR * n_edges_tot
+                           / max(1, eng.n)))
+        frag_parts = [a.export_hub_fragments.options(num_returns=eng.P)
+                      .remote(thr) for a in eng.actors]
+        ray.get([a.ingest_fragments.remote(frag_parts[j][p])
+                 for j in range(eng.P)
+                 for p, a in enumerate(eng.actors)])
+        found = ray.get([a.local_hubs.remote(thr) for a in eng.actors])
+        ids = np.concatenate([f[0] for f in found])
+        assert len(ids), "fixture must contain hubs"
+        eng.install_hubs(ids)          # no hub_degs -> fetched from owners
+        res = eng.louvain()
+        g = CSRGraph.from_edges(s, d, np.ones(len(s)), n=n)
+        want = olv.louvain(g)
+        assert abs(res["modularity"] - want["modularity"]) < 1e-12
+        lab = eng.louvain_result().to_pandas() \
+            .sort_values("node")["comm"].to_numpy()
+        assert np.array_equal(lab, want["labels"])
+        eng.shutdown()
