@@ -27,12 +27,16 @@ NEAR_DUP_THRESHOLD = 0.8
 NORM_TOPK = 20
 
 
+from ..common import strip_meta
+
+
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return strip_meta(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=columns))
 
 
 def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return strip_meta(rd.read_parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ------------------------------------------------------------ text queries

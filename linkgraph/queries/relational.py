@@ -84,8 +84,10 @@ def q_lineitem_nation_rollup(sf_dir: str):
 def q_shuffle_join_orders(sf_dir: str):
     """orders ⋈ customer via Ray Data's hash-shuffle join (the
     large-by-large path, J7 analog): per-nation order counts."""
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    from ..common import strip_meta
+    orders = strip_meta(_read(sf_dir, "orders", ["o_custkey", "o_orderkey"]))
+    cust = strip_meta(_read(sf_dir, "customer",
+                            ["c_custkey", "c_nationkey"]))
     joined = orders.join(cust, join_type="inner", num_partitions=8,
                          on=("o_custkey",), right_on=("c_custkey",))
     return (joined.groupby("c_nationkey")

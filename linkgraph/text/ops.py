@@ -250,11 +250,36 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(pd.util.hash_array(arr, hash_key="0123456789123456"))
 
 
+def _batch_shingle_hashes(texts: list[str], k: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' shingle hashes concatenated -> (flat uint64, row lens).
+    Duplicates within a doc are kept (min-reductions are unaffected);
+    hashing is ONE pd.util.hash_array call over the whole batch."""
+    sh_all: list[str] = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        if len(words) < k:
+            n0 = len(sh_all)
+            sh_all.append(" ".join(words))
+            lens[i] = len(sh_all) - n0
+        else:
+            sh_all.extend(" ".join(words[j:j + k])
+                          for j in range(len(words) - k + 1))
+            lens[i] = len(words) - k + 1
+    flat = pd.util.hash_array(np.array(sh_all, dtype=object),
+                              hash_key="0123456789123456") \
+        if sh_all else np.empty(0, _U64)
+    return flat, lens
+
+
 class MinHasher:
     """Actor-pool stage: per-doc MinHash signature -> LSH band rows.
 
     Output: one row per (doc_id, band, band_hash).  Permutation seeds are
-    built once per actor (``__init__``)."""
+    built once per actor (``__init__``).  Signatures are ONE
+    (batch_shingles x num_perm) matrix min per batch — no per-doc /
+    per-permutation Python loops (the round-1 hot spot)."""
 
     def __init__(self, num_perm: int = DEFAULT_NUM_PERM,
                  bands: int = DEFAULT_BANDS, k: int = DEFAULT_SHINGLE_K):
@@ -264,16 +289,23 @@ class MinHasher:
         self.seeds = _splitmix64(np.arange(num_perm, dtype=_U64) + _U64(7))
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        # h_i(x) = splitmix64(x ^ seed_i); min over shingles
-        return np.array([_splitmix64(sh ^ s).min() for s in self.seeds],
-                        dtype=_U64)
+        """Single-doc signature (kept for unit tests / the exact-verify
+        kernel); batch work goes through :meth:`signatures`."""
+        return self.signatures([text])[0]
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) uint64 — h_i(x) = splitmix64(x ^ seed_i),
+        min over each doc's shingles, vectorized across the batch."""
+        if not texts:
+            return np.empty((0, self.num_perm), _U64)
+        flat, lens = _batch_shingle_hashes(texts, self.k)
+        H = _splitmix64(flat[:, None] ^ self.seeds[None, :])
+        return np.minimum.reduceat(H, _row_starts(lens), axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) \
-            if len(texts) else np.empty((0, self.num_perm), _U64)
+        sigs = self.signatures(texts)
         r = self.rows_per_band
         # band hash = splitmix64-combine of the band's signature rows
         band_hash = np.zeros((len(texts), self.bands), dtype=_U64)
@@ -291,10 +323,57 @@ class MinHasher:
         })
 
 
+_HASHER_CACHE: dict[tuple, MinHasher] = {}
+
+
+def _band_rows_batch(batch: pa.Table, num_perm: int, bands: int,
+                     k: int) -> pa.Table:
+    """Task-friendly wrapper: hasher construction is trivial (64 seed
+    splitmixes), so a cached per-process instance beats paying actor-pool
+    startup for a stage whose state costs microseconds to build."""
+    key = (num_perm, bands, k)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = MinHasher(num_perm, bands, k)
+    return h(batch)
+
+
 def minhash_signatures(docs, **kw):
-    return docs.map_batches(MinHasher, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=(1, 4),
-                            fn_constructor_kwargs=kw)
+    # batch_size bounds the (shingles x num_perm) scratch matrix
+    # (~40 MB at 256 docs x ~2k shingles x 64 perms)
+    kw = {"num_perm": DEFAULT_NUM_PERM, "bands": DEFAULT_BANDS,
+          "k": DEFAULT_SHINGLE_K, **kw}
+    return docs.map_batches(_band_rows_batch, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=256,
+                            fn_kwargs=kw)
+
+
+def shingle_sets_batch(batch: pa.Table, k: int) -> pa.Table:
+    """(doc_id, sh: large_binary) — per-doc sorted UNIQUE shingle hashes
+    packed as raw uint64 bytes (acero joins reject list payload columns;
+    binary is join-safe and decodes zero-copy with np.frombuffer).
+    Per-row unique via one lexsort over the whole batch."""
+    texts = batch.column("text").to_pylist()
+    flat, lens = _batch_shingle_hashes(texts, k)
+    rows = np.repeat(np.arange(len(lens)), lens)
+    order = np.lexsort((flat, rows))
+    h_s, r_s = flat[order], rows[order]
+    if len(h_s):
+        keep = np.empty(len(h_s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
+        h_u, r_u = h_s[keep], r_s[keep]
+    else:
+        h_u = h_s
+        r_u = r_s
+    counts = np.bincount(r_u, minlength=len(lens))
+    byte_offsets = (np.concatenate([[0], np.cumsum(counts)]) * 8) \
+        .astype(np.int64)
+    sh = pa.Array.from_buffers(
+        pa.large_binary(), len(lens),
+        [None, pa.py_buffer(byte_offsets.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(h_u).tobytes())])
+    return pa.table({"doc_id": batch.column("doc_id"), "sh": sh})
 
 
 def minhash_dup_pairs(docs, *, threshold: float = 0.7,
@@ -304,15 +383,37 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
     """MinHash+LSH near-dup pairs, verified by exact shingle Jaccard.
 
     Pipeline: signatures -> band rows -> groupby (band, band_hash) ->
-    candidate pairs (map_groups) -> pair dedup -> exact verification.
-    Verification broadcasts the candidate doc texts (the candidate set is
-    tiny relative to the corpus); at 100 TB this becomes a shuffle join of
-    candidates back to ``documents`` on doc_id.
+    candidate pairs (map_groups) -> pair dedup -> hash-shuffle JOIN of
+    the candidates back to ``documents`` on doc_id -> per-pair exact
+    Jaccard in map_groups.  Fully distributed: no driver-side text dict,
+    no corpus scan — the only driver value is the candidate row count.
     Returns (a, b, jaccard) with jaccard rounded to 6 decimals.
     """
     import ray
+    from ray.data.aggregate import Count
 
-    band_rows = minhash_signatures(docs, num_perm=num_perm, bands=bands, k=k)
+    band_rows = minhash_signatures(docs, num_perm=num_perm, bands=bands,
+                                   k=k).materialize()
+
+    # heavy-key prefilter: a vectorized Count aggregate finds the buckets
+    # with >= 2 docs (only real near-dup clusters); per-group Python work
+    # then runs on THOSE groups only, not one call per (band, band_hash)
+    # of the whole corpus (the round-1 latency hot spot).  The hot-key
+    # set is broadcast (ray.put) — it is O(#dup clusters), tiny.
+    hot = (band_rows.groupby(["band", "band_hash"])
+           .aggregate(Count(alias_name="c"))
+           .filter(expr="c >= 2").select_columns(["band_hash"]))
+    hot_keys = np.unique(pa.concat_tables(
+        ray.get(hot.to_arrow_refs())).column("band_hash").to_numpy())
+    if len(hot_keys) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    hot_ref = ray.put(hot_keys)
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        mask = np.isin(t.column("band_hash").to_numpy(), ray.get(hot_ref))
+        return t.filter(pa.array(mask))
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
@@ -321,43 +422,64 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[a], "b": ids[b]})
 
-    pairs = (band_rows.groupby(["band", "band_hash"])
+    pairs = (band_rows.map_batches(only_hot, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+             .groupby(["band", "band_hash"])
              .map_groups(emit_pairs, batch_format="pandas")
              .groupby(["a", "b"]).count()
-             .select_columns(["a", "b"]))
+             .select_columns(["a", "b"])
+             .materialize())          # candidates: tiny vs the corpus
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if pairs.count() == 0:
+        return empty
 
-    # exact verification against the candidates' shingle sets
-    cand = pairs.materialize()
-    cand_ids = set()
-    for row in cand.take_all():
-        cand_ids.add(row["a"])
-        cand_ids.add(row["b"])
-    if not cand_ids:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    texts = {}
-    for blk in ray.get(docs.to_arrow_refs()):
-        ids = blk.column("doc_id").to_numpy()
-        mask = np.isin(ids, list(cand_ids))
-        for i in np.flatnonzero(mask):
-            texts[int(ids[i])] = blk.column("text")[int(i)].as_py()
-    texts_ref = ray.put(texts)
+    # distinct candidate doc ids (small side of the semi-join)
+    need = (pairs.map_batches(
+        lambda t: pa.table({"doc_id": np.unique(np.concatenate(
+            [t.column("a").to_numpy(), t.column("b").to_numpy()]))}),
+        batch_format="pyarrow")
+        .groupby("doc_id").count().select_columns(["doc_id"]))
 
-    def verify(t: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
+    # shingle sets for candidate docs only (semi-join prunes the corpus)
+    from ..common import strip_meta
+    cand_docs = strip_meta(docs.select_columns(["doc_id", "text"])).join(
+        need, join_type="inner", num_partitions=8, on=("doc_id",))
+    sh_sets = cand_docs.map_batches(shingle_sets_batch, batch_format="pyarrow",
+                                    fn_kwargs={"k": k}, batch_size=256)
+
+    # pairs -> two keyed rows each, join shingle sets on doc_id
+    def explode(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy()
         b = t.column("b").to_numpy()
-        jac = np.empty(len(a))
-        for i in range(len(a)):
-            sa = set(_shingle_hashes(tx[int(a[i])], k).tolist())
-            sb = set(_shingle_hashes(tx[int(b[i])], k).tolist())
-            jac[i] = len(sa & sb) / max(1, len(sa | sb))
-        keep = jac >= threshold
-        return pa.table({"a": a[keep], "b": b[keep],
-                         "jaccard": np.round(jac[keep], 6)})
+        return pa.table({
+            "a": np.concatenate([a, a]),
+            "b": np.concatenate([b, b]),
+            "doc_id": np.concatenate([a, b]),
+        })
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    pair_rows = pairs.map_batches(explode, batch_format="pyarrow").join(
+        sh_sets, join_type="inner", num_partitions=8, on=("doc_id",))
+
+    def jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+                {"a": np.int64, "b": np.int64, "jaccard": np.float64})
+        sa = np.frombuffer(g["sh"].iloc[0], dtype=np.uint64)
+        sb = np.frombuffer(g["sh"].iloc[1], dtype=np.uint64)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        jac = inter / max(1, union)
+        if jac < threshold:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+                {"a": np.int64, "b": np.int64, "jaccard": np.float64})
+        return pd.DataFrame({"a": [np.int64(g["a"].iloc[0])],
+                             "b": [np.int64(g["b"].iloc[0])],
+                             "jaccard": [round(jac, 6)]})
+
+    return pair_rows.groupby(["a", "b"]).map_groups(
+        jaccard, batch_format="pandas")
 
 
 # -------------------------------------------------------- n-gram Jaccard
