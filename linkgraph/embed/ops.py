@@ -118,30 +118,56 @@ def dim_topk(embeddings: rd.Dataset, *, dim: int = 0, k: int = 20
 
 def embedding_near_dup(embeddings: rd.Dataset, *, threshold: float = 0.8
                        ) -> pa.Table:
-    """Embedding-cosine near-dup pairs (a < b, cos >= threshold).
+    """Embedding-cosine near-dup pairs (a < b, cos >= threshold) — EXACT.
 
-    Blocked all-pairs: the corpus streams once per block of the broadcast
-    side.  Suitable when one side fits the object store (here: the whole
-    small table); at 100 TB the blocking key becomes an IVF bucket so
-    only same-bucket pairs are compared (see :func:`ivf_ann_topk`)."""
-    mat_rows = embeddings.sort("vec_id").take_all()
-    ids = np.array([r["vec_id"] for r in mat_rows], dtype=np.int64)
-    m = _normalize(np.stack([np.asarray(r["embedding"], np.float64)
-                             for r in mat_rows]))
-    side_ref = ray.put((ids, m))
+    Distributed blocked all-pairs: vectors are pre-normalized with
+    map_batches, materialized as object-store blocks, and every unordered
+    block pair (i <= j) is one Ray task doing a single matmul — no vector
+    ever touches the driver (it routes ObjectRefs; only the matching
+    pairs come back).  Exactness keeps the DuckDB oracle hash valid.
+    O(B^2) tasks bounds this to corpora whose block count is modest; the
+    100 TB path prunes candidates with the IVF bucketing in
+    :func:`ivf_ann_topk` (approximate) before an exact rescore."""
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(side_ref)
-        bm = _normalize(_stack(batch))
-        bids = batch.column("vec_id").to_numpy()
-        sims = bm @ all_m.T
-        keep = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
-        bi, aj = np.nonzero(keep)
-        return pa.table({"a": bids[bi], "b": all_ids[aj]})
+    def norm_batch(batch: pa.Table) -> pa.Table:
+        m = _normalize(_stack(batch))
+        n, d = m.shape
+        flat = np.ascontiguousarray(m).reshape(-1)
+        off = (np.arange(n + 1, dtype=np.int64) * d)
+        emb = pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()), pa.array(flat, pa.float64()))
+        return pa.table({"vec_id": batch.column("vec_id"), "nemb": emb})
 
-    out = embeddings.map_batches(block_pairs, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    blocks = (embeddings.select_columns(["vec_id", "embedding"])
+              .map_batches(norm_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .materialize().to_arrow_refs())
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ia = ta.column("vec_id").to_numpy()
+        ib = tb.column("vec_id").to_numpy()
+        ma = _stack(ta, "nemb")
+        mb = _stack(tb, "nemb")
+        if len(ia) == 0 or len(ib) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        sims = ma @ mb.T
+        keep = sims >= threshold
+        if same:
+            keep &= ia[:, None] < ib[None, :]
+        else:
+            keep &= ia[:, None] != ib[None, :]
+        ri, rj = np.nonzero(keep)
+        a = np.minimum(ia[ri], ib[rj])
+        b = np.maximum(ia[ri], ib[rj])
+        return pa.table({"a": a, "b": b})
+
+    refs = [block_pair.remote(blocks[i], blocks[j], i == j)
+            for i in range(len(blocks)) for j in range(i, len(blocks))]
+    tbl = pa.concat_tables(ray.get(refs)) if refs else \
+        pa.table({"a": pa.array([], pa.int64()),
+                  "b": pa.array([], pa.int64())})
     return tbl.cast(pa.schema([("a", pa.int64()), ("b", pa.int64())]))
 
 

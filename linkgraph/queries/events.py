@@ -125,15 +125,34 @@ def event_deltas(sf_dir: str, nmod: int):
     batches; op = del if event_type endswith '_del'-like (here: deterministic
     by event_id parity 1/8), src = user_id % nmod, dst = event_id % nmod.
     Self-loops dropped, per-batch dedup (the Preprocess.R contract,
-    SURVEY.md §2.7 M5)."""
-    tbl = pa.concat_tables(
-        __import__("ray").get(
-            _events(sf_dir, ["event_id", "user_id", "ts"]).to_arrow_refs()))
-    ev = tbl.to_pandas().sort_values(["ts", "event_id"])
-    src = (ev["user_id"].to_numpy() % nmod).astype(np.int64)
-    dst = (ev["event_id"].to_numpy() % nmod).astype(np.int64)
-    is_del = (ev["event_id"].to_numpy() % 8) == 1
-    n = len(ev)
+    SURVEY.md §2.7 M5).
+
+    Dataset pipeline: the rank order comes from a DISTRIBUTED
+    ``sort(["ts","event_id"])`` (blocks stay range-ordered), the modulo
+    projection runs worker-side (the ts column never leaves the
+    workers), and only the per-batch (src, dst, is_del) int arrays —
+    the payload the engine's delta API takes anyway — reach the
+    driver."""
+    import ray
+
+    ev_sorted = (_events(sf_dir, ["event_id", "user_id", "ts"])
+                 .sort(["ts", "event_id"]).materialize())
+    refs = ev_sorted.to_arrow_refs()
+
+    @ray.remote
+    def project(tbl: pa.Table):
+        eid = tbl.column("event_id").to_numpy()
+        return ((tbl.column("user_id").to_numpy() % nmod).astype(np.int64),
+                (eid % nmod).astype(np.int64), (eid % 8) == 1)
+
+    parts = ray.get([project.remote(r) for r in refs])
+    src = (np.concatenate([p[0] for p in parts]) if parts
+           else np.empty(0, np.int64))
+    dst = (np.concatenate([p[1] for p in parts]) if parts
+           else np.empty(0, np.int64))
+    is_del = (np.concatenate([p[2] for p in parts]) if parts
+              else np.empty(0, bool))
+    n = len(src)
     cut = np.linspace(0, n, N_TIMESTEPS + 1).astype(int)
     batches = []
     for t in range(N_TIMESTEPS):
