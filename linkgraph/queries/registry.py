@@ -108,6 +108,34 @@ def q_emb_dim_topk(sf_dir: str):
 
 _STOP_SQL = "['" + "', '".join(tx.STOPWORDS) + "']"
 
+
+def _profile_sql(lang: str) -> str:
+    words = "['" + "', '".join(tx._LANG_PROFILES[lang]) + "']"
+    return (f"len(list_filter(toks, x -> list_contains({words}, x))) "
+            f"AS {lang}")
+
+
+# langid is pure integer counts + a deterministic tie-break order + a CJK
+# regex — fully SQL-expressible, so it gets a value-hashed oracle.  The
+# CASE chain encodes argmax-with-first-max-wins over (en, de, fr, es).
+_LANGID_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             regexp_matches(substring(text, 1, 200), '[一-鿿]') AS cjk
+      FROM documents),
+    s AS (
+      SELECT doc_id, cjk,
+             {_profile_sql('en')}, {_profile_sql('de')},
+             {_profile_sql('fr')}, {_profile_sql('es')}
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN cjk THEN 'zh'
+                WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM s"""
+
 TEXT_SQL: dict[str, str] = {
     "doc_tokens": """
         SELECT doc_id,
@@ -128,6 +156,7 @@ TEXT_SQL: dict[str, str] = {
                MIN(doc_id) AS keep_id,
                CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY md5(text)""",
+    "doc_langid": _LANGID_SQL,
     "doc_token_jaccard": """
         WITH tok AS (
           SELECT doc_id, source,

@@ -48,9 +48,20 @@ def _tokens(batch: pa.Table) -> tuple[pa.ChunkedArray, np.ndarray]:
     return toks, lens
 
 
-def _flat_tokens(toks) -> np.ndarray:
+def _flat_tokens(toks) -> pa.Array:
+    """All rows' tokens as ONE flat Arrow array (stays off the Python
+    heap; membership tests use pc.is_in, identity uses dictionary
+    codes)."""
     flat = pc.list_flatten(toks)
-    return np.asarray(flat.to_pylist(), dtype=object)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat
+
+
+def _token_in(flat: pa.Array, values: tuple[str, ...]) -> np.ndarray:
+    """Vectorized membership: flat tokens in `values` -> bool ndarray."""
+    return pc.is_in(flat, value_set=pa.array(values, pa.string())) \
+        .to_numpy(zero_copy_only=False)
 
 
 def _row_starts(lens: np.ndarray) -> np.ndarray:
@@ -85,9 +96,11 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     (exact-checkable; ratio scores are derived downstream)."""
     toks, lens = _tokens(batch)
     flat = _flat_tokens(toks)
-    n_stop = _per_row_sum(np.isin(flat, STOPWORDS), lens)
-    # distinct tokens per row: factorize + unique (row, code) pairs
-    codes, _ = pd.factorize(flat)
+    n_stop = _per_row_sum(_token_in(flat, STOPWORDS), lens)
+    # distinct tokens per row: Arrow dictionary codes (dense ids per
+    # distinct token, computed in C++) + unique (row, code) pairs
+    codes = flat.dictionary_encode().indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
     rows = np.repeat(np.arange(len(lens)), lens)
     pair = rows.astype(np.int64) * np.int64(len(flat) + 1) + codes
     uniq_rows = rows[np.unique(pair, return_index=True)[1]]
@@ -197,13 +210,15 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     flat = _flat_tokens(toks)
     scores = np.zeros((len(lens), len(_LANG_ORDER)), dtype=np.int64)
     for j, lang in enumerate(_LANG_ORDER):
-        scores[:, j] = _per_row_sum(np.isin(flat, _LANG_PROFILES[lang]), lens)
+        scores[:, j] = _per_row_sum(_token_in(flat, _LANG_PROFILES[lang]),
+                                    lens)
     best = np.argmax(scores, axis=1)  # argmax keeps first max -> order wins
     preds = np.array(_LANG_ORDER, dtype=object)[best]
-    # zh: any CJK char dominates
-    texts = batch.column("text").to_pylist()
-    cjk = np.array([any("一" <= c <= "鿿" for c in t[:200])
-                    for t in texts])
+    # zh: any CJK char in the first 200 chars dominates (vectorized
+    # regex over the sliced column — no per-row Python scan)
+    head = pc.utf8_slice_codeunits(batch.column("text"), 0, 200)
+    cjk = pc.match_substring_regex(head, "[一-鿿]") \
+        .to_numpy(zero_copy_only=False)
     preds[cjk] = "zh"
     return pa.table({"doc_id": batch.column("doc_id"),
                      "pred_lang": pa.array(list(preds), pa.string())})
@@ -216,8 +231,16 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     siphash via pandas hash_array with fixed key)."""
     toks, lens = _tokens(batch)
     flat = _flat_tokens(toks)
-    h = pd.util.hash_array(flat, hash_key="0123456789123456") \
-        if len(flat) else np.empty(0, _U64)
+    if len(flat):
+        # hash each DISTINCT token once (dictionary codes gather the
+        # per-occurrence values) — same values as hashing every token,
+        # without round-tripping the whole column through Python
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        h = pd.util.hash_array(uniq, hash_key="0123456789123456")[codes]
+    else:
+        h = np.empty(0, _U64)
     bits = ((h[:, None] >> np.arange(64, dtype=_U64)[None, :]) & _U64(1)) \
         .astype(np.int64) * 2 - 1
     out = np.zeros(len(lens), dtype=_U64)

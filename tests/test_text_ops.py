@@ -141,3 +141,28 @@ def test_media_feature_extractor_batch():
     out = MediaFeatureExtractor()(tbl)
     assert out.column("n_bytes").to_pylist() == [100, 50]
     assert len(out.column("feature")[0].as_py()) == FEATURE_DIM
+
+
+class TestGoldenVectors:
+    """Fixed golden outputs for the deterministic integer operators whose
+    gates are rows-only (no UDF-free SQL equivalent): any change to the
+    hash kernels must be deliberate (VERDICT r1 #8)."""
+
+    def _tbl(self):
+        import pyarrow as pa
+        return pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["the quick brown fox", "",
+                              "hello world hello"]),
+        })
+
+    def test_fingerprint_golden(self):
+        from linkgraph.text.ops import fingerprint_batch
+        got = fingerprint_batch(self._tbl()).column("fingerprint").to_pylist()
+        assert got == [6806449155203158131, 0, -3394546303758596830]
+
+    def test_simhash_golden(self):
+        from linkgraph.text.ops import simhash_batch
+        got = simhash_batch(self._tbl()).column("simhash").to_pylist()
+        assert got == [-8618537268020226968, 1760245841805064774,
+                       -1714389747793682273]
