@@ -67,7 +67,13 @@ def cmd_pagerank(args):
 def cmd_louvain(args):
     import ray.data as rd
     eng = _build_engine(args)
-    res = eng.louvain(hierarchy_dir=args.hierarchy_dir)
+    if args.quality == 0:
+        res = eng.louvain(hierarchy_dir=args.hierarchy_dir)
+    else:
+        # -q 1..9 (main_louvain.cpp:889-899): variant kernel; for q=4/7
+        # the E9/E10 reweighting + E4 selfloops run in-shard first
+        res = eng.louvain_quality(args.quality, alpha=args.alpha,
+                                  kmin=args.kmin)
     if args.out:
         refs = [a.lv_labels_result.remote() for a in eng.actors]
         rd.from_arrow_refs(refs).write_parquet(args.out)
@@ -132,6 +138,14 @@ def main(argv=None):
     p = sub.add_parser("louvain")
     graph_args(p)
     p.add_argument("--hierarchy-dir", default=None)
+    # the reference's -q / -c / -k knobs (main_louvain.cpp:889-948)
+    p.add_argument("-q", "--quality", type=int, default=0,
+                   choices=range(10),
+                   help="quality function id 0..9 (0 = Modularity)")
+    p.add_argument("-c", "--alpha", type=float, default=0.5,
+                   help="Owsinski-Zadrozny alpha (q=2)")
+    p.add_argument("-k", "--kmin", type=int, default=1,
+                   help="Shi-Malik kappa_min (q=8)")
     p.set_defaults(fn=cmd_louvain)
 
     p = sub.add_parser("dynamic")

@@ -93,24 +93,54 @@ def selfloop_weights(g: CSRGraph) -> np.ndarray:
 class QualityFn:
     """Vectorized gain + global quality.  Subclasses transcribe one
     reference variant; the engine/oracle default is :class:`Modularity`
-    (the only one the GPU path implements)."""
+    (the only one the GPU path implements).
+
+    Three surfaces so the same formulas run everywhere:
+
+    - ``gain(ctx)``           — per-candidate move gains (arrays)
+    - ``comm_terms(...)``     — per-community Q contributions + the
+      non-empty mask; a distributed engine sums these per comm-owner
+      shard (one float per shard crosses the wire)
+    - ``finalize(s, ...)``    — global constants folded in
+
+    ``fixed_max_w``: the reference computes ``max_w`` ONCE at level 0 and
+    reuses it at contracted levels (``init_quality`` only calls
+    ``max_weight()`` when ``nbc == 0``, main_louvain.cpp:998-1059); set
+    this to pin it across levels.
+    """
 
     id: int
     name: str
+    fixed_max_w: float | None = None
 
     def gain(self, ctx: QualityContext) -> np.ndarray:
         raise NotImplementedError
 
+    def comm_terms(self, in_: np.ndarray, tot: np.ndarray, w: np.ndarray,
+                   *, m2: float, n: float, max_w: float
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        """(per-community contributions, non-empty mask)."""
+        raise NotImplementedError
+
+    def finalize(self, s: float, *, m2: float, n: float, max_w: float,
+                 kappa: int) -> float:
+        raise NotImplementedError
+
     def quality(self, g: CSRGraph, labels: np.ndarray,
                 nodes_w: np.ndarray | None = None) -> float:
-        raise NotImplementedError
+        agg, _, m2, n, mx = self._ctxg(g, labels, nodes_w)
+        terms, nz = self.comm_terms(agg.in_, agg.tot, agg.w,
+                                    m2=m2, n=n, max_w=mx)
+        return self.finalize(float(terms[nz].sum()), m2=m2, n=n, max_w=mx,
+                             kappa=agg.kappa)
 
     # shared helpers -------------------------------------------------------
     def _ctxg(self, g, labels, nodes_w):
         agg = community_aggregates(g, labels, nodes_w)
         nw = np.ones(g.n) if nodes_w is None else nodes_w
-        return agg, nw, float(g.k.sum()), float(nw.sum()), \
-            float(g.weights.max(initial=0.0))
+        mx = (self.fixed_max_w if self.fixed_max_w is not None
+              else float(g.weights.max(initial=0.0)))
+        return agg, nw, float(g.k.sum()), float(nw.sum()), mx
 
 
 class Modularity(QualityFn):
@@ -120,10 +150,11 @@ class Modularity(QualityFn):
     def gain(self, ctx):
         return ctx.dnc - ctx.tot_c * ctx.degc / ctx.m2
 
-    def quality(self, g, labels, nodes_w=None):
-        agg, _, m2, _, _ = self._ctxg(g, labels, nodes_w)
-        nz = agg.tot > 0
-        return float(((agg.in_[nz] - agg.tot[nz] ** 2 / m2)).sum() / m2)
+    def comm_terms(self, in_, tot, w, *, m2, n, max_w):
+        return in_ - tot ** 2 / m2, tot > 0
+
+    def finalize(self, s, *, m2, n, max_w, kappa):
+        return s / m2
 
 
 class Zahn(QualityFn):
@@ -133,12 +164,11 @@ class Zahn(QualityFn):
     def gain(self, ctx):
         return 2.0 * ctx.dnc - ctx.wu * ctx.w_c * ctx.max_w
 
-    def quality(self, g, labels, nodes_w=None):
-        agg, _, m2, n, mx = self._ctxg(g, labels, nodes_w)
-        nz = agg.w > 0
-        q = float((2.0 * agg.in_[nz] - mx * agg.w[nz] ** 2).sum())
-        q += n * n * mx - m2
-        return q / (n * n * mx)
+    def comm_terms(self, in_, tot, w, *, m2, n, max_w):
+        return 2.0 * in_ - max_w * w ** 2, w > 0
+
+    def finalize(self, s, *, m2, n, max_w, kappa):
+        return (s + n * n * max_w - m2) / (n * n * max_w)
 
 
 class OwZad(QualityFn):
@@ -151,12 +181,11 @@ class OwZad(QualityFn):
     def gain(self, ctx):
         return ctx.dnc - self.alpha * ctx.wu * ctx.w_c * ctx.max_w
 
-    def quality(self, g, labels, nodes_w=None):
-        agg, _, m2, n, mx = self._ctxg(g, labels, nodes_w)
-        nz = agg.w > 0
-        q = float((agg.in_[nz] - self.alpha * mx * agg.w[nz] ** 2).sum())
-        q += self.alpha * (n * n * mx - m2)
-        return q / (n * n * mx)
+    def comm_terms(self, in_, tot, w, *, m2, n, max_w):
+        return in_ - self.alpha * max_w * w ** 2, w > 0
+
+    def finalize(self, s, *, m2, n, max_w, kappa):
+        return (s + self.alpha * (n * n * max_w - m2)) / (n * n * max_w)
 
 
 class Goldberg(QualityFn):
@@ -171,10 +200,13 @@ class Goldberg(QualityFn):
                 - ctx.in_c / (2.0 * ctx.w_c)
         return np.where(empty, num / (2.0 * ctx.wu), g_nonempty)
 
-    def quality(self, g, labels, nodes_w=None):
-        agg, _, _, n, mx = self._ctxg(g, labels, nodes_w)
-        nz = agg.w > 0
-        return float((agg.in_[nz] / (2.0 * agg.w[nz])).sum() / (n * mx))
+    def comm_terms(self, in_, tot, w, *, m2, n, max_w):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = in_ / (2.0 * w)
+        return t, w > 0
+
+    def finalize(self, s, *, m2, n, max_w, kappa):
+        return s / (n * max_w)
 
 
 class CondorA(QualityFn):
@@ -188,9 +220,11 @@ class CondorA(QualityFn):
     def gain(self, ctx):
         return ctx.dnc.copy()
 
-    def quality(self, g, labels, nodes_w=None):
-        agg, _, _, n, _ = self._ctxg(g, labels, nodes_w)
-        return float((agg.in_.sum() + self.sum_se) / (n * n))
+    def comm_terms(self, in_, tot, w, *, m2, n, max_w):
+        return in_, np.ones(len(in_), dtype=bool)
+
+    def finalize(self, s, *, m2, n, max_w, kappa):
+        return (s + self.sum_se) / (n * n)
 
 
 class DevInd(QualityFn):
@@ -202,12 +236,11 @@ class DevInd(QualityFn):
         return ctx.dnc - (ctx.tot_c * ctx.wu + ctx.degc * ctx.w_c) / ctx.n \
             + ctx.m2 * ctx.wu * ctx.w_c / (ctx.n * ctx.n)
 
-    def quality(self, g, labels, nodes_w=None):
-        agg, _, m2, n, _ = self._ctxg(g, labels, nodes_w)
-        nz = agg.w > 0
-        q = float((agg.in_[nz] - 2.0 * agg.tot[nz] * agg.w[nz] / n).sum())
-        q += float((agg.w[nz] ** 2).sum()) * (m2 / (n * n))
-        return q / m2
+    def comm_terms(self, in_, tot, w, *, m2, n, max_w):
+        return (in_ - 2.0 * tot * w / n + w ** 2 * (m2 / (n * n))), w > 0
+
+    def finalize(self, s, *, m2, n, max_w, kappa):
+        return s / m2
 
 
 class DevUni(QualityFn):
@@ -217,12 +250,11 @@ class DevUni(QualityFn):
     def gain(self, ctx):
         return ctx.dnc - ctx.m2 * ctx.wu * ctx.w_c / (ctx.n * ctx.n)
 
-    def quality(self, g, labels, nodes_w=None):
-        agg, _, m2, n, _ = self._ctxg(g, labels, nodes_w)
-        nz = agg.w > 0
-        q = float(agg.in_[nz].sum())
-        q -= float((agg.w[nz] ** 2).sum()) * (m2 / (n * n))
-        return q / m2
+    def comm_terms(self, in_, tot, w, *, m2, n, max_w):
+        return in_ - w ** 2 * (m2 / (n * n)), w > 0
+
+    def finalize(self, s, *, m2, n, max_w, kappa):
+        return s / m2
 
 
 class DP(QualityFn):
@@ -241,12 +273,13 @@ class DP(QualityFn):
                 - ctx.in_c / ctx.w_c
         return np.where(empty, num / ctx.wu - 0.5, g_nonempty)
 
-    def quality(self, g, labels, nodes_w=None):
-        agg, _, _, n, mx = self._ctxg(g, labels, nodes_w)
-        nz = agg.w > 0
-        q = float((2.0 * agg.in_[nz] / agg.w[nz]).sum())
-        q -= self.sum_sq + agg.kappa
-        return q / (n * n * mx)
+    def comm_terms(self, in_, tot, w, *, m2, n, max_w):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = 2.0 * in_ / w
+        return t, w > 0
+
+    def finalize(self, s, *, m2, n, max_w, kappa):
+        return (s - self.sum_sq - kappa) / (n * n * max_w)
 
 
 class ShiMalik(QualityFn):
@@ -268,10 +301,13 @@ class ShiMalik(QualityFn):
             return np.zeros_like(out)
         return out
 
-    def quality(self, g, labels, nodes_w=None):
-        agg, _, _, n, _ = self._ctxg(g, labels, nodes_w)
-        nz = agg.tot > 0
-        return float(((agg.in_[nz] / agg.tot[nz]).sum() - agg.kappa) / n)
+    def comm_terms(self, in_, tot, w, *, m2, n, max_w):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = in_ / tot
+        return t, tot > 0
+
+    def finalize(self, s, *, m2, n, max_w, kappa):
+        return (s - kappa) / n
 
 
 class BalMod(QualityFn):
@@ -286,14 +322,13 @@ class BalMod(QualityFn):
                ) / (n * n * mx - m2)
         return g0
 
-    def quality(self, g, labels, nodes_w=None):
-        agg, _, m2, n, mx = self._ctxg(g, labels, nodes_w)
-        nz = agg.w > 0
-        q = float((2.0 * agg.in_[nz] - agg.tot[nz] ** 2 / m2
-                   - mx * agg.w[nz] ** 2).sum())
-        q += float((((n * agg.w[nz] * mx - agg.tot[nz]) ** 2)
-                    / (n * n * mx - m2)).sum())
-        return q / (n * n * mx)
+    def comm_terms(self, in_, tot, w, *, m2, n, max_w):
+        t = (2.0 * in_ - tot ** 2 / m2 - max_w * w ** 2
+             + (n * w * max_w - tot) ** 2 / (n * n * max_w - m2))
+        return t, w > 0
+
+    def finalize(self, s, *, m2, n, max_w, kappa):
+        return s / (n * n * max_w)
 
 
 QUALITY_FUNCTIONS: dict[int, type[QualityFn]] = {

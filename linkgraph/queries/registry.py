@@ -196,6 +196,30 @@ EMB_SQL: dict[str, str] = {
 }
 
 
+def q_graph_quality_louvain(sf_dir: str):
+    """-q variant Louvain summaries (the reference's only extension
+    surface, main_louvain.cpp:889-899/998-1059): one row per quality id,
+    including the E9/E10 reweight -> E4 selfloops -> louvain composition
+    (q=4, q=7).  Runs the driver path on the cached engine (shards stay
+    pristine); rows-only — float parity is pinned by
+    tests/test_quality_engine.py (engine == variant oracle, all ids)."""
+    import pyarrow as _pa
+
+    from . import graphs as _g
+    eng = _g._build_engine(sf_dir)
+    rows = []
+    for qid in (1, 2, 4, 7, 9):
+        res = eng.louvain_quality(qid)
+        rows.append((qid, res["n_comms"], res["n_levels"],
+                     round(res["quality"], 9)))
+    return _pa.table({
+        "q_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "n_comms": _pa.array([r[1] for r in rows], _pa.int64()),
+        "n_levels": _pa.array([r[2] for r in rows], _pa.int64()),
+        "quality": _pa.array([r[3] for r in rows], _pa.float64()),
+    })
+
+
 def q_graph_comm_sizes(sf_dir: str):
     """S8 cluster-sizes output: Louvain communities of the lineitem graph
     with their member counts (rows-only — community ids are
@@ -224,6 +248,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_connected_components": g.q_connected_components,
     "graph_label_propagation": g.q_label_propagation,
     "graph_louvain": g.q_louvain,
+    "graph_quality_louvain": q_graph_quality_louvain,
     "graph_dynamic_louvain": ev.q_dynamic_louvain,
     # text / training-data operators (north rule)
     "doc_tokens": q_doc_tokens,

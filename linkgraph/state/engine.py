@@ -716,6 +716,200 @@ class GraphEngine:
                 "n_levels": 1 + sub_res["n_levels"],
                 "n_comms": int(sub_res["labels"].max()) + 1}
 
+    # -------------------------------------------- quality-variant Louvain
+
+    def _rebuild_comm_aggs_q(self):
+        """tot/size/w by labels + in[C] (needs fresh ghost labels)."""
+        outs = [a.lv_agg_partials_q.options(num_returns=self.P).remote()
+                for a in self.actors]
+        ray.get([a.lv_agg_apply_q.remote([outs[i][j] for i in range(self.P)])
+                 for j, a in enumerate(self.actors)])
+        in_outs = [a.lv_in_partials.options(num_returns=self.P).remote()
+                   for a in self.actors]
+        ray.get([a.lv_in_apply.remote([in_outs[i][j] for i in range(self.P)])
+                 for j, a in enumerate(self.actors)])
+
+    def _q_value_q(self, qfn, n_w: float) -> float:
+        """Distributed quality: per-owner comm_terms sums + driver
+        finalize (one float + one int per shard cross the wire)."""
+        self._store_ghost_labels()
+        self._rebuild_comm_aggs_q()
+        parts = ray.get([a.lv_q_terms_q.remote(n_w) for a in self.actors])
+        s = sum(p[0] for p in parts)
+        kappa = sum(p[1] for p in parts)
+        return qfn.finalize(s, m2=2.0 * self.M, n=n_w,
+                            max_w=qfn.fixed_max_w, kappa=kappa)
+
+    def louvain_quality(self, q_id: int, *, alpha: float = 0.5,
+                        kmin: int = 1,
+                        min_gain: float = oracle_lv.DEFAULT_MIN_GAIN) -> dict:
+        """Static Louvain under quality variant ``-q q_id`` (the
+        reference's only extension surface, main_louvain.cpp:889-899 /
+        998-1059): distributed level 0 with the generic gain kernel,
+        contracted levels on the driver via the variant oracle
+        (oracle/qlouvain.py defines the deterministic synchronous
+        semantics both sides implement).
+
+        Level-0 preprocessing runs IN THE SHARDS: q=4 -> E4 selfloops +
+        E9 CondorA reweighting, q=7 -> E10 DP reweighting (ghost degree
+        counts fetched once); max_w is captured before weighting and
+        pinned across levels, as init_quality does at nbc==0.
+        """
+        from ..oracle import qlouvain as qlv
+        n_edges = sum(s["n_edges"] for s in self.stats)
+        if (self.louvain_driver_threshold
+                and n_edges <= self.louvain_driver_threshold):
+            # small-graph opt-in (see louvain_driver_threshold): gather
+            # the shard rows and run the variant oracle directly — the
+            # shards stay PRISTINE (preprocessing happens on the
+            # driver-side copy), so cached engines can serve this
+            tbl = pa.concat_tables(
+                ray.get([a.edge_arrays.remote() for a in self.actors]))
+            g = CSRGraph.from_edges(tbl.column("src").to_numpy(),
+                                    tbl.column("dst").to_numpy(),
+                                    tbl.column("w").to_numpy(), n=self.n)
+            res = qlv.louvain_q(g, q_id, alpha=alpha, kmin=kmin,
+                                min_gain=min_gain)
+            final = res["labels"]
+            ray.get([a.lv_init_labels.remote(
+                final[self.bounds[p]:self.bounds[p + 1]])
+                for p, a in enumerate(self.actors)])
+            self._invalidate_label_cache()
+            self._rebuild_comm_aggs()
+            return {"quality": res["quality"],
+                    "modularity": res["quality"],
+                    "q_trajectory": res["q_trajectory"],
+                    "n_levels": res["n_levels"],
+                    "n_comms": int(final.max(initial=-1)) + 1}
+        # -- preprocessing (nbc == 0) ------------------------------------
+        max_w = max(ray.get([a.lv_max_weight_local.remote()
+                             for a in self.actors]))
+        sum_se = sum_sq = 0.0
+        if q_id == 4:
+            ray.get([a.lv_add_selfloops_local.remote()
+                     for a in self.actors])
+            self._after_graph_mutation()
+            ray.get([a.lv_publish_degcnt_selfw.remote()
+                     for a in self.actors])
+            deg_vals = self._fetch_ghost("degcnt")
+            selfw_vals = self._fetch_ghost("selfw")
+            sum_se = sum(ray.get([
+                a.lv_reweight_local.remote("condora", deg_vals[i],
+                                           selfw_vals[i])
+                for i, a in enumerate(self.actors)]))
+            self._after_weights_changed()
+        elif q_id == 7:
+            ray.get([a.lv_publish_degcnt_selfw.remote()
+                     for a in self.actors])
+            deg_vals = self._fetch_ghost("degcnt")
+            sum_sq = sum(ray.get([
+                a.lv_reweight_local.remote("dp", deg_vals[i])
+                for i, a in enumerate(self.actors)]))
+            self._after_weights_changed()
+        ray.get([a.lv_set_quality.remote(q_id, alpha, kmin, sum_se,
+                                         sum_sq, max_w)
+                 for a in self.actors])
+        qfn = qlv.make_quality(q_id, alpha=alpha, kmin=kmin,
+                               sum_se=sum_se, sum_sq=sum_sq)
+        qfn.fixed_max_w = max_w
+        n_w = float(self.n)          # node weights all 1 at level 0
+        ray.get([a.lv_init_labels.remote() for a in self.actors])
+        self._invalidate_label_cache()
+        # -- level-0 synchronous bucketed rounds -------------------------
+        counts = np.sum(ray.get([a.lv_bucket_counts.remote(False)
+                                 for a in self.actors]), axis=0)
+        active = [b for b in range(N_BUCKETS) if counts[b] > 0]
+        changed = False
+        total_gain = min_gain
+        q_before = self._q_value_q(qfn, n_w)
+        while total_gain >= min_gain:
+            for bucket in active:
+                self._store_ghost_labels()
+                self._rebuild_comm_aggs_q()
+                kappa = sum(ray.get([a.lv_kappa_partial.remote()
+                                     for a in self.actors]))
+                reqs = [a.lv_moves_phase1.options(num_returns=self.P)
+                        .remote(bucket, False)
+                        for a in self.actors]
+                outs = [self.actors[j].lv_serve_comm_q_many
+                        .options(num_returns=self.P)
+                        .remote([reqs[i][j] for i in range(self.P)])
+                        for j in range(self.P)]
+                comm_vals = [[outs[j][i] for j in range(self.P)]
+                             for i in range(self.P)]
+                ray.get([a.lv_moves_phase2_q.remote(comm_vals[i], n_w,
+                                                    kappa)
+                         for i, a in enumerate(self.actors)])
+            q_after = self._q_value_q(qfn, n_w)
+            total_gain = q_after - q_before
+            changed = changed or (total_gain > 0)
+            q_before = q_after
+        q_traj = [q_before]
+        if not changed:
+            final_map, n_comms = self._densify_labels()
+            return {"quality": q_before, "modularity": q_before,
+                    "q_trajectory": q_traj, "n_levels": 0,
+                    "n_comms": n_comms}
+        # -- contraction + driver continuation (variant levels shrink
+        #    orders of magnitude; the oracle kernel is the parity target)
+        self._store_ghost_labels()
+        part_refs = [a.lv_contract_partial.remote() for a in self.actors]
+        uniq_lbl = np.unique(np.concatenate(
+            ray.get([a.lv_unique_labels.remote() for a in self.actors])))
+        remap_arr = np.full(int(uniq_lbl.max(initial=0)) + 1, -1,
+                            dtype=np.int64)
+        remap_arr[uniq_lbl] = np.arange(len(uniq_lbl))
+        tbl = pa.concat_tables(ray.get(part_refs))
+        csrc = remap_arr[tbl.column("csrc").to_numpy()]
+        cdst = remap_arr[tbl.column("cdst").to_numpy()]
+        w = tbl.column("w").to_numpy()
+        key = csrc * np.int64(len(uniq_lbl)) + cdst
+        order = np.argsort(key, kind="stable")
+        key_s, w_s = key[order], w[order]
+        uk, start = np.unique(key_s, return_index=True)
+        sums = np.add.reduceat(w_s, start) if len(start) else np.empty(0)
+        cg = CSRGraph.from_edges(uk // len(uniq_lbl), uk % len(uniq_lbl),
+                                 sums, n=len(uniq_lbl))
+        nw_parts = ray.get([a.lv_label_nw_sums.remote()
+                            for a in self.actors])
+        nodes_w_c = np.zeros(len(uniq_lbl))
+        for ids, s in nw_parts:
+            if len(ids):
+                np.add.at(nodes_w_c, remap_arr[ids], s)
+        sub = qlv.louvain_q_prepared(cg, qfn, nodes_w=nodes_w_c,
+                                     min_gain=min_gain)
+        q_traj.extend(sub["q_trajectory"])
+        compose = np.full(len(remap_arr), -1, dtype=np.int64)
+        compose[uniq_lbl] = sub["labels"][remap_arr[uniq_lbl]]
+        ray.get([a.lv_compose_labels.remote(ray.put(compose))
+                 for a in self.actors])
+        self._invalidate_label_cache()
+        self._rebuild_comm_aggs()
+        return {"quality": sub["quality"], "modularity": sub["quality"],
+                "q_trajectory": q_traj,
+                "n_levels": 1 + sub["n_levels"],
+                "n_comms": int(sub["labels"].max(initial=-1)) + 1}
+
+    def _after_graph_mutation(self):
+        """Refresh stats/M/ghost machinery after an in-shard CSR rebuild
+        (selfloop insertion).  Drops the hub split: shard-side fragment
+        copies no longer match the mutated CSR."""
+        self.has_frags = False
+        stats = ray.get([a.local_stats.remote() for a in self.actors])
+        self.stats = stats
+        self.M = sum(s["k_sum"] for s in stats) / 2.0
+        ray.get([a.set_global.remote(M=self.M) for a in self.actors])
+        self._refresh_ghost_requests()
+
+    def _after_weights_changed(self):
+        """Refresh M after a weights-only transform (indices unchanged:
+        ghost sets stay valid; hub-fragment weight copies do not)."""
+        self.has_frags = False
+        stats = ray.get([a.local_stats.remote() for a in self.actors])
+        self.stats = stats
+        self.M = sum(s["k_sum"] for s in stats) / 2.0
+        ray.get([a.set_global.remote(M=self.M) for a in self.actors])
+
     def _louvain_driver(self, *, init: bool, use_subset: bool,
                         min_gain: float,
                         hierarchy_dir: str | None) -> dict:

@@ -438,6 +438,224 @@ class LouvainShard(AlgoShard):
             counts[b] = int(((deg > lo_b) & (deg <= hi_b)).sum())
         return counts
 
+    # ---------- quality-variant kernel (-q 0..9, SURVEY §2.9) -------------
+    #
+    # Same exchange skeleton as the Modularity path (phase1 grouped
+    # e_{v,C} sums + per-owner comm requests), but the gain comes from a
+    # QualityFn and the comm owners additionally serve in[C]/w[C].
+    # Aggregates are REBUILT per bucket (in[C] is not additive across
+    # synchronous co-movers), matching the oracle kernel exactly
+    # (linkgraph/oracle/qlouvain.py documents the semantics).
+
+    def lv_publish_degcnt_selfw(self):
+        """State for the E9/E10 reweightings: CSR row counts + self-loop
+        weights (d(i), Aii in condora.cpp:58-120 / dp.cpp:70-127)."""
+        self.state["degcnt"] = np.diff(self.indptr).astype(np.float64)
+        src = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo,
+                        np.diff(self.indptr))
+        selfmask = self.indices == src
+        selfw = np.zeros(self.n_local)
+        np.add.at(selfw, src[selfmask] - self.lo, self.weights[selfmask])
+        self.state["selfw"] = selfw
+
+    def lv_max_weight_local(self) -> float:
+        return float(self.weights.max(initial=0.0))
+
+    def lv_add_selfloops_local(self) -> int:
+        """E4 in-shard: weight-1 self-loop for local vertices lacking one
+        (graph_binary.cpp:151-183); rebuilds the local CSR."""
+        src = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo,
+                        np.diff(self.indptr))
+        has = np.zeros(self.n_local, dtype=bool)
+        has[src[self.indices == src] - self.lo] = True
+        missing = np.flatnonzero(~has) + self.lo
+        self._build_csr(np.concatenate([src, missing]),
+                        np.concatenate([self.indices, missing]),
+                        np.concatenate([self.weights,
+                                        np.ones(len(missing))]))
+        return len(missing)
+
+    def lv_reweight_local(self, mode: str, deg_vals,
+                          selfw_vals=None) -> float:
+        """E9 ('condora') / E10 ('dp') reweighting of the local CSR rows
+        using fetched ghost degree counts (+ self-loop weights for E9).
+        Returns the local share of sum_se / sum_sq."""
+        deg_vals = _resolve(list(deg_vals))
+        ids, degs = self._full_values("degcnt", deg_vals, dtype=np.float64)
+        src_loc = np.repeat(np.arange(self.n_local, dtype=np.int64),
+                            np.diff(self.indptr))
+        d_u = self.state["degcnt"][src_loc]
+        d_v = self._lookup(ids, degs, self.indices)
+        w = self.weights
+        if mode == "dp":
+            new_w = 2.0 * w / (d_u + d_v)
+            ret = float((new_w ** 2).sum())
+        else:
+            selfw_vals = _resolve(list(selfw_vals))
+            ids2, selfs = self._full_values("selfw", selfw_vals,
+                                            dtype=np.float64)
+            s_u = self.state["selfw"][src_loc]
+            s_v = self._lookup(ids2, selfs, self.indices)
+            aux = 2.0 * w / (d_u + d_v)
+            tmp = s_u / (2.0 * d_u) + s_v / (2.0 * d_v)
+            new_w = 2.0 * aux - tmp
+            ret = float((tmp - aux).sum())
+        self.weights = new_w
+        deg = np.diff(self.indptr)
+        ksum = np.add.reduceat(np.concatenate([new_w, [0.0]]),
+                               self.indptr[:-1]) if len(new_w) \
+            else np.zeros(self.n_local)
+        self.k = np.where(deg > 0, ksum, 0.0)
+        self._lv_bucket_cache = {}
+        return ret
+
+    def lv_set_quality(self, q_id: int, alpha: float, kmin: int,
+                       sum_se: float, sum_sq: float, max_w: float):
+        from ..oracle.qlouvain import make_quality
+        self._qfn = make_quality(q_id, alpha=alpha, kmin=kmin,
+                                 sum_se=sum_se, sum_sq=sum_sq)
+        self._qfn.fixed_max_w = max_w
+        src = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo,
+                        np.diff(self.indptr))
+        selfmask = self.indices == src
+        selfw = np.zeros(self.n_local)
+        np.add.at(selfw, src[selfmask] - self.lo, self.weights[selfmask])
+        self.state["selfw"] = selfw
+        self.state["nw"] = np.ones(self.n_local)
+
+    def lv_agg_partials_q(self):
+        """(comm, ksum, cnt, nwsum) per owner (num_returns=P)."""
+        lab = self.state["labels"]
+        uk, ksum = _grouped_sum(lab, self.k)
+        _, cnt = _grouped_sum(lab, np.ones(self.n_local))
+        _, nwsum = _grouped_sum(lab, self.state["nw"])
+        return tuple(split_by_owner(uk, self.bounds, ksum, cnt, nwsum))
+
+    def lv_agg_apply_q(self, msgs):
+        msgs = _resolve(msgs)
+        tot = np.zeros(self.n_local)
+        size = np.zeros(self.n_local, dtype=np.int64)
+        w = np.zeros(self.n_local)
+        for ids, ksum, cnt, nwsum in msgs:
+            if len(ids):
+                loc = ids - self.lo
+                np.add.at(tot, loc, ksum)
+                np.add.at(size, loc, cnt.astype(np.int64))
+                np.add.at(w, loc, nwsum)
+        self.comm_state["tot"] = tot
+        self.comm_state["size"] = size
+        self.comm_state["w"] = w
+
+    def lv_in_partials(self):
+        """(comm, in_partial) per owner — in[C] = Σ w over local CSR rows
+        with both endpoint labels C (both directions stored => the
+        2·dnc + self accumulator shape).  Requires fresh ghost labels."""
+        src_lab = np.repeat(self.state["labels"], np.diff(self.indptr))
+        dst_lab = self._labels_of_all_edges()
+        own = src_lab == dst_lab
+        uk, sums = _grouped_sum(src_lab[own], self.weights[own])
+        return tuple(split_by_owner(uk, self.bounds, sums))
+
+    def lv_in_apply(self, msgs):
+        msgs = _resolve(msgs)
+        in_ = np.zeros(self.n_local)
+        for ids, sums in msgs:
+            if len(ids):
+                np.add.at(in_, ids - self.lo, sums)
+        self.comm_state["in"] = in_
+
+    def lv_kappa_partial(self) -> int:
+        return int((self.comm_state["size"] > 0).sum())
+
+    def lv_serve_comm_q_many(self, reqs) -> tuple:
+        """(tot, size, in, w) of local comm slots for all requesters."""
+        reqs = _resolve(list(reqs))
+        out = []
+        for r in reqs:
+            ids = np.asarray(r, dtype=np.int64) - self.lo
+            out.append((self.comm_state["tot"][ids],
+                        self.comm_state["size"][ids].astype(np.int64),
+                        self.comm_state["in"][ids],
+                        self.comm_state["w"][ids]))
+        return tuple(out)
+
+    def lv_moves_phase2_q(self, comm_vals, n_w: float, kappa: int) -> int:
+        """Variant-gain finish: the oracle's _bucket_moves_q rule on the
+        fetched (tot, size, in, w); applies moves locally, returns the
+        move count (comm aggregates are rebuilt next bucket, no deltas)."""
+        from ..functions.quality import QualityContext
+        comm_vals = _resolve(comm_vals)
+        if self._mv is None:
+            return 0
+        mv = self._mv
+        self._mv = None
+        need = mv["need"]
+        s_tot = np.concatenate([v[0] for v in comm_vals]) \
+            if comm_vals else np.empty(0)
+        s_size = np.concatenate([v[1] for v in comm_vals]) \
+            if comm_vals else np.empty(0, np.int64)
+        s_in = np.concatenate([v[2] for v in comm_vals]) \
+            if comm_vals else np.empty(0)
+        s_w = np.concatenate([v[3] for v in comm_vals]) \
+            if comm_vals else np.empty(0)
+
+        def look(arr, ids):
+            return arr[np.searchsorted(need, ids)]
+
+        gv, gc, e_vc = mv["gv"], mv["gc"], mv["e"]
+        labels = self.state["labels"]
+        cur = labels[gv]
+        own_mask = gc == cur
+        e_cur = np.zeros(self.n_local)
+        e_cur[gv[own_mask]] = e_vc[own_mask]
+        mx = self._qfn.fixed_max_w
+        m2 = 2.0 * self.M
+        nw = self.state["nw"]
+        selfw = self.state["selfw"]
+        verts = np.unique(gv)
+        vcur = labels[verts]
+        ctx_stay = QualityContext(
+            dnc=e_cur[verts], degc=self.k[verts], wu=nw[verts],
+            self_v=selfw[verts],
+            in_c=look(s_in, vcur) - (2.0 * e_cur[verts] + selfw[verts]),
+            tot_c=look(s_tot, vcur) - self.k[verts],
+            w_c=look(s_w, vcur) - nw[verts],
+            m2=m2, n=n_w, max_w=mx, kappa=kappa)
+        thr = np.maximum(self._qfn.gain(ctx_stay), 0.0)
+        cand = (~own_mask) & ((gc < cur)
+                              | (look(s_size, gc).astype(np.int64) > 1)
+                              | (look(s_size, cur).astype(np.int64) > 1))
+        gv_c, gc_c, e_c = gv[cand], gc[cand], e_vc[cand]
+        if len(gv_c) == 0:
+            return 0
+        ctx_cand = QualityContext(
+            dnc=e_c, degc=self.k[gv_c], wu=nw[gv_c], self_v=selfw[gv_c],
+            in_c=look(s_in, gc_c), tot_c=look(s_tot, gc_c),
+            w_c=look(s_w, gc_c),
+            m2=m2, n=n_w, max_w=mx, kappa=kappa)
+        gains = self._qfn.gain(ctx_cand)
+        v_f, c_f, g_f = _segment_argmax(gv_c, gc_c, gains)
+        pos = np.searchsorted(verts, v_f)
+        ok = g_f > thr[pos]
+        movers, newc = v_f[ok], c_f[ok]
+        labels[movers] = newc
+        if getattr(self, "_lv_cache_ready", False):
+            self._lv_labs[self._lv_local_pos[movers]] = newc
+            self._lv_pending.append(movers + self.lo)
+        return int(len(movers))
+
+    def lv_q_terms_q(self, n_w: float) -> tuple[float, int]:
+        """(local Σ comm_terms over non-empty slots, local kappa)."""
+        terms, nz = self._qfn.comm_terms(
+            self.comm_state["in"], self.comm_state["tot"],
+            self.comm_state["w"], m2=2.0 * self.M, n=n_w,
+            max_w=self._qfn.fixed_max_w)
+        return float(terms[nz].sum()), int((self.comm_state["size"] > 0).sum())
+
+    def lv_label_nw_sums(self) -> tuple[np.ndarray, np.ndarray]:
+        """(distinct labels, node-weight sums) — contraction node weights."""
+        return _grouped_sum(self.state["labels"], self.state["nw"])
+
     # ---------- modularity -------------------------------------------------
 
     def lv_q_terms(self) -> tuple[float, float]:
