@@ -86,11 +86,12 @@ def build_nodes(links: rd.Dataset) -> rd.Dataset:
     return rd.from_arrow_refs(out_refs)
 
 
-def resolve_edges(links: rd.Dataset, nodes: rd.Dataset, *,
-                  num_partitions: int = DEFAULT_JOIN_PARTITIONS,
-                  broadcast_threshold: int = 5_000_000) -> rd.Dataset:
-    """links(src_url,dst_url) -> directed edges(src,dst,w) with w = link
-    multiplicity (dedup via groupby — E2 semantics, key=(src,dst)).
+def resolve_raw(links: rd.Dataset, nodes: rd.Dataset, *,
+                num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+                broadcast_threshold: int = 5_000_000) -> rd.Dataset:
+    """links(src_url,dst_url) -> raw per-link (src,dst) id rows (one row
+    per link occurrence; E2 dedup happens downstream so the directed and
+    symmetric tables can both derive from ONE resolution pass).
 
     Join strategy: if the nodes table is small enough, broadcast it once
     with ``ray.put`` and map urls inside ``map_batches`` (no shuffle);
@@ -99,8 +100,11 @@ def resolve_edges(links: rd.Dataset, nodes: rd.Dataset, *,
     n_nodes = nodes.count()
     if n_nodes <= broadcast_threshold:
         nodes_tbl = pa.concat_tables(ray.get(nodes.to_arrow_refs()))
-        # broadcast the sorted url->id map once; searchsorted per batch
-        urls_sorted = np.array(nodes_tbl.column("url").to_pylist())
+        # broadcast the sorted url->id map once; fixed-width numpy
+        # unicode arrays make every searchsorted comparison a C memcmp
+        # (object-dtype string compares ran the whole lookup in Python)
+        urls_sorted = np.asarray(nodes_tbl.column("url").to_pylist(),
+                                 dtype=str)
         ids_sorted = nodes_tbl.column("node_id").to_numpy()
         order = np.argsort(urls_sorted)
         urls_sorted, ids_sorted = urls_sorted[order], ids_sorted[order]
@@ -111,8 +115,10 @@ def resolve_edges(links: rd.Dataset, nodes: rd.Dataset, *,
                 self.urls, self.ids = ray.get(map_ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                s = np.asarray(batch.column("src_url").to_pylist())
-                d = np.asarray(batch.column("dst_url").to_pylist())
+                s = np.asarray(batch.column("src_url").to_pylist(),
+                               dtype=str)
+                d = np.asarray(batch.column("dst_url").to_pylist(),
+                               dtype=str)
                 si = self.ids[np.searchsorted(self.urls, s)]
                 di = self.ids[np.searchsorted(self.urls, d)]
                 return pa.table({"src": pa.array(si), "dst": pa.array(di)})
@@ -132,8 +138,44 @@ def resolve_edges(links: rd.Dataset, nodes: rd.Dataset, *,
             .rename_columns({"node_id": "dst"})
             .select_columns(["src", "dst"])
         )
+    return resolved
+
+
+def resolve_edges(links: rd.Dataset, nodes: rd.Dataset, **kw) -> rd.Dataset:
+    """links -> deduped directed edges(src,dst,w) (E2 on top of
+    resolve_raw; kept as the stable public surface)."""
+    return dedup_resolved(resolve_raw(links, nodes, **kw))
+
+
+def dedup_resolved(resolved: rd.Dataset) -> rd.Dataset:
+    """Raw per-link (src,dst) rows -> deduped directed edges with
+    multiplicity weight (E2)."""
     return (resolved.groupby(["src", "dst"])
             .aggregate(Count(alias_name="w"))
+            .map_batches(lambda t: t.set_column(
+                t.schema.get_field_index("w"), "w",
+                t.column("w").cast(pa.float64())),
+                batch_format="pyarrow"))
+
+
+def sym_from_raw(resolved: rd.Dataset) -> rd.Dataset:
+    """Raw per-link rows -> symmetric deduped edges in ONE shuffle:
+    mirror the raw pairs (self-loops once) and count — count(s,d) =
+    mult(s->d) + mult(d->s), identical to dedup-then-mirror-then-sum
+    (the queries/graphs.sym_edges single-shuffle formulation)."""
+
+    def mirror_raw(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy()
+        dst = batch.column("dst").to_numpy()
+        nonself = src != dst
+        return pa.table({
+            "src": np.concatenate([src, dst[nonself]]),
+            "dst": np.concatenate([dst, src[nonself]]),
+        })
+
+    return (resolved.map_batches(mirror_raw, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby(["src", "dst"]).aggregate(Count(alias_name="w"))
             .map_batches(lambda t: t.set_column(
                 t.schema.get_field_index("w"), "w",
                 t.column("w").cast(pa.float64())),
@@ -179,8 +221,12 @@ def ingest(pages_path: str, out_dir: str | None = None, *,
     # it — leaving it lazy re-runs the html parse per consumer
     links = extract_links(pages, concurrency=concurrency).materialize()
     nodes = build_nodes(links).materialize()
-    edges = resolve_edges(links, nodes).materialize()
-    sym = symmetrize_edges(edges).materialize()
+    # ONE url->id resolution pass feeds both edge tables; the symmetric
+    # table goes mirror-raw -> single groupby (not via the directed
+    # table), cutting a chained shuffle off the critical path
+    raw = resolve_raw(links, nodes).materialize()
+    edges = dedup_resolved(raw).materialize()
+    sym = sym_from_raw(raw).materialize()
     degrees = degree_table(sym)
     out = {"links": links, "nodes": nodes, "edges": edges,
            "sym_edges": sym, "degrees": degrees}

@@ -161,6 +161,16 @@ class GraphEngine:
 
         hist_parts = ray.get([_deg_block.remote(b) for b in block_refs])
         hist = np.sum(hist_parts, axis=0) if hist_parts else np.zeros(nb)
+        if split_hubs and hist.sum() > 0:
+            # the hub split exports hub-src rows to their dst owners, so
+            # the per-shard move/message work a range actually carries is
+            # the CAPPED degree mass — balancing on raw degree gave the
+            # hub-dense range a sliver of vertices and left it idle in
+            # every non-hub degree bucket (the round-1 per-bucket skew:
+            # 2 of 4 shards busy)
+            thr = max(256.0, cls.HUB_DEGREE_FACTOR * hist.sum()
+                      / max(1, n_nodes))
+            hist = np.minimum(hist, width * thr)
         bounds = degree_balanced_bounds(None, n_nodes, n_parts,
                                         degree_hist=hist)
         eng = cls(bounds, name=name)

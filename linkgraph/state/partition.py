@@ -214,9 +214,9 @@ class GraphShard:
         if self._frag_pending:
             tbl = pa.concat_tables(self._frag_pending)
             self._frag_pending = []
-            fsrc = tbl.column("src").to_numpy().astype(np.int64)
-            fdst = tbl.column("dst").to_numpy().astype(np.int64)
-            fw = (tbl.column("w").to_numpy().astype(np.float64)
+            fsrc = np.asarray(tbl.column("src").to_numpy(), dtype=np.int64)
+            fdst = np.asarray(tbl.column("dst").to_numpy(), dtype=np.int64)
+            fw = (np.asarray(tbl.column("w").to_numpy(), dtype=np.float64)
                   if "w" in tbl.column_names else np.ones(len(fsrc)))
             order = np.lexsort((fdst, fsrc))
             fsrc, fdst, fw = fsrc[order], fdst[order], fw[order]
@@ -314,9 +314,11 @@ class GraphShard:
         """Build the local CSR from ingested rows. Returns local stats."""
         if self._pending:
             tbl = pa.concat_tables(self._pending)
-            src = tbl.column("src").to_numpy().astype(np.int64)
-            dst = tbl.column("dst").to_numpy().astype(np.int64)
-            w = (tbl.column("w").to_numpy().astype(np.float64)
+            # np.asarray: no copy when parquet already stores int64/f64
+            # (astype always copies — 3 extra O(E) passes at build time)
+            src = np.asarray(tbl.column("src").to_numpy(), dtype=np.int64)
+            dst = np.asarray(tbl.column("dst").to_numpy(), dtype=np.int64)
+            w = (np.asarray(tbl.column("w").to_numpy(), dtype=np.float64)
                  if "w" in tbl.column_names else np.ones(len(src)))
         else:
             src = np.empty(0, np.int64)
