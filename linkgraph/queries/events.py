@@ -25,7 +25,11 @@ TOPK_PER_USER = 3
 
 
 def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    # strip_meta: pandas parquet metadata breaks schema hashing in Ray's
+    # shuffle reduce (see common.strip_meta); every consumer here shuffles
+    from ..common import strip_meta
+    return strip_meta(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns))
 
 
 def q_hour_window(sf_dir: str):

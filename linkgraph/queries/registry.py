@@ -136,7 +136,97 @@ _LANGID_SQL = f"""
                 ELSE 'es' END AS pred_lang
     FROM s"""
 
+# ---- mod-2^64 SQL arithmetic helpers (fingerprint / simhash oracles) ----
+# DuckDB BIGINT/UBIGINT multiplication raises on overflow, so wraparound
+# products run in HUGEINT (128-bit) split as x*m = lo(x)*m + (hi(x)*m
+# mod 2^32)<<32 (each partial < 2^97, safely inside HUGEINT).
+_T64 = "18446744073709551616::HUGEINT"       # 2^64
+_B32 = "4294967296::HUGEINT"                 # 2^32
+_SM_GOLDEN = "11400714819323198485::HUGEINT"  # 0x9E3779B97F4A7C15
+_SM_M1, _SM_M1_LO = "13787848793156543929::HUGEINT", "484763065::HUGEINT"
+_SM_M2, _SM_M2_LO = "10723151780598845931::HUGEINT", "321982955::HUGEINT"
+
+# utf-8 bytes of a string as a HUGEINT list (via hex(encode(s)))
+_BYTES_OF = (
+    "list_transform(range(1, length({h}) // 2 + 1), "
+    "i -> CAST(16 * (strpos('0123456789ABCDEF', "
+    "substring({h}, 2*i-1, 1)) - 1) "
+    "+ strpos('0123456789ABCDEF', substring({h}, 2*i, 1)) - 1 AS HUGEINT))")
+
+# Horner fold fp = fp * FNV_PRIME + byte (mod 2^64) == text/ops.py
+# _poly_hash_flat exactly (verified bit-identical at sf0.001/sf0.01)
+_POLY_FOLD = (
+    "CASE WHEN length({h}) = 0 THEN CAST(0 AS HUGEINT) "
+    "ELSE list_reduce(" + _BYTES_OF +
+    ", (acc, b) -> (acc * 1099511628211 + b) % " + _T64 + ") END")
+
+_U64_TO_I64 = ("CAST(CASE WHEN {x} >= 9223372036854775808::HUGEINT "
+               "THEN {x} - " + _T64 + " ELSE {x} END AS BIGINT)")
+
+
+def _mulmod_sql(x: str, m: str, m_lo: str) -> str:
+    return (f"CAST(((CAST({x} & 4294967295 AS HUGEINT) * {m}) % {_T64} "
+            f"+ ((CAST({x} >> 32 AS HUGEINT) * {m_lo}) % {_B32}) * {_B32})"
+            f" % {_T64} AS UBIGINT)")
+
+
+_FINGERPRINT_SQL = f"""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    f AS (SELECT doc_id, {_POLY_FOLD.format(h='hx')} AS fp FROM h)
+    SELECT doc_id, {_U64_TO_I64.format(x='fp')} AS fingerprint FROM f"""
+
+# 64 majority-vote bit aggregates recombined into the signed simhash
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)" for b in range(64))
+
+_SIMHASH_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    hx AS (SELECT doc_id, hex(encode(tok)) AS hx FROM tok),
+    ph AS (SELECT doc_id, {_POLY_FOLD.format(h='hx')} AS fp FROM hx),
+    s0 AS (SELECT doc_id,
+                  CAST((fp + {_SM_GOLDEN}) % {_T64} AS UBIGINT) AS x
+           FROM ph),
+    s1 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM s0),
+    s2 AS (SELECT doc_id,
+                  {_mulmod_sql('x', _SM_M1, _SM_M1_LO)} AS x FROM s1),
+    s3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM s2),
+    s4 AS (SELECT doc_id,
+                  {_mulmod_sql('x', _SM_M2, _SM_M2_LO)} AS x FROM s3),
+    s5 AS (SELECT doc_id, xor(x, x >> 31) AS h FROM s4),
+    agg AS (SELECT doc_id, {_SIMHASH_BITS} AS sh FROM s5 GROUP BY doc_id)
+    SELECT doc_id, {_U64_TO_I64.format(x='sh')} AS simhash FROM agg"""
+
+# score arithmetic mirrors text/ops.quality_score_batch term by term —
+# same IEEE double expression tree, floor-quantized (no round-half ties)
+_QUALITY_SCORE_SQL = f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               AS n_dist
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             LEAST(GREATEST(n_tok / 64.0, 0.0), 1.0) AS lt,
+             1.0 - abs(n_stop / GREATEST(n_tok, 1.0) - 0.08) / 0.5
+               AS stop_band,
+             n_dist / GREATEST(n_tok, 1.0) AS ttr
+      FROM s)
+    SELECT doc_id,
+           floor(LEAST(GREATEST(lt * (0.4
+                  + 0.3 * LEAST(GREATEST(stop_band, 0.0), 1.0)
+                  + 0.3 * LEAST(GREATEST(ttr * 2.0, 0.0), 1.0)),
+                  0.0), 1.0) * 1e6) / 1e6 AS score
+    FROM c"""
+
 TEXT_SQL: dict[str, str] = {
+    "doc_quality_score": _QUALITY_SCORE_SQL,
+    "doc_fingerprint": _FINGERPRINT_SQL,
+    "doc_simhash": _SIMHASH_SQL,
     "doc_tokens": """
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -18,7 +18,12 @@ from ray.data.aggregate import Count, Max, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # strip_meta: parquet written by pandas carries schema metadata that
+    # breaks pa.Schema hashing inside Ray's shuffle-reduce schema dedup
+    # (see common.strip_meta) — strip once at the read
+    from ..common import strip_meta
+    return strip_meta(
+        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns))
 
 
 def q_orders_by_segment(sf_dir: str):
@@ -84,10 +89,8 @@ def q_lineitem_nation_rollup(sf_dir: str):
 def q_shuffle_join_orders(sf_dir: str):
     """orders ⋈ customer via Ray Data's hash-shuffle join (the
     large-by-large path, J7 analog): per-nation order counts."""
-    from ..common import strip_meta
-    orders = strip_meta(_read(sf_dir, "orders", ["o_custkey", "o_orderkey"]))
-    cust = strip_meta(_read(sf_dir, "customer",
-                            ["c_custkey", "c_nationkey"]))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     joined = orders.join(cust, join_type="inner", num_partitions=8,
                          on=("o_custkey",), right_on=("c_custkey",))
     return (joined.groupby("c_nationkey")

@@ -115,9 +115,9 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
 def quality_score_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, score) — composite heuristic quality score in [0, 1]:
-    token-length band, stopword-ratio band, type-token ratio.  The
-    integer signals behind it are SQL-checked via quality_batch; the
-    score itself is a float heuristic (rows-only)."""
+    token-length band, stopword-ratio band, type-token ratio.  Pure
+    double arithmetic over the SQL-checked integer signals, quantized
+    with floor -> the DuckDB oracle reproduces it bit-exactly."""
     q = quality_batch(batch)
     n_tok = q.column("n_tokens").to_numpy().astype(np.float64)
     n_stop = q.column("n_stop").to_numpy().astype(np.float64)
@@ -130,8 +130,11 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     # how "diverse" it is
     score = np.clip(lt * (0.4 + 0.3 * np.clip(stop_band, 0, 1)
                           + 0.3 * np.clip(ttr * 2, 0, 1)), 0.0, 1.0)
+    # quantize with floor (not round): round-half ties differ between
+    # numpy (half-even) and SQL engines (half-away), floor is identical
+    # IEEE ops everywhere -> the DuckDB oracle hash-matches
     return pa.table({"doc_id": batch.column("doc_id"),
-                     "score": np.round(score, 6)})
+                     "score": np.floor(score * 1e6) / 1e6})
 
 
 # ------------------------------------------------------------- exact dedup
@@ -165,13 +168,28 @@ def exact_dedup(docs):
 _FP_BASE = _U64(1099511628211)  # FNV prime as the rolling base
 
 
-def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, fingerprint) — polynomial rolling hash of utf-8 bytes mod
-    2^64 (vectorized: global powers table + per-row reduceat)."""
-    texts = batch.column("text").to_pylist()
-    bufs = [t.encode("utf-8") for t in texts]
-    lens = np.array([len(b) for b in bufs], dtype=np.int64)
-    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(_U64)
+def _str_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string array -> (flat utf-8 bytes, per-row byte lengths),
+    zero-copy straight from the Arrow offsets/data buffers (no per-row
+    Python encode)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data[offs[0]: offs[-1]], np.diff(offs)
+
+
+def _poly_hash_flat(data: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Polynomial rolling hash (Horner fold, base _FP_BASE, mod 2^64) of
+    each row's slice of the flat uint8 array.  Vectorized: one global
+    powers table + per-row reduceat.  Empty rows hash to 0."""
+    out = np.zeros(len(lens), dtype=_U64)
+    if not len(data):
+        return out
+    flat = data.astype(_U64)
     maxlen = int(lens.max(initial=1))
     powers = np.empty(maxlen, dtype=_U64)
     powers[0] = _U64(1)
@@ -182,12 +200,19 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     ends = np.cumsum(lens)
     idx = np.arange(len(flat), dtype=np.int64)
     row = np.repeat(np.arange(len(lens)), lens)
-    exp = (ends[row] - 1 - idx) if len(flat) else idx
-    contrib = flat * powers[exp] if len(flat) else flat
-    out = np.zeros(len(lens), dtype=_U64)
+    exp = ends[row] - 1 - idx
+    contrib = flat * powers[exp]
     nz = lens > 0
-    if len(flat):
-        out[nz] = np.add.reduceat(contrib, _row_starts(lens)[nz])
+    out[nz] = np.add.reduceat(contrib, _row_starts(lens)[nz])
+    return out
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, fingerprint) — polynomial rolling hash of utf-8 bytes mod
+    2^64, read zero-copy from the Arrow string buffers.  Exactly the
+    Horner fold ``fp = fp * base + byte`` the DuckDB oracle reproduces
+    with a list_reduce over hex-decoded bytes."""
+    out = _poly_hash_flat(*_str_bytes(batch.column("text")))
     return pa.table({"doc_id": batch.column("doc_id"),
                      "fingerprint": pa.array(out.view(np.int64), pa.int64())})
 
@@ -227,8 +252,10 @@ def langid_batch(batch: pa.Table) -> pa.Table:
 # ----------------------------------------------------------------- simhash
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, simhash) — 64-bit SimHash over token hashes (deterministic
-    siphash via pandas hash_array with fixed key)."""
+    """(doc_id, simhash) — 64-bit SimHash over token hashes.  Token hash
+    = splitmix64(poly_hash(utf-8 bytes)) — an avalanche finalizer over
+    the same Horner fold the fingerprint uses, so the DuckDB oracle can
+    reproduce every bit (mod-2^64 arithmetic via HUGEINT)."""
     toks, lens = _tokens(batch)
     flat = _flat_tokens(toks)
     if len(flat):
@@ -237,8 +264,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         # without round-tripping the whole column through Python
         enc = flat.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        h = pd.util.hash_array(uniq, hash_key="0123456789123456")[codes]
+        h = _splitmix64(_poly_hash_flat(*_str_bytes(enc.dictionary)))[codes]
     else:
         h = np.empty(0, _U64)
     bits = ((h[:, None] >> np.arange(64, dtype=_U64)[None, :]) & _U64(1)) \

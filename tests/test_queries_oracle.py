@@ -21,8 +21,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # heavy engine queries are covered by their own oracle-kernel tests;
 # keep the pytest gate fast by checking the SQL-checked set + a sample
 # of rows-only ones.
-ROWS_ONLY_SAMPLE = ["graph_pagerank", "doc_fingerprint", "doc_langid",
-                    "doc_simhash", "emb_ivf_ann"]
+ROWS_ONLY_SAMPLE = ["graph_pagerank", "doc_minhash_pairs", "emb_ivf_ann"]
 
 
 def _to_pandas(obj):

@@ -144,9 +144,9 @@ def test_media_feature_extractor_batch():
 
 
 class TestGoldenVectors:
-    """Fixed golden outputs for the deterministic integer operators whose
-    gates are rows-only (no UDF-free SQL equivalent): any change to the
-    hash kernels must be deliberate (VERDICT r1 #8)."""
+    """Fixed golden outputs for the deterministic integer hash operators
+    (now ALSO value-checked by DuckDB oracles in queries/registry.py):
+    any change to the hash kernels must be deliberate (VERDICT r1 #8)."""
 
     def _tbl(self):
         import pyarrow as pa
@@ -164,5 +164,7 @@ class TestGoldenVectors:
     def test_simhash_golden(self):
         from linkgraph.text.ops import simhash_batch
         got = simhash_batch(self._tbl()).column("simhash").to_pylist()
-        assert got == [-8618537268020226968, 1760245841805064774,
-                       -1714389747793682273]
+        # token hash = splitmix64(poly_hash(utf-8 bytes)) — changed from
+        # pandas siphash in round 2 so the DuckDB oracle can reproduce it
+        assert got == [-7728069894924568732, -2152535657050944081,
+                       -510419953026857416]
