@@ -1018,6 +1018,51 @@ class GraphEngine:
         refs = [a.lv_labels_result.remote() for a in self.actors]
         return rd.from_arrow_refs(refs).sort(["comm", "node"])
 
+    # --------------------------------------------------- S12 debug printers
+
+    def display(self, limit: int = 20, *, reverse: bool = False,
+                file=None) -> int:
+        """S12 ``display``/``display_reverse`` (graph_binary.cpp:186-215):
+        print up to ``limit`` edges as per-node adjacency lines
+        ``src: dst(w) ...`` in global (src,dst) order — or grouped by dst
+        with ``reverse``.  Bounded by design: at most ``limit`` rows are
+        fetched from EACH shard and merged driver-side; the full edge set
+        never touches the driver.  Returns the number of edges printed."""
+        parts = ray.get([a.edge_head.remote(limit, reverse)
+                         for a in self.actors])
+        tbl = pa.concat_tables(parts)
+        s = tbl.column("src").to_numpy()
+        d = tbl.column("dst").to_numpy()
+        w = tbl.column("w").to_numpy()
+        order = (np.lexsort((s, d)) if reverse else np.lexsort((d, s)))
+        order = order[:limit]
+        s, d, w = s[order], d[order], w[order]
+        key, other = (d, s) if reverse else (s, d)
+        starts = np.flatnonzero(np.diff(key, prepend=key[0] - 1 if len(key)
+                                        else 0))
+        ends = np.append(starts[1:], len(key))
+        for a, b in zip(starts, ends):
+            adj = " ".join(f"{other[i]}({w[i]:g})" for i in range(a, b))
+            print(f"{key[a]}: {adj}", file=file)
+        return len(s)
+
+    def display_partition(self, limit: int = 20, file=None) -> int:
+        """S12 ``partition2graph`` analog (louvain.cpp:205-231): print up
+        to ``limit`` ``node community`` lines in node order.  Shards hold
+        contiguous node ranges, so the head of the mapping is the head of
+        shard 0's labels (plus later shards if limit spans them)."""
+        printed = 0
+        for a in self.actors:
+            if printed >= limit:
+                break
+            tbl = ray.get(a.lv_labels_head.remote(limit - printed))
+            node = tbl.column("node").to_numpy()
+            comm = tbl.column("comm").to_numpy()
+            for i in range(len(node)):
+                print(f"{node[i]} {comm[i]}", file=file)
+            printed += len(node)
+        return printed
+
     # ------------------------------------------------------------ checkpoint
 
     def checkpoint(self, ckpt_dir: str, superstep: int, names: list[str],

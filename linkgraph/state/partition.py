@@ -399,6 +399,20 @@ class GraphShard:
                         np.diff(self.indptr))
         return pa.table({"src": src, "dst": self.indices, "w": self.weights})
 
+    def edge_head(self, k: int, reverse: bool = False) -> pa.Table:
+        """First k local edges as (src,dst,w) — src-major CSR order, or
+        (dst,src) order with ``reverse`` (S12 display/display_reverse,
+        graph_binary.cpp:186-215).  Debug path: worker-side sort is fine,
+        only k rows ever leave the shard."""
+        src = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo,
+                        np.diff(self.indptr))
+        dst, w = self.indices, self.weights
+        if reverse:
+            order = np.lexsort((src, dst))[:k]
+            return pa.table({"src": src[order], "dst": dst[order],
+                             "w": w[order]})
+        return pa.table({"src": src[:k], "dst": dst[:k], "w": w[:k]})
+
     def set_global(self, *, M: float | None = None, n_global: int | None = None):
         if M is not None:
             self.M = float(M)

@@ -717,6 +717,15 @@ class LouvainShard(AlgoShard):
             "comm": self.state["labels"],
         })
 
+    def lv_labels_head(self, k: int) -> pa.Table:
+        """First k (node, comm) rows — bounded fetch for the S12 debug
+        printer (never ships the whole shard's labels)."""
+        k = min(k, self.n_local)
+        return pa.table({
+            "node": np.arange(self.lo, self.lo + k, dtype=np.int64),
+            "comm": self.state["labels"][:k],
+        })
+
     # ---------- delta application (M1/M2) ---------------------------------
 
     def apply_delta(self, add_tbl: pa.Table | None,

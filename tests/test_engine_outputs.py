@@ -177,3 +177,45 @@ def test_louvain_driver_fast_path_parity(ray_session, tmp_path):
     assert [round(r["modularity"], 12) for r in recs_d] == \
         [round(r["modularity"], 12) for r in recs_f]
     assert np.array_equal(canon(lab2_d), canon(lab2_f))
+
+
+def test_display_printers(eng):
+    """S12 debug printers (graph_binary.cpp:186-215, louvain.cpp:205-231):
+    bounded adjacency / partition dumps in deterministic order."""
+    import io
+
+    s, d, n = planted_edges()
+    # the CSR stores multi-edges unmerged (weights sum in the kernels),
+    # so display prints the edge MULTISET in (src, dst) order
+    edges = sorted(zip(s.tolist(), d.tolist()))
+
+    buf = io.StringIO()
+    n_printed = eng.display(limit=10, file=buf)
+    assert n_printed == 10
+    lines = buf.getvalue().strip().splitlines()
+    # reconstruct the printed (src, dst) pairs and compare with the 10
+    # globally-smallest (src, dst) edges
+    got = []
+    for line in lines:
+        key, adj = line.split(":")
+        for item in adj.split():
+            got.append((int(key), int(item.split("(")[0])))
+    assert got == edges[:10]
+
+    buf = io.StringIO()
+    eng.display(limit=5, reverse=True, file=buf)
+    rev_lines = buf.getvalue().strip().splitlines()
+    rev_edges = sorted((dd, ss) for ss, dd in zip(s.tolist(), d.tolist()))
+    got_rev = []
+    for line in rev_lines:
+        key, adj = line.split(":")
+        for item in adj.split():
+            got_rev.append((int(key), int(item.split("(")[0])))
+    assert got_rev == rev_edges[:5]
+
+    eng.louvain()
+    buf = io.StringIO()
+    n_printed = eng.display_partition(limit=7, file=buf)
+    assert n_printed == 7
+    part_lines = buf.getvalue().strip().splitlines()
+    assert [int(line.split()[0]) for line in part_lines] == list(range(7))
