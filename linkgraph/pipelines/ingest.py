@@ -5,7 +5,7 @@ Ray-Data-first equivalent of the reference's ``convert`` preprocessing
 write), re-expressed as Dataset transforms:
 
     read_parquet(pages, columns=[url, html])       # prune at the read
-      -> map_batches(LinkExtractor, actor pool)    # S13, html dropped here
+      -> map_batches(_links_batch, cached parser)  # S13, html dropped here
       -> map_batches(normalize_links)              # E13
       -> groupby(src,dst).count                    # E2 exact dedup
       -> url -> dense node id                      # E3 renumber (sort rank)
@@ -36,16 +36,35 @@ from ..stages.normalize import normalize_links
 DEFAULT_JOIN_PARTITIONS = 16
 
 
-def extract_links(pages: rd.Dataset, *, concurrency: int | tuple = (1, 4),
+_EXTRACTOR: LinkExtractor | None = None
+
+
+def _links_batch(batch: pa.Table) -> pa.Table:
+    """Task body with a per-process cached parser.  The extractor's
+    state is two compiled regexes (microseconds to build), so a cached
+    plain task beats an actor pool: pool spin-up was a fixed serial
+    cost at the head of every ingest, and task pools scale elastically
+    with the cluster (same reasoning as text/ops._band_rows_batch).
+    Stages whose per-actor state is genuinely expensive (models,
+    indexes) still belong in actor pools — see stages/multimodal.py."""
+    global _EXTRACTOR
+    if _EXTRACTOR is None:
+        _EXTRACTOR = LinkExtractor()
+    return _EXTRACTOR(batch)
+
+
+def extract_links(pages: rd.Dataset, *, concurrency: int | tuple | None = None,
                   batch_size: int = 1024, normalize: bool = True) -> rd.Dataset:
     """pages -> links(src_url, dst_url).  Drops html immediately (the
-    binary column never enters a shuffle)."""
+    binary column never enters a shuffle).  ``concurrency`` is accepted
+    for API compatibility but the task path scales elastically and
+    ignores it."""
+    del concurrency
     links = pages.map_batches(
-        LinkExtractor,
+        _links_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
     if normalize:
         links = links.map_batches(normalize_links, batch_format="pyarrow",
