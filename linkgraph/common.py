@@ -2,6 +2,39 @@
 
 from __future__ import annotations
 
+_MALLOC_TUNED = False
+
+
+def tune_malloc() -> bool:
+    """Keep large allocations in the recycled heap (glibc mallopt).
+
+    By default glibc serves >32MB allocations with fresh mmap regions
+    and returns them on free, so every iteration's numpy temporaries
+    are backed by never-touched pages.  On virtualized hosts (nested
+    page tables, 4KB pages) the FIRST random-access traversal of such
+    pages costs ~1us/element — measured 50-80x slower than the same
+    gather on warm memory, which made every Louvain round pay tens of
+    seconds for work that computes in 0.3s warm.  Raising
+    M_MMAP_THRESHOLD / disabling trim keeps those buffers on the heap,
+    so after a one-round warm-up every per-iteration temporary reuses
+    warm pages.  Call once per worker process (shard actors, cached
+    per-process task state).  No-op on non-glibc platforms."""
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED:
+        return True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        ok = (libc.mallopt(M_TRIM_THRESHOLD, ctypes.c_int(2**31 - 1)) == 1
+              and libc.mallopt(M_MMAP_THRESHOLD,
+                               ctypes.c_int(2**31 - 1)) == 1)
+        _MALLOC_TUNED = bool(ok)
+        return _MALLOC_TUNED
+    except Exception:
+        return False
+
 
 def strip_meta(ds):
     """Drop schema-level metadata from every block (zero-copy).

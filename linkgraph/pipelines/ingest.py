@@ -49,6 +49,8 @@ def _links_batch(batch: pa.Table) -> pa.Table:
     indexes) still belong in actor pools — see stages/multimodal.py."""
     global _EXTRACTOR
     if _EXTRACTOR is None:
+        from ..common import tune_malloc
+        tune_malloc()
         _EXTRACTOR = LinkExtractor()
     return _EXTRACTOR(batch)
 

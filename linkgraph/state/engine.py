@@ -100,6 +100,8 @@ class GraphEngine:
     louvain_driver_threshold = 0
 
     def __init__(self, bounds: np.ndarray, *, name: str = "graph"):
+        from ..common import tune_malloc
+        tune_malloc()   # driver also runs oracle kernels on contractions
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.P = len(self.bounds) - 1
         assert self.P >= 2, "engine needs >= 2 partitions (exchange protocol)"

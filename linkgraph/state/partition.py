@@ -140,6 +140,8 @@ class GraphShard:
     """
 
     def __init__(self, pid: int, bounds: list[int]):
+        from ..common import tune_malloc
+        tune_malloc()   # warm-heap reuse for per-iteration temporaries
         self.pid = pid
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.lo = int(self.bounds[pid])

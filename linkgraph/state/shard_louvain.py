@@ -301,9 +301,16 @@ class LouvainShard(AlgoShard):
             # weights make sum order irrelevant — sums are exact)
             mult = np.int64(max(self.n_global, int(ncomm.max(initial=0)) + 1))
             key = rows * mult + ncomm
-            order = np.argsort(key)
-            rows, ncomm, w = rows[order], ncomm[order], w[order]
-            key = key[order]
+            if len(key) < 2 or bool((key[1:] >= key[:-1]).all()):
+                # already sorted — common in the FIRST round (singleton
+                # labels make ncomm == cols, which the CSR stores sorted
+                # per row): skip the sort and its three big gathers (the
+                # heaviest allocations of the heaviest round)
+                pass
+            else:
+                order = np.argsort(key)
+                rows, ncomm, w = rows[order], ncomm[order], w[order]
+                key = key[order]
             newgrp = np.empty(len(rows), dtype=bool)
             newgrp[0] = True
             newgrp[1:] = key[1:] != key[:-1]

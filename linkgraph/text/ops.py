@@ -383,6 +383,8 @@ def _band_rows_batch(batch: pa.Table, num_perm: int, bands: int,
     key = (num_perm, bands, k)
     h = _HASHER_CACHE.get(key)
     if h is None:
+        from ..common import tune_malloc
+        tune_malloc()
         h = _HASHER_CACHE[key] = MinHasher(num_perm, bands, k)
     return h(batch)
 
