@@ -22,3 +22,13 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Warm-heap malloc tuning, once per process at import (drivers, shard
+# actors, and every Ray task worker that unpickles a linkgraph function
+# re-imports this package).  See common.tune_malloc for the measured
+# 50-80x first-touch cliff this avoids on virtualized hosts; idempotent,
+# no-op off glibc.
+from .common import tune_malloc as _tune_malloc
+
+_tune_malloc()
+del _tune_malloc
