@@ -44,6 +44,21 @@ from ..oracle.louvain import _segment_argmax  # noqa: E402  (shared kernel)
 
 class LouvainShard(AlgoShard):
 
+    # ---------- lightweight per-shard step timers (ST5) --------------------
+
+    def _tick(self, name: str, t0: float):
+        import time
+        prof = getattr(self, "_prof", None)
+        if prof is None:
+            prof = self._prof = {}
+        prof[name] = prof.get(name, 0.0) + (time.time() - t0)
+
+    def get_prof(self, reset: bool = True) -> dict:
+        prof = dict(getattr(self, "_prof", {}))
+        if reset:
+            self._prof = {}
+        return prof
+
     # ---------- state init -------------------------------------------------
 
     def lv_init_labels(self, labels: np.ndarray | None = None):
@@ -262,9 +277,12 @@ class LouvainShard(AlgoShard):
         partial_e) triples for LOCAL hubs; hub-src CSR rows are excluded
         from the local slice and the partials merged into the grouped
         sums instead — same totals, skew-balanced."""
+        import time as _time
         use_frags = frag_msgs is not None
+        _t = _time.time()
         sel_idx, rows, cols, w, col_pos, w_int = self._bucket_slice(
             bucket, use_subset, exclude_hubs=use_frags)
+        self._tick("p1.slice", _t)
         self._mv = None
         if use_frags:
             fm = _resolve(list(frag_msgs))
@@ -279,6 +297,7 @@ class LouvainShard(AlgoShard):
         if len(sel_idx) == 0 and len(f_gv) == 0:
             empty = np.empty(0, np.int64)
             return tuple(empty for _ in range(self.P))
+        _t = _time.time()
         if len(sel_idx):
             ncomm = self._lv_labs[col_pos]
         else:
@@ -299,6 +318,8 @@ class LouvainShard(AlgoShard):
             # single composite key + unstable introsort (the stable
             # mergesort lexsort was the per-round hot spot; integral
             # weights make sum order irrelevant — sums are exact)
+            self._tick("p1.gather", _t)
+            _t = _time.time()
             mult = np.int64(max(self.n_global, int(ncomm.max(initial=0)) + 1))
             key = rows * mult + ncomm
             if len(key) < 2 or bool((key[1:] >= key[:-1]).all()):
@@ -320,21 +341,51 @@ class LouvainShard(AlgoShard):
             newgrp = np.empty(len(rows), dtype=bool)
             newgrp[0] = True
             newgrp[1:] = (rows[1:] != rows[:-1]) | (ncomm[1:] != ncomm[:-1])
+        self._tick("p1.sort", _t)
+        _t = _time.time()
         starts = np.flatnonzero(newgrp)
         gv = rows[starts]                                 # local index
         gc = ncomm[starts]                                # global comm id
         e_vc = np.add.reduceat(w, starts) if len(starts) else np.empty(0)
-
+        self._tick("p1.group", _t)
+        _t = _time.time()
         cur = self.state["labels"][gv]
-        need = np.unique(np.concatenate([gc, cur]))
+        need = self._sorted_unique_ids(gc, cur)
         self._mv = {"sel": sel_idx, "gv": gv, "gc": gc, "e": e_vc,
                     "need": need}
-        return tuple(ids for ids, in split_by_owner(need, self.bounds))
+        out = tuple(ids for ids, in split_by_owner(need, self.bounds))
+        self._tick("p1.need", _t)
+        return out
+
+    # comm-id spaces up to this size use the persistent-bitmap unique
+    # (O(ids) scatter + O(n_global) scan beats the O(ids log ids) sort
+    # np.unique does); beyond it — billion-vertex cluster scale, where a
+    # per-shard bitmap would cost n_global bytes — fall back to np.unique
+    NEED_BITMAP_MAX = 64_000_000
+
+    def _sorted_unique_ids(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Sorted-unique of two id arrays (the per-bucket (tot,size)
+        request set).  The bitmap is allocated once per shard and reset
+        by writing back only the ids just extracted (O(result))."""
+        if self.n_global > self.NEED_BITMAP_MAX:
+            return np.unique(np.concatenate([a, b]))
+        flag = getattr(self, "_need_flag", None)
+        if flag is None or len(flag) < self.n_global:
+            flag = self._need_flag = np.zeros(self.n_global, dtype=bool)
+        flag[a] = True
+        flag[b] = True
+        need = np.flatnonzero(flag)
+        flag[need] = False
+        return need
 
     def lv_moves_phase2(self, comm_vals):
         """Finish gains with fetched (tot,size); apply moves; return
         per-owner (comm, dtot, dsize) delta messages (num_returns=P)."""
+        import time as _time
+        _t0 = _time.time()
         comm_vals = _resolve(comm_vals)
+        self._tick("p2.resolve", _t0)
+        _t0 = _time.time()
         empty = (np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64))
         if self._mv is None:
             self._n_moved = 0
@@ -407,7 +458,9 @@ class LouvainShard(AlgoShard):
                                 np.ones(len(movers), np.int64)])
         uk, t = _grouped_sum(dc, dtot)
         _, s = _grouped_sum(dc, dsize.astype(np.float64))
-        return tuple(split_by_owner(uk, self.bounds, t, s.astype(np.int64)))
+        out = tuple(split_by_owner(uk, self.bounds, t, s.astype(np.int64)))
+        self._tick("p2.work", _t0)
+        return out
 
     def lv_apply_comm_deltas(self, msgs) -> int:
         msgs = _resolve(msgs)
@@ -425,12 +478,15 @@ class LouvainShard(AlgoShard):
 
     def lv_serve_comm_aggs_many(self, reqs) -> tuple:
         """Batched comm-agg serve for all requesters (num_returns=P)."""
+        import time as _time
+        _t0 = _time.time()
         reqs = _resolve(list(reqs))
         out = []
         for r in reqs:
             ids = np.asarray(r, dtype=np.int64) - self.lo
             out.append((self.comm_state["tot"][ids],
                         self.comm_state["size"][ids].astype(np.int64)))
+        self._tick("serve_aggs", _t0)
         return tuple(out)
 
     def lv_bucket_counts(self, use_subset: bool) -> np.ndarray:
@@ -948,7 +1004,8 @@ class LouvainShard(AlgoShard):
         gc = ncomm[starts]
         e_vc = np.add.reduceat(w, starts) if len(starts) else np.empty(0)
         cur = labels[gv - self.lo]
-        need2 = np.unique(np.concatenate([gc, cur])) if len(gv) else np.empty(0, np.int64)
+        need2 = self._sorted_unique_ids(gc, cur) if len(gv) \
+            else np.empty(0, np.int64)
         self._sc.update({"gv": gv, "gc": gc, "e": e_vc, "need": need2})
         return np.empty(0, np.int64), 0, tuple(
             ids for ids, in split_by_owner(need2, self.bounds))
