@@ -84,3 +84,41 @@ class TestInstallHubsDegreeFetch:
             .sort_values("node")["comm"].to_numpy()
         assert np.array_equal(lab, want["labels"])
         eng.shutdown()
+
+
+class TestSortedUniqueIds:
+    """Bitmap sorted-unique (the per-bucket comm request set) must agree
+    with np.unique in both the bitmap regime and the large-id fallback."""
+
+    def _shard(self, n_global):
+        from linkgraph.state.shard_louvain import LouvainShard
+        s = LouvainShard.__new__(LouvainShard)
+        s.n_global = n_global
+        return s
+
+    def test_bitmap_matches_np_unique(self):
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 1000, 500)
+        b = rng.integers(0, 1000, 300)
+        s = self._shard(1000)
+        got = s._sorted_unique_ids(a, b)
+        np.testing.assert_array_equal(got, np.unique(np.concatenate([a, b])))
+        # bitmap must be fully reset between calls
+        got2 = s._sorted_unique_ids(b[:5], a[:3])
+        np.testing.assert_array_equal(
+            got2, np.unique(np.concatenate([b[:5], a[:3]])))
+
+    def test_fallback_past_threshold(self):
+        s = self._shard(10**10)  # forces the np.unique fallback
+        a = np.array([5, 10**9, 5], dtype=np.int64)
+        b = np.array([10**9 + 7], dtype=np.int64)
+        got = s._sorted_unique_ids(a, b)
+        np.testing.assert_array_equal(got, np.unique(np.concatenate([a, b])))
+        assert not hasattr(s, "_need_flag")
+
+    def test_empty_inputs(self):
+        s = self._shard(100)
+        e = np.empty(0, np.int64)
+        assert len(s._sorted_unique_ids(e, e)) == 0
+        np.testing.assert_array_equal(
+            s._sorted_unique_ids(np.array([3, 3]), e), [3])
