@@ -36,6 +36,24 @@ def tune_malloc() -> bool:
         return False
 
 
+def gather_table(ds):
+    """Materialize a (small, broadcast-side) Dataset into ONE pyarrow
+    Table on the driver.  Robust to what plain
+    ``pa.concat_tables(ray.get(ds.to_arrow_refs()))`` is not: Ray splits
+    small reads into many blocks whose empty tails can carry a different
+    schema (and parquet blocks carry pandas metadata), which makes the
+    naive concat raise ``Schema at index N was different``."""
+    import pyarrow as pa
+    import ray
+
+    tbls = [t.replace_schema_metadata(None)
+            for t in ray.get(ds.to_arrow_refs())]
+    nonempty = [t for t in tbls if t.num_rows]
+    if nonempty:
+        return pa.concat_tables(nonempty)
+    return tbls[0] if tbls else pa.table({})
+
+
 def strip_meta(ds):
     """Drop schema-level metadata from every block (zero-copy).
 

@@ -195,9 +195,9 @@ def ivf_ann_topk(embeddings: rd.Dataset, *, n_queries: int = 16,
             "c": counts,
         })
 
-    parts = pa.concat_tables(ray.get(
-        embeddings.map_batches(label_sums, batch_format="pyarrow")
-        .to_arrow_refs()))
+    from ..common import gather_table
+    parts = gather_table(
+        embeddings.map_batches(label_sums, batch_format="pyarrow"))
     df = parts.to_pandas()
     cents, labels_order = [], []
     for lbl, g in df.groupby("label"):

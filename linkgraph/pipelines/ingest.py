@@ -120,7 +120,8 @@ def resolve_raw(links: rd.Dataset, nodes: rd.Dataset, *,
     """
     n_nodes = nodes.count()
     if n_nodes <= broadcast_threshold:
-        nodes_tbl = pa.concat_tables(ray.get(nodes.to_arrow_refs()))
+        from ..common import gather_table
+        nodes_tbl = gather_table(nodes)
         # broadcast the sorted url->id map once; fixed-width numpy
         # unicode arrays make every searchsorted comparison a C memcmp
         # (object-dtype string compares ran the whole lookup in Python)

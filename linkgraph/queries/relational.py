@@ -29,9 +29,9 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
 def q_orders_by_segment(sf_dir: str):
     """orders ⋈ customer (broadcast small side) -> per-segment order
     counts + max total price."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
-        .to_arrow_refs()
-    tbl = pa.concat_tables(ray.get(cust))
+    from ..common import gather_table
+    tbl = gather_table(_read(sf_dir, "customer",
+                             ["c_custkey", "c_mktsegment"]))
     keys = tbl.column("c_custkey").to_numpy()
     segs = np.asarray(tbl.column("c_mktsegment").to_pylist(), dtype=object)
     order = np.argsort(keys)
@@ -56,11 +56,13 @@ def q_orders_by_segment(sf_dir: str):
 def q_lineitem_nation_rollup(sf_dir: str):
     """lineitem ⋈ supplier ⋈ nation rollup: per-nation part counts and
     total quantity (integer-valued double — exact)."""
-    sup = pa.concat_tables(ray.get(
-        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-        .to_arrow_refs()))
-    nat = pa.concat_tables(ray.get(
-        _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_arrow_refs()))
+    # broadcast sides are tiny — read directly (a Ray Dataset round-trip
+    # splits them into empty-tailed blocks whose schemas no longer concat)
+    import pyarrow.parquet as pq
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
     sk = sup.column("s_suppkey").to_numpy()
     snat = sup.column("s_nationkey").to_numpy()
     order = np.argsort(sk)

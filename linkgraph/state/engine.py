@@ -526,11 +526,15 @@ class GraphEngine:
         scaling once the per-bucket compute was vectorized down."""
         changed = False
         total_gain = min_gain
+        _t0 = time.time()
         q_before = self._modularity()  # refreshes ghost labels (barrier)
         # skip globally-empty degree buckets (the common case at high
         # bucket ids)
         counts = np.sum(ray.get([a.lv_bucket_counts.remote(use_subset)
                                  for a in self.actors]), axis=0)
+        self.metrics.append({"job": self.name, "algo": "louvain",
+                             "kind": "phase", "name": "level_preamble",
+                             "secs": time.time() - _t0})
         active_buckets = [b for b in range(N_BUCKETS) if counts[b] > 0]
         if self.has_frags:
             # Louvain hub split: fragment holders need the per-level R
@@ -629,6 +633,7 @@ class GraphEngine:
                     "n_comms": n_comms}
         # contract: per-shard pre-aggregated (csrc,cdst,w) partials (A7
         # combiner) stay in the object store until we know their size
+        _t0 = time.time()
         self._store_ghost_labels()
         part_refs = [a.lv_contract_partial.remote() for a in self.actors]
 
@@ -637,6 +642,10 @@ class GraphEngine:
             return t.num_rows
 
         n_contract = sum(ray.get([_nrows.remote(r) for r in part_refs]))
+        self.metrics.append({"job": self.name, "algo": "louvain",
+                             "kind": "phase", "name": "contract_partials",
+                             "secs": time.time() - _t0})
+        _t0 = time.time()
         # include empty-degree communities (isolated vertices' labels);
         # per-shard uniques -> driver ships #comms ids, not #vertices
         uniq_lbl = np.unique(np.concatenate(
@@ -715,6 +724,10 @@ class GraphEngine:
                        "modularity": sub["modularity"],
                        "q_trajectory": sub["q_trajectory"],
                        "n_levels": sub["n_levels"]}
+        self.metrics.append({"job": self.name, "algo": "louvain",
+                             "kind": "phase", "name": "sub_levels",
+                             "secs": time.time() - _t0})
+        _t0 = time.time()
         q_traj.extend(sub_res["q_trajectory"])
         # compose: label c (level-0 comm id) -> sub_res.labels[remap[c]]
         compose = np.full(len(remap_arr), -1, dtype=np.int64)
@@ -723,6 +736,9 @@ class GraphEngine:
         ray.get([a.lv_compose_labels.remote(map_ref) for a in self.actors])
         self._invalidate_label_cache()
         self._rebuild_comm_aggs()
+        self.metrics.append({"job": self.name, "algo": "louvain",
+                             "kind": "phase", "name": "compose",
+                             "secs": time.time() - _t0})
         q_final = sub_res["modularity"]
         return {"modularity": q_final, "q_trajectory": q_traj,
                 "n_levels": 1 + sub_res["n_levels"],
