@@ -345,11 +345,13 @@ class GraphShard:
         ``perm`` is the stable argsort of indices, so reduce order — and
         float sums — are bit-identical to the naive _grouped_sum path."""
         if getattr(self, "_msg_cache", None) is None:
+            from ..common import hint_hugepages
             if self._edge_keep is not None:
                 kept = np.flatnonzero(self._edge_keep)
                 perm = kept[np.argsort(self.indices[kept], kind="stable")]
             else:
                 perm = np.argsort(self.indices, kind="stable")
+            hint_hugepages(perm)   # per-iteration message gathers use it
             k = self.indices[perm]
             uk, starts = np.unique(k, return_index=True)
             cuts = np.searchsorted(uk, self.bounds)
@@ -357,6 +359,10 @@ class GraphShard:
         return self._msg_cache
 
     def _build_csr(self, src: np.ndarray, dst: np.ndarray, w: np.ndarray):
+        from ..common import hint_hugepages
+        # the sort below traverses these randomly — 2MB pages make the
+        # cold pass ~25x cheaper on virtualized hosts (common.py)
+        hint_hugepages(src, dst, w)
         self._msg_cache = None
         self._lv_bucket_cache = {}
         # graph mutation invalidates the hub split (the engine re-splits
@@ -385,6 +391,7 @@ class GraphShard:
         np.add.at(indptr, loc + 1, 1)
         np.cumsum(indptr, out=indptr)
         self.indptr, self.indices, self.weights = indptr, dst, w
+        hint_hugepages(dst, w)   # gathered randomly by every algorithm
         deg = np.diff(indptr)
         if len(dst):
             ksum = np.add.reduceat(np.concatenate([w, [0.0]]), indptr[:-1])
