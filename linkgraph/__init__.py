@@ -27,8 +27,17 @@ __version__ = "0.1.0"
 # actors, and every Ray task worker that unpickles a linkgraph function
 # re-imports this package).  See common.tune_malloc for the measured
 # 50-80x first-touch cliff this avoids on virtualized hosts; idempotent,
-# no-op off glibc.
-from .common import tune_malloc as _tune_malloc
+# no-op off glibc.  Opt-out via LINKGRAPH_MALLOC_TUNE=0 for long-lived
+# host processes that merely import the package (disabling trim means
+# freed large buffers are never returned to the OS for the process
+# lifetime — fine for workers/drivers, surprising for a notebook).  The
+# measured-win call sites (GraphShard.__init__, cached task bodies,
+# GraphEngine.__init__) still call tune_malloc() unconditionally.
+import os as _os
 
-_tune_malloc()
-del _tune_malloc
+if _os.environ.get("LINKGRAPH_MALLOC_TUNE", "1") != "0":
+    from .common import tune_malloc as _tune_malloc
+
+    _tune_malloc()
+    del _tune_malloc
+del _os

@@ -297,11 +297,19 @@ def q_graph_quality_louvain(sf_dir: str):
 
     from . import graphs as _g
     eng = _g._build_engine(sf_dir)
+    # each louvain_quality call installs ITS final labels into the shared
+    # cached engine's shards; snapshot/restore so later queries that read
+    # live shard labels (graph_comm_sizes) still see the modularity
+    # Louvain partition they expect (ADVICE r2 #1)
+    eng.push_labels()
     rows = []
-    for qid in (1, 2, 4, 7, 9):
-        res = eng.louvain_quality(qid)
-        rows.append((qid, res["n_comms"], res["n_levels"],
-                     round(res["quality"], 9)))
+    try:
+        for qid in (1, 2, 4, 7, 9):
+            res = eng.louvain_quality(qid)
+            rows.append((qid, res["n_comms"], res["n_levels"],
+                         round(res["quality"], 9)))
+    finally:
+        eng.pop_labels()
     return _pa.table({
         "q_id": _pa.array([r[0] for r in rows], _pa.int64()),
         "n_comms": _pa.array([r[1] for r in rows], _pa.int64()),

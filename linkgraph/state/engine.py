@@ -790,12 +790,21 @@ class GraphEngine:
             # small-graph opt-in (see louvain_driver_threshold): gather
             # the shard rows and run the variant oracle directly — the
             # shards stay PRISTINE (preprocessing happens on the
-            # driver-side copy), so cached engines can serve this
-            tbl = pa.concat_tables(
-                ray.get([a.edge_arrays.remote() for a in self.actors]))
-            g = CSRGraph.from_edges(tbl.column("src").to_numpy(),
-                                    tbl.column("dst").to_numpy(),
-                                    tbl.column("w").to_numpy(), n=self.n)
+            # driver-side copy), so cached engines can serve this.  The
+            # gathered CSR is version-cached (shared with _louvain_driver)
+            # so a variant sweep gathers once, not once per q_id.
+            ver = getattr(self, "_graph_version", 0)
+            cached = getattr(self, "_gathered_csr", None)
+            if cached is not None and cached[0] == ver \
+                    and cached[1].n == self.n:
+                g = cached[1]
+            else:
+                tbl = pa.concat_tables(
+                    ray.get([a.edge_arrays.remote() for a in self.actors]))
+                g = CSRGraph.from_edges(tbl.column("src").to_numpy(),
+                                        tbl.column("dst").to_numpy(),
+                                        tbl.column("w").to_numpy(), n=self.n)
+                self._gathered_csr = (ver, g)
             res = qlv.louvain_q(g, q_id, alpha=alpha, kmin=kmin,
                                 min_gain=min_gain)
             final = res["labels"]
@@ -809,6 +818,34 @@ class GraphEngine:
                     "q_trajectory": res["q_trajectory"],
                     "n_levels": res["n_levels"],
                     "n_comms": int(final.max(initial=-1)) + 1}
+        # q=4/7 mutate the shard CSR in place (selfloops + reweighting);
+        # snapshot so a shared/cached engine comes back pristine — the
+        # compounding-mutation bug a sequential qid sweep hit otherwise
+        mutating = q_id in (4, 7)
+        if mutating:
+            ray.get([a.graph_push.remote() for a in self.actors])
+        try:
+            return self._louvain_quality_dist(q_id, alpha=alpha, kmin=kmin,
+                                              min_gain=min_gain)
+        finally:
+            if mutating:
+                ray.get([a.graph_pop.remote() for a in self.actors])
+                self._after_graph_mutation()
+                self._rebuild_comm_aggs()
+
+    def _louvain_quality_dist(self, q_id: int, *, alpha: float, kmin: int,
+                              min_gain: float) -> dict:
+        """Distributed quality-variant Louvain body (see louvain_quality).
+
+        Level-0 rounds are PIPELINED like _one_level: one whole round
+        (incremental ghost sync + tot/size/w + in[C] rebuilds + kappa +
+        phase1/serve/phase2 per bucket) is submitted as one chain of
+        actor calls whose cross-actor dependencies resolve through
+        ObjectRefs; the only driver barrier per round is the round-end
+        quality evaluation.  Semantics identical to the unpipelined loop
+        (aggregates are still rebuilt from post-previous-bucket labels —
+        actor queue order guarantees it)."""
+        from ..oracle import qlouvain as qlv
         # -- preprocessing (nbc == 0) ------------------------------------
         max_w = max(ray.get([a.lv_max_weight_local.remote()
                              for a in self.actors]))
@@ -849,13 +886,35 @@ class GraphEngine:
         active = [b for b in range(N_BUCKETS) if counts[b] > 0]
         changed = False
         total_gain = min_gain
-        q_before = self._q_value_q(qfn, n_w)
+        q_before = self._q_value_q(qfn, n_w)  # full ghost sync (barrier)
         while total_gain >= min_gain:
-            for bucket in active:
-                self._store_ghost_labels()
-                self._rebuild_comm_aggs_q()
-                kappa = sum(ray.get([a.lv_kappa_partial.remote()
-                                     for a in self.actors]))
+            move_refs = []
+            for k, bucket in enumerate(active):
+                if k > 0:
+                    # incremental ghost-label sync of the previous
+                    # bucket's moves, pipelined (no driver barrier); the
+                    # first bucket's cache is fresh from _q_value_q
+                    souts = [a.lv_serve_changed.options(num_returns=self.P)
+                             .remote() for a in self.actors]
+                    for i, a in enumerate(self.actors):
+                        a.lv_cache_apply.remote(
+                            [souts[j][i] for j in range(self.P)])
+                # rebuild tot/size/w from post-previous-bucket labels
+                aggs = [a.lv_agg_partials_q.options(num_returns=self.P)
+                        .remote() for a in self.actors]
+                for j, a in enumerate(self.actors):
+                    a.lv_agg_apply_q.remote(
+                        [aggs[i][j] for i in range(self.P)])
+                # in[C] rebuild (reads the just-synced label cache)
+                ins = [a.lv_in_partials.options(num_returns=self.P)
+                       .remote() for a in self.actors]
+                for j, a in enumerate(self.actors):
+                    a.lv_in_apply.remote(
+                        [ins[i][j] for i in range(self.P)])
+                # kappa partial refs are summed INSIDE phase2 (resolved
+                # actor-side; they queue after lv_agg_apply_q per actor)
+                kappa_refs = [a.lv_kappa_partial.remote()
+                              for a in self.actors]
                 reqs = [a.lv_moves_phase1.options(num_returns=self.P)
                         .remote(bucket, False)
                         for a in self.actors]
@@ -865,10 +924,12 @@ class GraphEngine:
                         for j in range(self.P)]
                 comm_vals = [[outs[j][i] for j in range(self.P)]
                              for i in range(self.P)]
-                ray.get([a.lv_moves_phase2_q.remote(comm_vals[i], n_w,
-                                                    kappa)
-                         for i, a in enumerate(self.actors)])
-            q_after = self._q_value_q(qfn, n_w)
+                move_refs.extend(
+                    a.lv_moves_phase2_q.remote(comm_vals[i], n_w,
+                                               kappa_refs)
+                    for i, a in enumerate(self.actors))
+            ray.get(move_refs)
+            q_after = self._q_value_q(qfn, n_w)  # syncs last bucket
             total_gain = q_after - q_before
             changed = changed or (total_gain > 0)
             q_before = q_after
@@ -1011,6 +1072,17 @@ class GraphEngine:
         self._invalidate_label_cache()
         self._rebuild_comm_aggs()
         return remap_arr, len(uniq_lbl)
+
+    def push_labels(self):
+        """Actor-side snapshot of the installed labels (see
+        lv_labels_push).  Pair with :meth:`pop_labels`."""
+        ray.get([a.lv_labels_push.remote() for a in self.actors])
+
+    def pop_labels(self):
+        restored = ray.get([a.lv_labels_pop.remote() for a in self.actors])
+        if any(restored):
+            self._invalidate_label_cache()
+            self._rebuild_comm_aggs()
 
     def louvain_result(self) -> pa.Table:
         return pa.concat_tables(

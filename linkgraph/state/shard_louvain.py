@@ -646,12 +646,18 @@ class LouvainShard(AlgoShard):
                         self.comm_state["w"][ids]))
         return tuple(out)
 
-    def lv_moves_phase2_q(self, comm_vals, n_w: float, kappa: int) -> int:
+    def lv_moves_phase2_q(self, comm_vals, n_w: float, kappa) -> int:
         """Variant-gain finish: the oracle's _bucket_moves_q rule on the
         fetched (tot, size, in, w); applies moves locally, returns the
-        move count (comm aggregates are rebuilt next bucket, no deltas)."""
+        move count (comm aggregates are rebuilt next bucket, no deltas).
+
+        ``kappa``: the global non-empty-community count — an int, or a
+        list of per-shard partial refs summed here (the pipelined round
+        chain passes refs so the driver never barriers mid-round)."""
         from ..functions.quality import QualityContext
         comm_vals = _resolve(comm_vals)
+        if isinstance(kappa, (list, tuple)):
+            kappa = int(sum(_resolve(list(kappa))))
         if self._mv is None:
             return 0
         mv = self._mv
@@ -777,6 +783,43 @@ class LouvainShard(AlgoShard):
         ``mapping_ref`` is a ray.put array indexed by current label id."""
         mapping = ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
         self.state["labels"] = mapping[self.state["labels"]]
+
+    def lv_labels_push(self):
+        """Stash a copy of the current labels (actor-side — never ships
+        vertex-count arrays to the driver).  Used by callers that run a
+        label-mutating job on a SHARED cached engine (the -q variant
+        sweep) and must leave the installed partition untouched."""
+        lab = self.state.get("labels")
+        self._labels_stash = lab.copy() if lab is not None else None
+
+    def lv_labels_pop(self) -> bool:
+        st = getattr(self, "_labels_stash", None)
+        self._labels_stash = None
+        if st is None:
+            return False
+        self.state["labels"] = st
+        return True
+
+    def graph_push(self):
+        """Stash the local CSR (indptr/indices/weights/k).  Quality
+        variants q=4/7 mutate the graph in place (E4 selfloops + E9/E10
+        reweighting); on a shared engine the mutation must be undone."""
+        self._graph_stash = (self.indptr.copy(), self.indices.copy(),
+                             self.weights.copy(), self.k.copy())
+
+    def graph_pop(self) -> bool:
+        st = getattr(self, "_graph_stash", None)
+        self._graph_stash = None
+        if st is None:
+            return False
+        self.indptr, self.indices, self.weights, self.k = st
+        self._msg_cache = None
+        self._lv_bucket_cache = {}
+        self._all_col_pos = None
+        remote = np.unique(self.indices[(self.indices < self.lo)
+                                        | (self.indices >= self.hi)])
+        self.ghosts = [ids for ids, in split_by_owner(remote, self.bounds)]
+        return True
 
     def lv_labels_result(self) -> pa.Table:
         return pa.table({

@@ -174,11 +174,19 @@ def _str_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
     Python encode)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        # silent null->empty-string hashing would diverge from the SQL
+        # oracles (NULL md5/fingerprint is NULL there); fail loudly like
+        # the old to_pylist path did
+        raise ValueError("null text rows are not hashable; filter or "
+                         "fill nulls before fingerprint/simhash")
     odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     bufs = arr.buffers()
     offs = np.frombuffer(bufs[1], dtype=odt)[
         arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
-    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    # an all-empty string column may carry no data buffer at all
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
     return data[offs[0]: offs[-1]], np.diff(offs)
 
 
