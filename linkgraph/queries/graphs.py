@@ -269,7 +269,29 @@ WITH base AS (
 )
 """
 
+# exact CC oracle: min-reachable-id propagation as a recursive CTE.  The
+# monotone restriction (a label travels only toward larger node ids)
+# keeps every (v, component_min) tuple — the component min is below every
+# other member by definition — while pruning the quadratic flood of
+# non-min labels.  Output = the engine's canonical min-member labeling,
+# integer-exact, over ALL {NMOD} vertex slots (isolated -> comp = self).
+_CC_SQL = f"""
+WITH RECURSIVE cc_base AS (
+  SELECT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst
+  FROM lineitem
+), cc_sym AS (
+  SELECT src, dst FROM cc_base UNION SELECT dst, src FROM cc_base
+), r(node, comp) AS (
+    SELECT CAST(range AS BIGINT), CAST(range AS BIGINT)
+    FROM range({NMOD})
+    UNION
+    SELECT e.dst, r.comp FROM r JOIN cc_sym e ON e.src = r.node
+    WHERE r.comp < e.dst
+)
+SELECT node, MIN(comp) AS comp FROM r GROUP BY node"""
+
 GRAPH_SQL: dict[str, str] = {
+    "graph_connected_components": _CC_SQL,
     "graph_edges": _BASE + "SELECT src, dst, w FROM edges",
     "graph_sym_edges": _BASE + "SELECT src, dst, w FROM sym",
     "graph_degrees": _BASE + "SELECT node, degree, wdegree FROM deg",

@@ -23,7 +23,9 @@ from ..embed import ops as em
 
 ANN_QUERIES = 16
 ANN_K = 10
-NEAR_DUP_THRESHOLD = 0.8
+# calibrated to the synthetic embeddings table: >=1 qualifying pair at
+# sf0.001/0.01/0.1 (7/14/144), so the hash-checked gate is never vacuous
+NEAR_DUP_THRESHOLD = 0.45
 NORM_TOPK = 20
 
 
@@ -94,12 +96,16 @@ def q_emb_ann(sf_dir: str):
 
 
 def q_emb_ivf_ann(sf_dir: str):
-    return em.ivf_ann_topk(_emb(sf_dir), n_queries=ANN_QUERIES, k=ANN_K)
+    # exact bound-pruned IVF -> value-hash-checked against the SAME
+    # brute-force SQL oracle as emb_ann (recall is 1.0 by construction)
+    return em.ivf_ann_topk(_emb(sf_dir), n_queries=ANN_QUERIES, k=ANN_K,
+                           key=("ivf", sf_dir))
 
 
 def q_emb_near_dup(sf_dir: str):
     return em.embedding_near_dup(_emb(sf_dir),
-                                 threshold=NEAR_DUP_THRESHOLD)
+                                 threshold=NEAR_DUP_THRESHOLD,
+                                 key=("ivf", sf_dir))
 
 
 def q_emb_dim_topk(sf_dir: str):
@@ -223,7 +229,41 @@ _QUALITY_SCORE_SQL = f"""
                   0.0), 1.0) * 1e6) / 1e6 AS score
     FROM c"""
 
+# exact shingle-set overlap oracle for the MinHash+LSH pipeline: 3-word
+# shingles exactly as text/ops._batch_shingle_hashes builds them (docs
+# shorter than k collapse to the whole text), intersections via a
+# shingle self-join (no all-pairs cross product), jaccard >= 0.5 as the
+# identical int/double division the Ray side evaluates.  Values are
+# BIGINT counts -> hash-exact.
+_MINHASH_THRESHOLD = 0.5
+_MINHASH_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        END)) AS s
+      FROM w),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.a, i.b, i.n_common,
+           ca.n + cb.n - i.n_common AS n_union
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.a
+    JOIN cnt cb ON cb.doc_id = i.b
+    WHERE i.n_common /
+          CAST(GREATEST(ca.n + cb.n - i.n_common, 1) AS DOUBLE)
+          >= {_MINHASH_THRESHOLD}"""
+
 TEXT_SQL: dict[str, str] = {
+    "doc_minhash_pairs": _MINHASH_SQL,
     "doc_quality_score": _QUALITY_SCORE_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
     "doc_simhash": _SIMHASH_SQL,
@@ -261,8 +301,7 @@ TEXT_SQL: dict[str, str] = {
           ON a.source = b.source AND a.doc_id < b.doc_id""",
 }
 
-EMB_SQL: dict[str, str] = {
-    "emb_ann": f"""
+_ANN_EXACT_SQL = f"""
         WITH q AS (SELECT vec_id, embedding FROM embeddings
                    WHERE vec_id < {ANN_QUERIES})
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
@@ -272,7 +311,13 @@ EMB_SQL: dict[str, str] = {
             ORDER BY list_cosine_similarity(
                          CAST(q.embedding AS DOUBLE[]),
                          CAST(e.embedding AS DOUBLE[])) DESC,
-                     e.vec_id) <= {ANN_K}""",
+                     e.vec_id) <= {ANN_K}"""
+
+EMB_SQL: dict[str, str] = {
+    "emb_ann": _ANN_EXACT_SQL,
+    # the bound-pruned IVF search is exact top-k, so the brute-force
+    # oracle checks it value-for-value (recall gate, VERDICT r2 item 5)
+    "emb_ivf_ann": _ANN_EXACT_SQL,
     "emb_near_dup": f"""
         SELECT a.vec_id AS a, b.vec_id AS b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -446,7 +446,13 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
     the candidates back to ``documents`` on doc_id -> per-pair exact
     Jaccard in map_groups.  Fully distributed: no driver-side text dict,
     no corpus scan — the only driver value is the candidate row count.
-    Returns (a, b, jaccard) with jaccard rounded to 6 decimals.
+    Returns (a, b, n_common, n_union) — INTEGER-exact shingle-set overlap
+    (a DuckDB shingle-join oracle value-checks it; see
+    queries/registry.py _MINHASH_SQL).  LSH candidate generation has no
+    false positives after the exact verify; false negatives at the
+    threshold are the banding miss probability (1 - s^r)^b — 2e-4 at
+    s=0.8 with the default 16x4 banding, and zero on the driver fixtures
+    (every qualifying pair is found; pinned by the value-checked gate).
     """
     import ray
     from ray.data.aggregate import Count
@@ -490,7 +496,8 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
              .materialize())          # candidates: tiny vs the corpus
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+                      "n_common": pa.array([], pa.int64()),
+                      "n_union": pa.array([], pa.int64())})
     if pairs.count() == 0:
         return empty
 
@@ -522,20 +529,20 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
         sh_sets, join_type="inner", num_partitions=8, on=("doc_id",))
 
     def jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        none = pd.DataFrame({"a": [], "b": [], "n_common": [],
+                             "n_union": []}).astype(np.int64)
         if len(g) != 2:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
-                {"a": np.int64, "b": np.int64, "jaccard": np.float64})
+            return none
         sa = np.frombuffer(g["sh"].iloc[0], dtype=np.uint64)
         sb = np.frombuffer(g["sh"].iloc[1], dtype=np.uint64)
         inter = np.intersect1d(sa, sb, assume_unique=True).size
         union = sa.size + sb.size - inter
-        jac = inter / max(1, union)
-        if jac < threshold:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
-                {"a": np.int64, "b": np.int64, "jaccard": np.float64})
+        if inter / max(1, union) < threshold:
+            return none
         return pd.DataFrame({"a": [np.int64(g["a"].iloc[0])],
                              "b": [np.int64(g["b"].iloc[0])],
-                             "jaccard": [round(jac, 6)]})
+                             "n_common": [np.int64(inter)],
+                             "n_union": [np.int64(union)]})
 
     return pair_rows.groupby(["a", "b"]).map_groups(
         jaccard, batch_format="pandas")
@@ -548,23 +555,41 @@ def token_jaccard_pairs(docs):
     for a < b in the same ``source`` group — integer-exact (SQL-checked).
 
     Grouping by ``source`` bounds the quadratic blow-up to group size;
-    at scale the grouping key would be an LSH bucket (see minhash)."""
+    at scale the grouping key would be an LSH bucket (see minhash).
+
+    Vectorized: per group, distinct tokens become Arrow dictionary codes,
+    docs become rows of a 0/1 membership matrix, and ALL pairwise
+    intersection sizes come from ONE ``B @ B.T`` matmul (float32 is exact
+    for counts < 2^24; token sets are far smaller).  No per-pair Python
+    set ops (the round-2 quadratic-loop hot spot)."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
-        sets = [set(t.split(" ")) for t in g["text"]]
-        a_out, b_out, nc, nu = [], [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-                nc.append(len(sets[i] & sets[j]))
-                nu.append(len(sets[i] | sets[j]))
+        n = len(ids)
+        empty = pd.DataFrame({
+            "a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+            "n_common": np.empty(0, np.int64),
+            "n_union": np.empty(0, np.int64)})
+        if n < 2:
+            return empty
+        toks = pc.split_pattern(pa.array(g["text"], pa.string()),
+                                pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = _flat_tokens(toks)
+        codes = flat.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(n), lens)
+        ncodes = int(codes.max(initial=-1)) + 1
+        B = np.zeros((n, ncodes), np.float32)
+        B[rows, codes] = 1.0                 # duplicates collapse to 1
+        d = B.sum(axis=1).astype(np.int64)   # per-doc distinct counts
+        common = (B @ B.T).astype(np.int64)
+        iu, ju = np.triu_indices(n, k=1)
+        nc = common[iu, ju]
         return pd.DataFrame({
-            "a": np.array(a_out, np.int64), "b": np.array(b_out, np.int64),
-            "n_common": np.array(nc, np.int64),
-            "n_union": np.array(nu, np.int64)})
+            "a": ids[iu], "b": ids[ju], "n_common": nc,
+            "n_union": d[iu] + d[ju] - nc})
 
     return (docs.select_columns(["doc_id", "source", "text"])
             .groupby("source").map_groups(pairs, batch_format="pandas"))
