@@ -30,7 +30,7 @@ import ray
 
 from ..oracle.graph import CSRGraph
 from ..oracle import louvain as oracle_lv
-from .partition import split_by_owner
+from .partition import _grouped_sum2, split_by_owner
 from .shard_louvain import LouvainShard
 
 N_BUCKETS = len(oracle_lv.BUCKET_BOUNDS) - 1
@@ -42,6 +42,25 @@ def _split_table(tbl: pa.Table, own: np.ndarray, P: int) -> list[pa.Table]:
     cuts = np.searchsorted(own_s, np.arange(P + 1))
     idx = pa.array(order)
     return [tbl.take(idx[cuts[p]:cuts[p + 1]]) for p in range(P)]
+
+
+@ray.remote
+def _dedup_contract(remap: np.ndarray, n_sub: int, *chunks: pa.Table):
+    """Concat one contraction hash-bucket's per-shard partials, remap to
+    dense community ids, exact grouped-sum dedup.  num_returns=2:
+    (edges table, deduped row count) — the table ref stays in the object
+    store; only the count reaches the driver."""
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.float64())})
+    tbls = [c for c in chunks if c.num_rows]
+    if not tbls:
+        return empty, 0
+    tbl = pa.concat_tables(tbls)
+    src = remap[tbl.column("csrc").to_numpy()]
+    dst = remap[tbl.column("cdst").to_numpy()]
+    s, d, sums = _grouped_sum2(src, dst, tbl.column("w").to_numpy(), n_sub)
+    return pa.table({"src": s, "dst": d, "w": sums}), int(len(s))
 
 
 @ray.remote
@@ -85,10 +104,18 @@ def degree_balanced_bounds(src: "np.ndarray | None", n_nodes: int,
 
 
 class GraphEngine:
-    # contraction outputs up to this many rows run their remaining Louvain
-    # levels on the driver (oracle kernel); larger ones recurse into a
-    # child engine (distributed levels)
-    SMALL_CONTRACT_ROWS = 1_000_000
+    # contraction outputs up to this many DEDUPED edges run their
+    # remaining Louvain levels on the driver (oracle kernel); larger ones
+    # recurse into a child engine (distributed levels).  The count is
+    # parallelism-invariant (fixed-width dedup wave, see _dedup_contract)
+    # so both parallelism levels take the same branch — required for the
+    # "identical results at any cluster size" invariant.
+    SMALL_CONTRACT_ROWS = 150_000
+
+    # fixed hash-bucket width of the contraction dedup wave (independent
+    # of P by design) and the child engine's edges-per-partition target
+    CONTRACT_BUCKETS = 32
+    CHILD_EDGES_PER_PART = 150_000
 
     # ``louvain()`` gathers the graph to the driver and runs the oracle
     # kernel when total edges <= this threshold (0 = always distributed).
@@ -631,34 +658,41 @@ class GraphEngine:
                          for a in self.actors])
             return {"modularity": q0, "q_trajectory": q_traj, "n_levels": 0,
                     "n_comms": n_comms}
-        # contract: per-shard pre-aggregated (csrc,cdst,w) partials (A7
-        # combiner) stay in the object store until we know their size
+        # contract (A7): per-shard pre-aggregated (csrc,cdst,w) partials
+        # are split by csrc into a FIXED number of hash buckets and
+        # exactly deduped by one task per bucket.  The deduped edge count
+        # — and therefore the driver-vs-distributed branch below — is
+        # parallelism-invariant, and BOTH branches consume the same
+        # deduped, densely-remapped edge tables.
         _t0 = time.time()
         self._store_ghost_labels()
-        part_refs = [a.lv_contract_partial.remote() for a in self.actors]
-
-        @ray.remote
-        def _nrows(t: pa.Table) -> int:
-            return t.num_rows
-
-        n_contract = sum(ray.get([_nrows.remote(r) for r in part_refs]))
-        self.metrics.append({"job": self.name, "algo": "louvain",
-                             "kind": "phase", "name": "contract_partials",
-                             "secs": time.time() - _t0})
-        _t0 = time.time()
+        KB = self.CONTRACT_BUCKETS
+        part_refs = [a.lv_contract_partial.options(num_returns=KB)
+                     .remote(KB) for a in self.actors]
         # include empty-degree communities (isolated vertices' labels);
         # per-shard uniques -> driver ships #comms ids, not #vertices
         uniq_lbl = np.unique(np.concatenate(
             ray.get([a.lv_unique_labels.remote() for a in self.actors])))
         remap_arr = np.full(int(uniq_lbl.max(initial=0)) + 1, -1, dtype=np.int64)
         remap_arr[uniq_lbl] = np.arange(len(uniq_lbl))
+        n_sub = len(uniq_lbl)
+        remap_ref = ray.put(remap_arr)
         if hierarchy_dir is not None:
             # S6 hierarchy writer: per-level (node, dense comm) parquet,
             # one file per shard (the .tree analog, louvain.cpp:236-257)
             lvl_dir = os.path.join(hierarchy_dir, f"level-{_level:03d}")
-            remap_ref = ray.put(remap_arr)
             ray.get([a.checkpoint_mapped.remote(lvl_dir, remap_ref)
                      for a in self.actors])
+        outs = [_dedup_contract.options(num_returns=2).remote(
+            remap_ref, n_sub, *[part_refs[i][k] for i in range(self.P)])
+            for k in range(KB)]
+        tbl_refs = [o[0] for o in outs]
+        n_contract = int(sum(ray.get([o[1] for o in outs])))
+        self.metrics.append({"job": self.name, "algo": "louvain",
+                             "kind": "phase", "name": "contract_partials",
+                             "secs": time.time() - _t0,
+                             "n_contract": n_contract, "n_sub": n_sub})
+        _t0 = time.time()
         if n_contract <= self.SMALL_CONTRACT_ROWS:
             # small contracted graph: remaining levels on the driver with
             # the oracle kernel (identical semantics).  once_more is
@@ -666,17 +700,10 @@ class GraphEngine:
             # oracle loop runs the next level's one_level unconditionally
             # and stops at the first no-change level — exactly the
             # reference's post-aggregation behavior (gpulouvain.cu:105-128).
-            tbl = pa.concat_tables(ray.get(part_refs))
-            csrc = tbl.column("csrc").to_numpy()
-            cdst = tbl.column("cdst").to_numpy()
-            w = tbl.column("w").to_numpy()
-            key = remap_arr[csrc] * np.int64(len(uniq_lbl)) + remap_arr[cdst]
-            order = np.argsort(key, kind="stable")
-            key_s, w_s = key[order], w[order]
-            uk, start = np.unique(key_s, return_index=True)
-            sums = np.add.reduceat(w_s, start) if len(start) else np.empty(0)
-            cg = CSRGraph.from_edges(uk // len(uniq_lbl), uk % len(uniq_lbl),
-                                     sums, n=len(uniq_lbl))
+            tbl = pa.concat_tables(ray.get(tbl_refs))
+            cg = CSRGraph.from_edges(tbl.column("src").to_numpy(),
+                                     tbl.column("dst").to_numpy(),
+                                     tbl.column("w").to_numpy(), n=n_sub)
             sub_res = oracle_lv.louvain(cg, min_gain=min_gain)
             if hierarchy_dir is not None:
                 for li, lmap in enumerate(sub_res["levels"]):
@@ -690,27 +717,19 @@ class GraphEngine:
                     _pq.write_table(pq_tbl, os.path.join(
                         lvl_dir, "part-00000.parquet"))
         else:
-            # large contracted graph: recurse DISTRIBUTED — remap the
-            # partials to dense ids via broadcast gather and feed a child
-            # engine (parallel multi-edges are summed by the CSR build,
-            # so no dedup shuffle is needed)
+            # large contracted graph: recurse DISTRIBUTED into a child
+            # engine fed straight from the deduped bucket tables.  The
+            # child's partition count tracks the contracted edge mass so
+            # dense contracted levels (the round-2 driver-solve residue:
+            # 15-43s single-threaded at any P) parallelize with P.
             import ray.data as rd
-            map_ref = ray.put(remap_arr)
-
-            def remap_batch(t: pa.Table) -> pa.Table:
-                m = ray.get(map_ref)
-                return pa.table({
-                    "src": m[t.column("csrc").to_numpy()],
-                    "dst": m[t.column("cdst").to_numpy()],
-                    "w": t.column("w").to_numpy()})
-
-            cds = (rd.from_arrow_refs(part_refs)
-                   .map_batches(remap_batch, batch_format="pyarrow")
-                   .materialize())
-            n_sub = len(uniq_lbl)
+            cds = rd.from_arrow_refs(tbl_refs)
             child = GraphEngine.from_dataset(
                 cds, n_nodes=n_sub,
-                n_parts=max(2, min(self.P, n_sub // 1000)),
+                n_parts=max(2, min(self.P,
+                                   max(n_sub // 1000,
+                                       n_contract
+                                       // self.CHILD_EDGES_PER_PART))),
                 name=f"{self.name}_l")
             try:
                 sub = child.louvain(min_gain=min_gain,

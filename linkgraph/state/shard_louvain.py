@@ -743,9 +743,16 @@ class LouvainShard(AlgoShard):
 
     # ---------- contraction ------------------------------------------------
 
-    def lv_contract_partial(self) -> pa.Table:
+    def lv_contract_partial(self, n_buckets: int = 1):
         """Local (csrc, cdst, w) pre-aggregated (A7 combiner).  Requires
-        fresh ghost labels."""
+        fresh ghost labels.
+
+        ``n_buckets`` > 1: the partial is split by ``csrc % n_buckets``
+        (num_returns=n_buckets) so a FIXED-width reduce wave — one task
+        per bucket, independent of P — can dedup the partials exactly.
+        The deduped global row count is therefore parallelism-invariant,
+        which is what makes the engine's driver-vs-distributed
+        contraction branch P-invariant (r2 honesty note)."""
         csrc = np.repeat(self.state["labels"], np.diff(self.indptr))
         cdst = self._labels_of_all_edges()
         mult = max(self.n_global,
@@ -753,20 +760,32 @@ class LouvainShard(AlgoShard):
         if composite_fits(mult, mult):
             key = csrc * np.int64(mult) + cdst
             uk, sums = _grouped_sum(key, self.weights)
-            return pa.table({"csrc": uk // mult,
-                             "cdst": uk % mult, "w": sums})
-        # billion-vertex guard: pair keys would overflow int64 — stable
-        # lexsort on the (csrc, cdst) pair instead
-        order = np.lexsort((cdst, csrc))
-        cs, cd, ws = csrc[order], cdst[order], self.weights[order]
-        if len(cs) == 0:
-            return pa.table({"csrc": cs, "cdst": cd, "w": ws})
-        newgrp = np.empty(len(cs), dtype=bool)
-        newgrp[0] = True
-        newgrp[1:] = (cs[1:] != cs[:-1]) | (cd[1:] != cd[:-1])
-        starts = np.flatnonzero(newgrp)
-        return pa.table({"csrc": cs[starts], "cdst": cd[starts],
-                         "w": np.add.reduceat(ws, starts)})
+            cs, cd = uk // mult, uk % mult
+        else:
+            # billion-vertex guard: pair keys would overflow int64 —
+            # stable lexsort on the (csrc, cdst) pair instead
+            order = np.lexsort((cdst, csrc))
+            cs, cd, ws = csrc[order], cdst[order], self.weights[order]
+            if len(cs):
+                newgrp = np.empty(len(cs), dtype=bool)
+                newgrp[0] = True
+                newgrp[1:] = (cs[1:] != cs[:-1]) | (cd[1:] != cd[:-1])
+                starts = np.flatnonzero(newgrp)
+                cs, cd = cs[starts], cd[starts]
+                sums = np.add.reduceat(ws, starts)
+            else:
+                sums = ws
+        if n_buckets == 1:
+            return pa.table({"csrc": cs, "cdst": cd, "w": sums})
+        b = cs % n_buckets
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        cuts = np.searchsorted(bs, np.arange(n_buckets + 1))
+        return tuple(
+            pa.table({"csrc": cs[order[cuts[k]:cuts[k + 1]]],
+                      "cdst": cd[order[cuts[k]:cuts[k + 1]]],
+                      "w": sums[order[cuts[k]:cuts[k + 1]]]})
+            for k in range(n_buckets))
 
     def lv_label_counts(self) -> tuple[np.ndarray, np.ndarray]:
         """(distinct labels, member counts) over local vertices — the

@@ -115,6 +115,26 @@ class TestLouvainEngine:
             canonical_labels(want["labels"]).tolist()
         eng.shutdown()
 
+    @pytest.mark.parametrize("n_parts", [2, 3])
+    def test_distributed_child_contraction(self, engine_mod, n_parts):
+        """SMALL_CONTRACT_ROWS = 0 forces every contracted level through
+        the distributed child engine; results must equal the oracle (and
+        hence the driver-continuation path) at any parallelism — the
+        invariant the P-invariant branch decision relies on."""
+        src, dst, w = planted_graph(150, 5, 0.45, 0.02, 7)
+        g = CSRGraph.from_edges(src, dst, w, n=150)
+        want = olv.louvain(g)
+        eng = engine_mod.from_arrays(src, dst, w, n=150, n_parts=n_parts,
+                                     name=f"lvc{n_parts}")
+        eng.SMALL_CONTRACT_ROWS = 0
+        res = eng.louvain()
+        assert abs(res["modularity"] - want["modularity"]) < 1e-9
+        got = eng.louvain_result().to_pandas() \
+            .sort_values("node")["comm"].to_numpy()
+        assert canonical_labels(got).tolist() == \
+            canonical_labels(want["labels"]).tolist()
+        eng.shutdown()
+
 
 class TestCheckpointResume:
     def test_pagerank_resume(self, engine_mod, tmp_path):
