@@ -122,6 +122,54 @@ EVENTS_SQL: dict[str, str] = {
 N_TIMESTEPS = 3
 
 
+def event_delta_refs(sf_dir: str, nmod: int) -> list[dict]:
+    """Dataset-native :func:`event_deltas`: per-timestep {"add": [refs],
+    "del": [refs]} of DIRECTED (src, dst) Arrow block refs — the blocks
+    stay in the object store; only per-block row counts reach the driver
+    (for the equal-rank timestep cut).  The M5 preprocess (self-loop
+    drop + per-batch dedup) runs inside the engine's routed delta
+    exchange (engine._route_delta_refs), matching the reference's
+    once-through delta-file streaming (main_louvain.cpp:143-322)."""
+    import ray
+
+    ev_sorted = (_events(sf_dir, ["event_id", "user_id", "ts"])
+                 .sort(["ts", "event_id"]).materialize())
+    refs = ev_sorted.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    cut = np.linspace(0, int(offs[-1]), N_TIMESTEPS + 1).astype(np.int64)
+
+    @ray.remote
+    def project(tbl: pa.Table, off: int):
+        """num_returns = 2*N_TIMESTEPS: (add_t, del_t) per timestep —
+        the sorted blocks are rank-contiguous, so the global-rank
+        timestep cut is a local position test."""
+        eid = tbl.column("event_id").to_numpy()
+        src = (tbl.column("user_id").to_numpy() % nmod).astype(np.int64)
+        dst = (eid % nmod).astype(np.int64)
+        is_del = (eid % 8) == 1
+        pos = off + np.arange(len(eid), dtype=np.int64)
+        outs = []
+        for t in range(N_TIMESTEPS):
+            m = (pos >= cut[t]) & (pos < cut[t + 1])
+            for deleting in (False, True):
+                mm = m & (is_del == deleting)
+                outs.append(pa.table({"src": src[mm], "dst": dst[mm]}))
+        return tuple(outs)
+
+    nret = 2 * N_TIMESTEPS
+    outs = [project.options(num_returns=nret).remote(r, int(offs[i]))
+            for i, r in enumerate(refs)]
+    return [{"add": [o[2 * t] for o in outs],
+             "del": [o[2 * t + 1] for o in outs]}
+            for t in range(N_TIMESTEPS)]
+
+
 def event_deltas(sf_dir: str, nmod: int):
     """Derive per-timestep edge delta batches from ``events``:
 
@@ -192,7 +240,7 @@ def q_dynamic_louvain(sf_dir: str):
     try:
         eng.louvain()
         rows = []
-        for t, deltas in enumerate(event_deltas(sf_dir, NMOD)):
+        for t, deltas in enumerate(event_delta_refs(sf_dir, NMOD)):
             recs = eng.dynamic_step(t, deltas)
             rows.extend(recs)
         tbl = pa.table({

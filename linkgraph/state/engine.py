@@ -30,7 +30,7 @@ import ray
 
 from ..oracle.graph import CSRGraph
 from ..oracle import louvain as oracle_lv
-from .partition import _grouped_sum2, split_by_owner
+from .partition import _grouped_sum2, dedup_pairs, split_by_owner
 from .shard_louvain import LouvainShard
 
 N_BUCKETS = len(oracle_lv.BUCKET_BOUNDS) - 1
@@ -71,6 +71,84 @@ def _route_block(tbl: pa.Table, bounds: np.ndarray):
     P = len(bounds) - 1
     out = _split_table(tbl, own, P)
     return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
+def _route_delta_block(tbl: pa.Table, bounds: np.ndarray):
+    """Stage 1 of the Dataset-native delta exchange (M1/M2 at scale,
+    main_louvain.cpp:143-322): split one DIRECTED delta block by
+    owner(src), clipped to the last partition for not-yet-allocated ids
+    (new nodes always land in the last range).  num_returns = P+1; the
+    last return is (max_id, n_rows) — the driver grows the node space
+    from these tiny scalars instead of materializing the rows."""
+    P = len(bounds) - 1
+    s = tbl.column("src").to_numpy()
+    d = tbl.column("dst").to_numpy()
+    has_w = "w" in tbl.column_names
+    mx = int(max(s.max(initial=-1), d.max(initial=-1)))
+    own = np.minimum(np.searchsorted(bounds, s, side="right") - 1, P - 1)
+    order = np.argsort(own, kind="stable")
+    cuts = np.searchsorted(own[order], np.arange(P + 1))
+    outs = []
+    for p in range(P):
+        sl = order[cuts[p]:cuts[p + 1]]
+        cols = {"src": s[sl], "dst": d[sl]}
+        if has_w:
+            cols["w"] = tbl.column("w").to_numpy()[sl]
+        outs.append(pa.table(cols))
+    return (*outs, (mx, len(s)))
+
+
+@ray.remote
+def _dedup_sym_route(bounds: np.ndarray, dedup: bool, drop_self: bool,
+                     *chunks: pa.Table):
+    """Stage 2: one task per owner — concat the directed pairs routed
+    here, optionally drop self-loops + dedup directed (src,dst) keeping
+    the first occurrence (the M5 preprocess contract), then symmetrize:
+    the as-written rows stay with this owner, the reversed copies are
+    split by owner(dst).  Self-loops that survive ``drop_self=False``
+    keep only their forward direction (apply_delta_batch semantics).
+    num_returns = P+1; the last return is the post-dedup pair count."""
+    P = len(bounds) - 1
+    tbls = [c for c in chunks if c.num_rows]
+    if not tbls:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        return (*[empty] * P, 0)
+    tbl = pa.concat_tables(tbls)
+    s = tbl.column("src").to_numpy()
+    d = tbl.column("dst").to_numpy()
+    has_w = "w" in tbl.column_names
+    w = tbl.column("w").to_numpy() if has_w else np.ones(len(s))
+    if drop_self:
+        keep = s != d
+        s, d, w = s[keep], d[keep], w[keep]
+    if dedup:
+        s, d, w = dedup_pairs(s, d, w)
+    n_pairs = len(s)
+    nonself = s != d
+    own_rev = np.minimum(
+        np.searchsorted(bounds, d[nonself], side="right") - 1, P - 1)
+    order = np.argsort(own_rev, kind="stable")
+    cuts = np.searchsorted(own_rev[order], np.arange(P + 1))
+    rs, rd, rw = d[nonself], s[nonself], w[nonself]
+    my = int(np.searchsorted(bounds, s[0], side="right") - 1) \
+        if len(s) else 0
+    my = min(my, P - 1)
+    outs = []
+    for p in range(P):
+        sl = order[cuts[p]:cuts[p + 1]]
+        cols = {"src": rs[sl], "dst": rd[sl]}
+        if has_w:
+            cols["w"] = rw[sl]
+        part = pa.table(cols)
+        if p == my and n_pairs:
+            fwd = {"src": s, "dst": d}
+            if has_w:
+                fwd["w"] = w
+            part = pa.concat_tables([pa.table(fwd), part])
+        outs.append(part)
+    return (*outs, n_pairs)
 
 
 
@@ -1261,9 +1339,15 @@ class GraphEngine:
                 add_tbl, ds_, dd_,
                 new_bounds.tolist() if new_bounds is not None else None))
         missing = sum(ray.get(calls))
+        self._after_delta_apply()
+        return missing
+
+    def _after_delta_apply(self):
+        """Shared postlude of every delta application: bump the graph
+        version, drop the hub split (shards fall back to the unsplit
+        message path; re-split via install_hubs if desired), refresh
+        stats / M / ghost requests."""
         self._graph_version = getattr(self, "_graph_version", 0) + 1
-        # graph mutation drops the hub split (shards fall back to the
-        # unsplit message path; re-split via install_hubs if desired)
         self.has_frags = False
         self._frag_reqs = None
         stats = ray.get([a.local_stats.remote() for a in self.actors])
@@ -1271,7 +1355,102 @@ class GraphEngine:
         self.M = sum(s_["k_sum"] for s_ in stats) / 2.0
         ray.get([a.set_global.remote(M=self.M) for a in self.actors])
         self._refresh_ghost_requests()
+
+    # ---- Dataset-native delta path (M1/M2 at scale) -----------------------
+    #
+    # The reference streams each timestep's delta file once
+    # (main_louvain.cpp:143-322, 423-667); at 100 TB a single timestep's
+    # batch can be billions of rows, so nothing O(#deltas) may touch the
+    # driver.  The exchange is two fixed-width task waves over object
+    # refs: stage 1 routes directed blocks by owner(src); stage 2 (one
+    # task per owner) dedups (M5), symmetrizes and re-routes the reversed
+    # copies by owner(dst).  Only per-block (max_id, count) scalars reach
+    # the driver; the routed per-owner tables feed BOTH the shard CSR
+    # rebuild and the delta screening (same refs, zero extra copies).
+
+    @staticmethod
+    def _delta_refs(ds) -> list | None:
+        """Normalize a delta argument to a list of Arrow block refs:
+        accepts a ray.data.Dataset, a list of ObjectRefs, or None."""
+        if ds is None:
+            return None
+        if isinstance(ds, list):
+            return ds if ds else None
+        if isinstance(ds, ray.ObjectRef):
+            return [ds]
+        # ray.data.Dataset
+        refs = ds.materialize().to_arrow_refs()
+        return refs if refs else None
+
+    def _route_delta_refs(self, refs: list, *, dedup: bool,
+                          drop_self: bool):
+        """Run the two-stage exchange.  Returns (per_owner, max_id,
+        n_pairs): per_owner[p] = the P stage-2 table refs destined for
+        shard p; n_pairs = global post-dedup directed pair count."""
+        P = self.P
+        outs = [_route_delta_block.options(num_returns=P + 1)
+                .remote(r, self.bounds) for r in refs]
+        stats = ray.get([o[P] for o in outs])
+        max_id = max((st[0] for st in stats), default=-1)
+        if sum(st[1] for st in stats) == 0:
+            return None, max_id, 0
+        stage2 = [_dedup_sym_route.options(num_returns=P + 1)
+                  .remote(self.bounds, dedup, drop_self,
+                          *[outs[b][k] for b in range(len(refs))])
+                  for k in range(P)]
+        per_owner = [[stage2[k][p] for k in range(P)] for p in range(P)]
+        n_pairs = int(sum(ray.get([stage2[k][P] for k in range(P)])))
+        return per_owner, max_id, n_pairs
+
+    def _apply_routed(self, add_parts, del_parts,
+                      max_id: int | None) -> int:
+        """Ship routed per-owner delta tables to the shards.  ``max_id``
+        (from the stage-1 scalars) grows the node space before the
+        apply.  Returns count_notexist."""
+        new_bounds = None
+        if max_id is not None and max_id >= self.n:
+            self.n = max_id + 1
+            self.bounds = self.bounds.copy()
+            self.bounds[-1] = self.n
+            new_bounds = self.bounds
+        calls = []
+        for p, a in enumerate(self.actors):
+            adds = add_parts[p] if add_parts is not None else []
+            dels = del_parts[p] if del_parts is not None else []
+            calls.append(a.apply_delta_parts.remote(
+                new_bounds.tolist() if new_bounds is not None else None,
+                len(adds), *adds, *dels))
+        missing = sum(ray.get(calls))
+        self._after_delta_apply()
         return missing
+
+    def apply_delta_dataset(self, add_ds=None, del_ds=None, *,
+                            dedup: bool = False,
+                            drop_self: bool = False) -> int:
+        """Dataset-native apply_delta_batch: ``add_ds`` / ``del_ds`` are
+        ray.data.Datasets (or lists of Arrow block refs) with columns
+        (src, dst[, w]), directed-as-written.  Same semantics as
+        apply_delta_batch — symmetric expansion, owner routing, node
+        growth, append-without-dedup (the M1 quirk) unless ``dedup``.
+        Returns count_notexist for deletions."""
+        add_refs = self._delta_refs(add_ds)
+        del_refs = self._delta_refs(del_ds)
+        add_parts = del_parts = None
+        max_id = None
+        if add_refs:
+            add_parts, mx, n_add = self._route_delta_refs(
+                add_refs, dedup=dedup, drop_self=drop_self)
+            if n_add:
+                max_id = mx
+        if del_refs:
+            del_parts, _, n_del = self._route_delta_refs(
+                del_refs, dedup=dedup, drop_self=drop_self)
+        if add_parts is None and del_parts is None:
+            return 0
+        P = self.P
+        empty = [[] for _ in range(P)]
+        return self._apply_routed(add_parts or empty, del_parts or empty,
+                                  max_id)
 
     def _seed_new_nodes(self, n_old: int):
         """L12 seeding for nodes in [n_old, n) — they live in the last
@@ -1296,6 +1475,19 @@ class GraphEngine:
         reqs = [a.screen_begin.options(num_returns=self.P)
                 .remote(parts[i][0], parts[i][1], mode)
                 for i, a in enumerate(self.actors)]
+        return self._screen_finish(mode, reqs)
+
+    def _screen_routed(self, mode: str, per_owner) -> int:
+        """_screen over the already-routed per-owner delta tables (the
+        stage-2 refs from _route_delta_refs) — the same symmetric deduped
+        pair set, with zero extra exchanges."""
+        self._store_ghost_labels()
+        reqs = [a.screen_begin_parts.options(num_returns=self.P)
+                .remote(mode, *per_owner[i])
+                for i, a in enumerate(self.actors)]
+        return self._screen_finish(mode, reqs)
+
+    def _screen_finish(self, mode: str, reqs) -> int:
         lab_outs = [self.actors[j].serve_many.options(num_returns=self.P)
                     .remote("labels", [reqs[i][j] for i in range(self.P)])
                     for j in range(self.P)]
@@ -1340,17 +1532,44 @@ class GraphEngine:
         assert mode in ("delta", "full", "static")
         records = []
         for phase in ("del", "add"):
-            d_src, d_dst, d_w = (np.asarray(x) for x in deltas[phase])
-            if len(d_src) == 0:
+            delta = deltas.get(phase)
+            routed = None
+            if delta is None:
                 continue
-            t0 = time.time()
-            if phase == "del":
-                self.apply_delta_batch(del_src=d_src, del_dst=d_dst)
+            if isinstance(delta, tuple) and len(delta) == 3 \
+                    and not isinstance(delta[0], ray.ObjectRef):
+                # legacy driver-array form: (src, dst, w) numpy arrays
+                d_src, d_dst, d_w = (np.asarray(x) for x in delta)
+                if len(d_src) == 0:
+                    continue
+                t0 = time.time()
+                if phase == "del":
+                    self.apply_delta_batch(del_src=d_src, del_dst=d_dst)
+                else:
+                    n_old = self.n
+                    self.apply_delta_batch(add_src=d_src, add_dst=d_dst,
+                                           add_w=d_w)
+                    self._seed_new_nodes(n_old)
             else:
-                n_old = self.n
-                self.apply_delta_batch(add_src=d_src, add_dst=d_dst,
-                                       add_w=d_w)
-                self._seed_new_nodes(n_old)
+                # Dataset-native form: a Dataset / list of Arrow block
+                # refs of directed (src, dst[, w]) rows.  The M5
+                # preprocess (self-loop drop + per-batch dedup) runs
+                # inside the routed exchange.
+                t0 = time.time()
+                refs = self._delta_refs(delta)
+                if not refs:
+                    continue
+                per_owner, max_id, n_pairs = self._route_delta_refs(
+                    refs, dedup=True, drop_self=True)
+                if per_owner is None or n_pairs == 0:
+                    continue
+                routed = per_owner
+                if phase == "del":
+                    self._apply_routed(None, per_owner, None)
+                else:
+                    n_old = self.n
+                    self._apply_routed(per_owner, None, max_id)
+                    self._seed_new_nodes(n_old)
             self._rebuild_comm_aggs()
             if mode == "static":
                 r_size = self.n
@@ -1362,7 +1581,9 @@ class GraphEngine:
                                    min_gain=min_gain)
                 q = res["modularity"]
             else:
-                r_size = self._screen(phase, d_src, d_dst)
+                r_size = (self._screen_routed(phase, routed)
+                          if routed is not None
+                          else self._screen(phase, d_src, d_dst))
                 if r_size > 0:
                     res = self.louvain(init=True, use_subset=True,
                                        min_gain=min_gain)

@@ -72,6 +72,24 @@ def pair_isin(a_hi: np.ndarray, a_lo: np.ndarray,
     return np.isin(_pair_view(a_hi, a_lo), _pair_view(b_hi, b_lo))
 
 
+def dedup_pairs(hi: np.ndarray, lo: np.ndarray,
+                *arrays: np.ndarray) -> tuple:
+    """Distinct (hi, lo) pairs, keeping the FIRST occurrence's payload
+    (the M5 preprocess contract: per-batch dedup of directed delta pairs,
+    main_louvain.cpp:143-210).  Composite int64 key when it fits,
+    structured-dtype unique otherwise."""
+    if len(hi) == 0:
+        return (hi, lo) + arrays
+    card = int(max(hi.max(), lo.max())) + 1
+    if composite_fits(card, card):
+        key = hi * np.int64(card) + lo
+    else:
+        key = _pair_view(hi, lo)
+    _, idx = np.unique(key, return_index=True)
+    idx.sort()
+    return (hi[idx], lo[idx]) + tuple(a[idx] for a in arrays)
+
+
 def owner_of(ids: np.ndarray, bounds: np.ndarray) -> np.ndarray:
     """Partition index owning each id (bounds = [b0..bP], b0=0, bP=n)."""
     return np.searchsorted(bounds, ids, side="right") - 1

@@ -932,6 +932,37 @@ class LouvainShard(AlgoShard):
         self._build_csr(src, dst, w)
         return n_missing
 
+    def apply_delta_parts(self, new_bounds, n_add: int, *parts) -> int:
+        """Dataset-native apply_delta: ``parts[:n_add]`` are routed
+        addition tables (src, dst, w), the rest routed deletion tables
+        (src, dst) — both directions already expanded and owner-routed
+        by the engine's two-stage exchange (see engine._route_delta_refs).
+        Concats locally and delegates to apply_delta."""
+        add_tbls = [t for t in parts[:n_add] if t.num_rows]
+        del_tbls = [t for t in parts[n_add:] if t.num_rows]
+        add_tbl = pa.concat_tables(add_tbls) if add_tbls else None
+        if add_tbl is not None and "w" not in add_tbl.column_names:
+            add_tbl = add_tbl.append_column(
+                "w", pa.array(np.ones(add_tbl.num_rows)))
+        del_src = del_dst = None
+        if del_tbls:
+            dt = pa.concat_tables(del_tbls)
+            del_src = dt.column("src").to_numpy()
+            del_dst = dt.column("dst").to_numpy()
+        return self.apply_delta(add_tbl, del_src, del_dst, new_bounds)
+
+    def screen_begin_parts(self, mode: str, *parts: pa.Table):
+        """screen_begin over routed per-owner delta tables (the same
+        refs apply_delta_parts consumed — zero extra exchanges)."""
+        tbls = [t for t in parts if t.num_rows]
+        if tbls:
+            tbl = pa.concat_tables(tbls)
+            s = tbl.column("src").to_numpy()
+            d = tbl.column("dst").to_numpy()
+        else:
+            s = d = np.empty(0, np.int64)
+        return self.screen_begin(s, d, mode)
+
     def local_stats(self) -> dict:
         return {"pid": self.pid, "n_local": self.n_local,
                 "n_edges": int(len(self.indices)),
