@@ -365,11 +365,13 @@ def q_graph_quality_louvain(sf_dir: str):
 
 def q_graph_comm_sizes(sf_dir: str):
     """S8 cluster-sizes output: Louvain communities of the lineitem graph
-    with their member counts (rows-only — community ids are
-    renumbering-dependent; exactness is pinned by the oracle tests)."""
+    with their member counts.  Community ids are canonicalized to the
+    min member node id, so the output is identical across parallelism /
+    label renumbering (rows-only gate — Louvain itself is not
+    SQL-expressible; exactness is pinned by the oracle tests)."""
     from . import graphs as _g
     eng = _g._louvain_engine(sf_dir)   # shared engine + cached labels
-    return eng.comm_sizes()
+    return eng.comm_sizes(canonical=True)
 
 
 # ---------------------------------------------------------------- registry

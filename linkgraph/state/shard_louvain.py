@@ -792,6 +792,17 @@ class LouvainShard(AlgoShard):
         per-shard partial for community sizes (S8 combiner)."""
         return np.unique(self.state["labels"], return_counts=True)
 
+    def lv_label_min_counts(self) -> tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]:
+        """(distinct labels, min member node id, member counts) — the
+        canonical-renumbering partial: shards hold contiguous node
+        ranges sorted ascending, so the first occurrence of each label
+        is its local min member."""
+        lab = self.state["labels"]
+        uk, first, cnt = np.unique(lab, return_index=True,
+                                   return_counts=True)
+        return uk, first.astype(np.int64) + self.lo, cnt
+
     def lv_unique_labels(self) -> np.ndarray:
         """Distinct local label values (for the contraction renumber —
         ships #comms ids to the driver, not #vertices)."""

@@ -219,3 +219,95 @@ def test_display_printers(eng):
     assert n_printed == 7
     part_lines = buf.getvalue().strip().splitlines()
     assert [int(line.split()[0]) for line in part_lines] == list(range(7))
+
+
+def test_dynamic_kill_resume(ray_session, tmp_path):
+    """North rule (stretch): a shard dies MID-timestep — between the
+    committed del-phase checkpoint of ts1 and its add phase.  A fresh
+    engine replays the delta lineage up to the last _SUCCESS superstep
+    (apply-only; the graph is a pure function of base edges + deltas),
+    restores that superstep's labels, and finishes the timestep with
+    final labels identical to the uninterrupted run."""
+    import ray
+
+    def canon(lbl):
+        first = {}
+        out = np.empty(len(lbl), np.int64)
+        for i, c in enumerate(lbl):
+            out[i] = first.setdefault(c, i)
+        return out
+
+    s, d, n = planted_edges(seed=37)
+    ts0 = {"del": (s[:4], d[:4], np.ones(4)),
+           "add": (np.array([2, 9, n]), np.array([70, 95, 3]), np.ones(3))}
+    ts1_del = (s[4:8], d[4:8], np.ones(4))
+    ts1_add = (np.array([5, n + 1]), np.array([80, 4]), np.ones(2))
+    ck = str(tmp_path / "ck")
+
+    # uninterrupted reference
+    e1 = GraphEngine.from_arrays(s, d, n=n, n_parts=2, name="dkr")
+    e1.louvain()
+    e1.dynamic_step(0, ts0)
+    recs_ref = e1.dynamic_step(1, {"del": ts1_del, "add": ts1_add})
+    labels_ref = e1.louvain_result().to_pandas() \
+        .sort_values("node")["comm"].to_numpy()
+    e1.shutdown()
+
+    # interrupted run: per-phase checkpoints; shard 0 dies after ts1's
+    # del phase committed, so the add phase fails mid-step
+    e2 = GraphEngine.from_arrays(s, d, n=n, n_parts=2, name="dkr")
+    e2.louvain()
+    e2.dynamic_step(0, ts0, ckpt_dir=ck)
+    recs_del = e2.dynamic_step(1, {"del": ts1_del}, ckpt_dir=ck)
+    ray.kill(e2.actors[0])
+    with pytest.raises(ray.exceptions.RayActorError):
+        e2.dynamic_step(1, {"add": ts1_add}, ckpt_dir=ck)
+    e2.shutdown()
+
+    # resume: fresh actors; lineage replay to the last _SUCCESS manifest
+    e3 = GraphEngine.from_arrays(s, d, n=n, n_parts=2, name="dkr")
+    latest = e3.latest_checkpoint(ck)
+    assert latest is not None and latest[0] == 2  # ts1 del phase
+    e3.apply_delta_batch(del_src=ts0["del"][0], del_dst=ts0["del"][1])
+    e3.apply_delta_batch(add_src=ts0["add"][0], add_dst=ts0["add"][1])
+    e3.apply_delta_batch(del_src=ts1_del[0], del_dst=ts1_del[1])
+    assert e3.restore(ck, 2, ["labels"], dtypes=[np.int64])
+    e3._rebuild_comm_aggs()
+    recs_add = e3.dynamic_step(1, {"add": ts1_add}, ckpt_dir=ck)
+    labels_res = e3.louvain_result().to_pandas() \
+        .sort_values("node")["comm"].to_numpy()
+    e3.shutdown()
+
+    # the resumed del+add records must equal the reference timestep
+    got = recs_del + recs_add
+    assert [r["phase"] for r in got] == [r["phase"] for r in recs_ref]
+    assert [r["r_size"] for r in got] == [r["r_size"] for r in recs_ref]
+    assert [round(r["modularity"], 12) for r in got] == \
+        [round(r["modularity"], 12) for r in recs_ref]
+    assert np.array_equal(canon(labels_ref), canon(labels_res))
+
+
+def test_comm_sizes_canonical_parallelism_invariant(ray_session):
+    """comm_sizes(canonical=True) renumbers communities to min member
+    node id — identical output at any partition count, and consistent
+    with the label table."""
+    s, d, n = planted_edges(seed=41)
+    outs = {}
+    for P in (2, 3):
+        e = GraphEngine.from_arrays(s, d, n=n, n_parts=P, name=f"cs{P}")
+        e.louvain()
+        tbl = e.comm_sizes(canonical=True)
+        lab = e.louvain_result().to_pandas().sort_values("node")
+        e.shutdown()
+        outs[P] = tbl.to_pandas()
+        # cross-check against a driver-side canonicalization of labels
+        import collections
+        mins, cnts = {}, collections.Counter()
+        for node, comm in zip(lab["node"], lab["comm"]):
+            mins.setdefault(comm, node)
+            cnts[comm] += 1
+        want = sorted((mins[c], cnts[c]) for c in mins)
+        got = list(zip(outs[P]["comm"], outs[P]["size"]))
+        assert got == want
+        assert outs[P]["size"].sum() == n
+    assert outs[2].equals(outs[3])
