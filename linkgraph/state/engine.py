@@ -259,6 +259,7 @@ class GraphEngine:
         hub edges (skew mitigation, see install_hubs)."""
         width = max(1, -(-n_nodes // 4096))
         nb = -(-n_nodes // width)
+        _t0 = time.time()
         block_refs = edges_ds.to_arrow_refs()
 
         @ray.remote
@@ -280,7 +281,9 @@ class GraphEngine:
             hist = np.minimum(hist, width * thr)
         bounds = degree_balanced_bounds(None, n_nodes, n_parts,
                                         degree_hist=hist)
+        _t1 = time.time()
         eng = cls(bounds, name=name)
+        _t2 = time.time()
         bounds_ref = ray.put(eng.bounds)
         pending = []
         for blk in block_refs:
@@ -291,9 +294,18 @@ class GraphEngine:
             for a, pref in zip(eng.actors, parts):
                 pending.append(a.ingest_edges.remote(pref))
         ray.get(pending)
+        _t3 = time.time()
         eng.finalize()
+        _t4 = time.time()
         if split_hubs:
             eng.split_hubs_post()
+        eng.metrics.append({
+            "job": name, "algo": "build", "kind": "phase",
+            "hist_secs": round(_t1 - _t0, 3),
+            "actor_secs": round(_t2 - _t1, 3),
+            "route_ingest_secs": round(_t3 - _t2, 3),
+            "finalize_secs": round(_t4 - _t3, 3),
+            "hub_secs": round(time.time() - _t4, 3)})
         return eng
 
     def split_hubs_post(self) -> int:
@@ -376,11 +388,11 @@ class GraphEngine:
             for a in self.actors
         ]
         # push each requester's static ghost lists to the owners so label
-        # syncs can ship only CHANGED values (gathered driver-side here;
-        # at cluster scale this would be an owner-to-owner exchange)
-        reqs = ray.get([a.get_ghost_requests.remote() for a in self.actors])
+        # syncs can ship only CHANGED values — forwarded as refs, an
+        # owner-to-owner exchange; the O(#ghosts) id lists never touch
+        # the driver (they grow with P × cut edges)
         ray.get([self.actors[j].store_label_sync_requests.remote(
-            [reqs[i][j] for i in range(self.P)])
+            [self._ghost_reqs[i][j] for i in range(self.P)])
             for j in range(self.P)])
         self._lv_synced = False
 

@@ -107,9 +107,12 @@ class LouvainShard(AlgoShard):
         self._lv_cache_ready = True
         self._lv_cache_epoch = getattr(self, "_lv_cache_epoch", 0) + 1
 
-    def store_label_sync_requests(self, reqs: list[np.ndarray]):
+    def store_label_sync_requests(self, reqs: list):
         """Static per-requester ghost id lists this shard owns (sorted) —
-        lets lv_serve_changed ship ONLY moved labels each sync."""
+        lets lv_serve_changed ship ONLY moved labels each sync.  Items
+        may be ObjectRefs (the engine forwards the owners' ghost-request
+        outputs actor-to-actor; the id lists never touch the driver)."""
+        reqs = _resolve(reqs)
         self._lbl_serve_reqs = [np.asarray(r, dtype=np.int64) for r in reqs]
 
     def lv_serve_changed(self) -> tuple:
