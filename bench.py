@@ -34,6 +34,8 @@ def _init_ray(num_cpus: int):
     import ray
     import ray.data as rd
     if not ray.is_initialized():
+        from linkgraph.common import enable_shmmap
+        enable_shmmap()   # workers inherit; see BASELINE.md fault study
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     rd.DataContext.get_current().enable_progress_bars = False
@@ -223,6 +225,8 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
         "louvain_modularity": round(lv["modularity"], 6),
         "dynamic_secs": round(dyn_secs, 3),
         "dynamic_r_frac": round(recs[-1]["r_frac"], 4) if recs else 0.0,
+        "build_phases": [m for m in eng.metrics
+                         if m.get("algo") == "build"],
     }
 
 
@@ -280,6 +284,8 @@ def run_pages_pipeline(num_cpus: int, n_pages: int) -> dict:
         "louvain_modularity": round(lv["modularity"], 6),
         "pipeline_secs": round(pipeline_secs, 3),
         "pipeline_pages_per_sec": round(n_pages / pipeline_secs, 1),
+        "build_phases": [m for m in eng.metrics
+                         if m.get("algo") == "build"],
     }
 
 
@@ -338,6 +344,10 @@ def run_scaling(n_pages: int, lo: int = 8, hi: int = 32) -> dict:
 
 
 def main():
+    # before any child spawn / ray.init: children then get the allocator
+    # shim at exec time (driver-side kernels benefit too)
+    from linkgraph.common import enable_shmmap
+    enable_shmmap()
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pages-run", action="store_true")

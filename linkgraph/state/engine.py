@@ -764,6 +764,7 @@ class GraphEngine:
         # deduped, densely-remapped edge tables.
         _t0 = time.time()
         self._store_ghost_labels()
+        _t_g = time.time()
         KB = self.CONTRACT_BUCKETS
         part_refs = [a.lv_contract_partial.options(num_returns=KB)
                      .remote(KB) for a in self.actors]
@@ -771,6 +772,7 @@ class GraphEngine:
         # per-shard uniques -> driver ships #comms ids, not #vertices
         uniq_lbl = np.unique(np.concatenate(
             ray.get([a.lv_unique_labels.remote() for a in self.actors])))
+        _t_u = time.time()
         remap_arr = np.full(int(uniq_lbl.max(initial=0)) + 1, -1, dtype=np.int64)
         remap_arr[uniq_lbl] = np.arange(len(uniq_lbl))
         n_sub = len(uniq_lbl)
@@ -789,6 +791,9 @@ class GraphEngine:
         self.metrics.append({"job": self.name, "algo": "louvain",
                              "kind": "phase", "name": "contract_partials",
                              "secs": time.time() - _t0,
+                             "ghost_secs": round(_t_g - _t0, 3),
+                             "uniq_secs": round(_t_u - _t_g, 3),
+                             "dedup_secs": round(time.time() - _t_u, 3),
                              "n_contract": n_contract, "n_sub": n_sub})
         _t0 = time.time()
         if n_contract <= self.SMALL_CONTRACT_ROWS:

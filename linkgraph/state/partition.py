@@ -336,6 +336,13 @@ class GraphShard:
     WARMUP_CAP_BYTES = 2 << 30
 
     def warmup_scratch(self) -> int:
+        import os as _os
+        _env = _os.environ.get("LINKGRAPH_WARMUP_BYTES_PER_EDGE")
+        if _env is not None:
+            self.WARMUP_BYTES_PER_EDGE = int(_env)
+        return self._warmup_scratch_impl()
+
+    def _warmup_scratch_impl(self) -> int:
         """Prefault the per-round scratch working set with one SEQUENTIAL
         fill.  tune_malloc keeps freed large buffers on the heap, so the
         pages this faults in are exactly the pages every round's
@@ -351,13 +358,17 @@ class GraphShard:
         n = nbytes // 8
         if n <= 0:
             return 0
+        from ..common import hint_hugepages
         a = np.empty(n, np.float64)
+        hint_hugepages(a)   # opt-in THP: 512x fewer warm-up faults
         a[:] = 0.0
         del a
         return n * 8
 
     def finalize_graph(self) -> dict:
         """Build the local CSR from ingested rows. Returns local stats."""
+        import time as _time
+        _t0 = _time.time()
         if self._pending:
             tbl = pa.concat_tables(self._pending)
             # np.asarray: no copy when parquet already stores int64/f64
@@ -371,13 +382,19 @@ class GraphShard:
             dst = np.empty(0, np.int64)
             w = np.empty(0, np.float64)
         self._pending = []
+        _t1 = _time.time()
         self._build_csr(src, dst, w)
+        _t2 = _time.time()
         self.warmup_scratch()
+        _t3 = _time.time()
         return {
             "pid": self.pid, "n_local": self.n_local,
             "n_edges": int(len(self.indices)),
             "k_sum": float(self.k.sum()),
             "out_deg_nonzero": int((np.diff(self.indptr) > 0).sum()),
+            "secs": {"concat": round(_t1 - _t0, 3),
+                     "build_csr": round(_t2 - _t1, 3),
+                     "warmup": round(_t3 - _t2, 3)},
         }
 
     def _msg_groups(self):

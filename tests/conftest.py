@@ -12,6 +12,8 @@ def ray_session():
     import ray
 
     if not ray.is_initialized():
+        from linkgraph.common import enable_shmmap
+        enable_shmmap()   # workers inherit the fast-fault allocator shim
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     yield
