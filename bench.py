@@ -36,6 +36,11 @@ def _init_ray(num_cpus: int):
     if not ray.is_initialized():
         from linkgraph.common import enable_shmmap
         enable_shmmap()   # workers inherit; see BASELINE.md fault study
+        # per-worker mapping-pool budget: ~32 GB across the shard pool
+        # (held pool pages beyond this caused memory-pressure round
+        # spikes at P=16 with the 4 GB/process default)
+        os.environ.setdefault(
+            "SHMMAP_POOL", str((32 << 30) // max(2, num_cpus // 2)))
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     rd.DataContext.get_current().enable_progress_bars = False
@@ -108,9 +113,16 @@ def run_sf_bench(sf_dir: str, num_cpus: int) -> dict:
 
 # ---------------------------------------------------------- graph child
 
-PR_EDGES = 100_000_000     # directed PageRank stress graph
+# Stress sizes are chosen COMPUTE-DOMINANT at P=16 on this host: the
+# per-round/iteration fixed exchange cost (~1.4 s/Louvain round,
+# ~0.1 s/PageRank iteration at P=16 — driver submission + P^2 object
+# hops + P*n message bytes through one box's plasma) must be small
+# against per-shard kernel time, or the two-parallelism efficiency
+# measures the fixed cost, not the engine (BASELINE.md Amdahl notes).
+# With the shmmap allocator shim, builds at these sizes are I/O-cheap.
+PR_EDGES = 400_000_000     # directed PageRank stress graph
 PR_NODES = 5_000_000
-LV_EDGES = 15_000_000      # Louvain/dynamic graph (symmetrized -> 30M)
+LV_EDGES = 120_000_000     # Louvain/dynamic graph (symmetrized -> 240M)
 LV_NODES = 1_000_000
 
 

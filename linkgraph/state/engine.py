@@ -188,7 +188,11 @@ class GraphEngine:
     # parallelism-invariant (fixed-width dedup wave, see _dedup_contract)
     # so both parallelism levels take the same branch — required for the
     # "identical results at any cluster size" invariant.
-    SMALL_CONTRACT_ROWS = 150_000
+    # With the shmmap shim the driver's oracle solve is allocation-cheap,
+    # so mid-size contracted graphs (<= 2M deduped edges) run faster on
+    # the driver than through a child engine's build+rounds; bigger ones
+    # recurse distributed.  Still P-invariant (deduped count).
+    SMALL_CONTRACT_ROWS = 2_000_000
 
     # fixed hash-bucket width of the contraction dedup wave (independent
     # of P by design) and the child engine's edges-per-partition target
