@@ -290,8 +290,53 @@ WITH RECURSIVE cc_base AS (
 )
 SELECT node, MIN(comp) AS comp FROM r GROUP BY node"""
 
+# exact LPA oracle: synchronous label propagation is integer-exact (edge
+# weights are link multiplicities, sums stay < 2^53), so a fixed-20-
+# iteration recursive CTE reproduces the engine bit-for-bit.  Per
+# iteration: label(v) = argmax over SUM(w) of neighbor labels (self-loops
+# excluded), tie -> LOWER label (shard_algos.lpa_apply's segment argmax);
+# nodes with no non-self neighbors keep their label via a weight-0 keeper
+# self-edge (loses to any real message since real sums are >= 1).  The
+# argmax is a packed-key MAX: s * NMOD + (NMOD-1-label) maximizes s then
+# minimizes label.  The engine's early break fires only at a true
+# fixpoint, where further applies are idempotent -> state after the
+# engine's <=20 applies == state after exactly 20 SQL iterations.
+_LPA_SQL = f"""
+WITH RECURSIVE lpa_base AS (
+  SELECT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst
+  FROM lineitem
+), lpa_msg AS (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+    SELECT src, dst FROM lpa_base WHERE src <> dst
+    UNION ALL
+    SELECT dst, src FROM lpa_base WHERE src <> dst
+  ) GROUP BY src, dst
+  UNION ALL
+  SELECT CAST(range AS BIGINT) AS src, CAST(range AS BIGINT) AS dst,
+         0.0 AS w
+  FROM range({NMOD})
+), lab(node, label, iter) AS (
+    SELECT CAST(range AS BIGINT), CAST(range AS BIGINT), 0
+    FROM range({NMOD})
+  UNION ALL
+    SELECT node,
+           {NMOD} - 1 - (MAX(CAST(s AS BIGINT) * {NMOD}
+                             + ({NMOD} - 1 - label)) % {NMOD}) AS label,
+           iter + 1
+    FROM (
+      SELECT e.dst AS node, l.label AS label, l.iter AS iter,
+             CAST(SUM(e.w) AS BIGINT) AS s
+      FROM lab l JOIN lpa_msg e ON e.src = l.node
+      WHERE l.iter < 20
+      GROUP BY e.dst, l.label, l.iter
+    )
+    GROUP BY node, iter
+)
+SELECT node, label FROM lab WHERE iter = 20"""
+
 GRAPH_SQL: dict[str, str] = {
     "graph_connected_components": _CC_SQL,
+    "graph_label_propagation": _LPA_SQL,
     "graph_edges": _BASE + "SELECT src, dst, w FROM edges",
     "graph_sym_edges": _BASE + "SELECT src, dst, w FROM sym",
     "graph_degrees": _BASE + "SELECT node, degree, wdegree FROM deg",
@@ -399,6 +444,8 @@ def q_connected_components(sf_dir: str):
 
 
 def q_label_propagation(sf_dir: str):
+    """Synchronous LPA, 20 supersteps — integer-exact, value-checked
+    against the fixed-iteration recursive-CTE SQL oracle (_LPA_SQL)."""
     eng = _build_engine(sf_dir)
     eng.label_propagation(max_iter=20)
     return eng.lpa_result()

@@ -89,6 +89,15 @@ def q_doc_token_jaccard(sf_dir: str):
                                         ["doc_id", "source", "text"]))
 
 
+def q_doc_dedup_near(sf_dir: str):
+    """Near-dup dedup decision table: (doc_id, keep_id) for every doc —
+    min doc_id of its MinHash-verified near-dup cluster (distributed
+    min-label propagation over the pair graph; see
+    text/ops.near_dup_keepmap)."""
+    return tx.near_dup_keepmap(_docs(sf_dir, ["doc_id", "text"]),
+                               threshold=0.5)
+
+
 # ------------------------------------------------------- embedding queries
 
 def q_emb_ann(sf_dir: str):
@@ -236,8 +245,8 @@ _QUALITY_SCORE_SQL = f"""
 # identical int/double division the Ray side evaluates.  Values are
 # BIGINT counts -> hash-exact.
 _MINHASH_THRESHOLD = 0.5
-_MINHASH_SQL = f"""
-    WITH w AS (
+_PAIR_CTES = f"""
+    w AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (
       SELECT doc_id, unnest(list_distinct(
@@ -252,18 +261,41 @@ _MINHASH_SQL = f"""
       SELECT a.doc_id AS a, b.doc_id AS b,
              CAST(COUNT(*) AS BIGINT) AS n_common
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT i.a, i.b, i.n_common,
-           ca.n + cb.n - i.n_common AS n_union
-    FROM inter i
-    JOIN cnt ca ON ca.doc_id = i.a
-    JOIN cnt cb ON cb.doc_id = i.b
-    WHERE i.n_common /
-          CAST(GREATEST(ca.n + cb.n - i.n_common, 1) AS DOUBLE)
-          >= {_MINHASH_THRESHOLD}"""
+      GROUP BY a.doc_id, b.doc_id),
+    qpairs AS (
+      SELECT i.a, i.b, i.n_common,
+             ca.n + cb.n - i.n_common AS n_union
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.a
+      JOIN cnt cb ON cb.doc_id = i.b
+      WHERE i.n_common /
+            CAST(GREATEST(ca.n + cb.n - i.n_common, 1) AS DOUBLE)
+            >= {_MINHASH_THRESHOLD})"""
+_MINHASH_SQL = ("WITH" + _PAIR_CTES
+                + "\n    SELECT a, b, n_common, n_union FROM qpairs")
+
+# near-dup keep map: connected components over the qualifying pair graph
+# (min-member-id labels, the same monotone recursive CTE as the CC
+# oracle), LEFT JOINed back so every doc appears (singletons keep
+# themselves).  Integer-exact.
+_NEAR_DEDUP_SQL = ("WITH RECURSIVE" + _PAIR_CTES + f""",
+    nsym AS (
+      SELECT a AS src, b AS dst FROM qpairs
+      UNION
+      SELECT b AS src, a AS dst FROM qpairs),
+    r(node, lbl) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM nsym)
+      UNION
+        SELECT e.dst, r.lbl FROM r JOIN nsym e ON e.src = r.node
+        WHERE r.lbl < e.dst
+    ),
+    m AS (SELECT node, MIN(lbl) AS keep_id FROM r GROUP BY node)
+    SELECT d.doc_id, COALESCE(m.keep_id, d.doc_id) AS keep_id
+    FROM documents d LEFT JOIN m ON m.node = d.doc_id""")
 
 TEXT_SQL: dict[str, str] = {
     "doc_minhash_pairs": _MINHASH_SQL,
+    "doc_dedup_near": _NEAR_DEDUP_SQL,
     "doc_quality_score": _QUALITY_SCORE_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
     "doc_simhash": _SIMHASH_SQL,
@@ -405,6 +437,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_simhash": q_doc_simhash,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_token_jaccard": q_doc_token_jaccard,
+    "doc_dedup_near": q_doc_dedup_near,
     # embeddings / similarity search (north rule)
     "emb_ann": q_emb_ann,
     "emb_ivf_ann": q_emb_ivf_ann,

@@ -593,3 +593,137 @@ def token_jaccard_pairs(docs):
 
     return (docs.select_columns(["doc_id", "source", "text"])
             .groupby("source").map_groups(pairs, batch_format="pandas"))
+
+
+# ------------------------------------------------------ near-dup keep map
+
+# Above this many verified pairs the cluster labeling runs as the
+# distributed min-label Dataset loop; below it, a driver union-find.
+# P-invariant (keyed on the global pair count), like the engine's
+# SMALL_CONTRACT_ROWS branch.  20M pairs ~ 320 MB of driver arrays.
+DRIVER_UF_PAIRS = 20_000_000
+
+
+def _uf_min_labels(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray,
+                                                          np.ndarray]:
+    """Vectorized union-find -> (nodes sorted, min-member label per
+    node).  Dense-codes the touched ids first; path-halving loop is
+    O(E alpha) with numpy batch hops."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(nodes, a)
+    cb = np.searchsorted(nodes, b)
+    parent = np.arange(len(nodes), dtype=np.int64)
+    # iterate: point each endpoint's root at the min root; converges in
+    # O(log n) sweeps because tree heights halve every pass
+    while True:
+        # full path compression by pointer doubling
+        while True:
+            gp = parent[parent]
+            if np.array_equal(gp, parent):
+                break
+            parent = gp
+        ra, rb = parent[ca], parent[cb]
+        if np.array_equal(ra, rb):
+            break
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        # scatter-min: np.minimum.at handles duplicate hi targets
+        np.minimum.at(parent, hi, lo)
+    return nodes, nodes[parent]
+
+
+def near_dup_keepmap(docs, *, threshold: float = 0.5, max_iter: int = 32,
+                     **minhash_kw):
+    """Complete dedup decision table: (doc_id, keep_id) for EVERY doc,
+    where keep_id = min doc_id of the doc's near-duplicate cluster
+    (connected component of the MinHash-verified pair graph; singletons
+    keep themselves).
+
+    Scale shape: the verified pair set is O(#near-dups) << corpus by
+    construction.  Below DRIVER_UF_PAIRS the components come from a
+    vectorized driver union-find and the (node -> min-member) map is
+    BROADCAST (ray.put) into a per-batch searchsorted lookup over
+    ``documents`` — no shuffle join touches the corpus.  Above the
+    threshold, a distributed min-label-propagation Dataset loop labels
+    the pair graph first (rounds = cluster diameter; SUM(label) is the
+    strictly-decreasing convergence witness), then the same broadcast
+    would be replaced by a shuffle join — documented partitioning
+    assumption: pair-graph components fit the loop's groupby."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    pairs = minhash_dup_pairs(docs, threshold=threshold, **minhash_kw)
+    ids = docs.select_columns(["doc_id"])
+    add_self = lambda t: t.append_column("keep_id", t.column("doc_id"))
+    if isinstance(pairs, pa.Table):   # no candidate buckets at all
+        return ids.map_batches(add_self, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ids.map_batches(add_self, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    from ..common import gather_table
+    if n_pairs <= DRIVER_UF_PAIRS:
+        tbl = gather_table(pairs).combine_chunks()
+        nodes, labels = _uf_min_labels(tbl.column("a").to_numpy(),
+                                       tbl.column("b").to_numpy())
+    else:
+        # ---- distributed min-label propagation over the pair edges ----
+        # join fan-out sized to the session (hash-shuffle aggregator
+        # actors hold CPU slots; oversizing deadlocks small sessions)
+        n_join = max(2, min(32, int(ray.cluster_resources()
+                                    .get("CPU", 8)) // 2))
+
+        def sym(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy()
+            b = t.column("b").to_numpy()
+            return pa.table({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+
+        edges = pairs.map_batches(sym, batch_format="pyarrow") \
+            .materialize()
+        lab = (edges.map_batches(
+            lambda t: pa.table({"node": t.column("src"),
+                                "label": t.column("src")}),
+            batch_format="pyarrow")
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+            .materialize())
+        prev_sum = lab.sum("label")
+        for _ in range(max_iter):
+            msgs = (edges.join(
+                lab.map_batches(lambda t: pa.table({
+                    "src": t.column("node"), "label": t.column("label")}),
+                    batch_format="pyarrow"),
+                join_type="inner", num_partitions=n_join, on=("src",))
+                .map_batches(lambda t: pa.table({
+                    "node": t.column("dst"), "label": t.column("label")}),
+                    batch_format="pyarrow"))
+            lab = (msgs.union(lab)
+                   .groupby("node")
+                   .aggregate(Min("label", alias_name="label"))
+                   .materialize())
+            cur = lab.sum("label")
+            if cur == prev_sum:     # labels only decrease -> fixpoint
+                break
+            prev_sum = cur
+        t = gather_table(lab).combine_chunks()
+        order = np.argsort(t.column("node").to_numpy())
+        nodes = t.column("node").to_numpy()[order]
+        labels = t.column("label").to_numpy()[order]
+
+    map_ref = ray.put((nodes, labels))
+
+    def fill(t: pa.Table) -> pa.Table:
+        nd, lb = ray.get(map_ref)
+        d = t.column("doc_id").to_numpy()
+        pos = np.searchsorted(nd, d)
+        pos_c = np.clip(pos, 0, len(nd) - 1)
+        hit = nd[pos_c] == d
+        keep = np.where(hit, lb[pos_c], d)
+        return pa.table({"doc_id": d, "keep_id": keep})
+
+    return ids.map_batches(fill, batch_format="pyarrow",
+                           zero_copy_batch=True)

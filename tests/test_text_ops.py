@@ -168,3 +168,41 @@ class TestGoldenVectors:
         # pandas siphash in round 2 so the DuckDB oracle can reproduce it
         assert got == [-7728069894924568732, -2152535657050944081,
                        -510419953026857416]
+
+
+class TestNearDupKeepmap:
+    """near_dup_keepmap: driver union-find path vs distributed
+    min-label-propagation path must produce the identical keep map."""
+
+    def _docs_ds(self):
+        import ray.data as rd
+        words = [f"w{i}" for i in range(40)]
+        mk = lambda lo, hi: " ".join(words[lo:hi])
+        texts = [
+            mk(0, 20),              # 0: cluster A
+            mk(0, 19) + " zz",      # 1: ~0.9 jaccard with 0
+            mk(1, 20),              # 2: chained to 0/1
+            mk(25, 40),             # 3: cluster B
+            mk(25, 40),             # 4: identical to 3
+            "completely different text about nothing at all",   # 5
+            "another singleton document with its own words",    # 6
+        ]
+        return rd.from_arrow(docs_table(texts, ids=[10, 11, 12, 20, 21,
+                                                    30, 31]))
+
+    def test_driver_vs_distributed_parity(self, ray_session, monkeypatch):
+        from linkgraph.text import ops as tx
+        ds = self._docs_ds()
+        a = tx.near_dup_keepmap(ds, threshold=0.5).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        monkeypatch.setattr(tx, "DRIVER_UF_PAIRS", 0)
+        b = tx.near_dup_keepmap(self._docs_ds(), threshold=0.5) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        got = dict(zip(a["doc_id"], a["keep_id"]))
+        # cluster A collapses to its min id; exact-dup pair ditto;
+        # singletons keep themselves
+        assert got[10] == got[11] == got[12] == 10
+        assert got[20] == got[21] == 20
+        assert got[30] == 30 and got[31] == 31
+        assert len(a) == 7
