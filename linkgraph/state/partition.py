@@ -358,10 +358,15 @@ class GraphShard:
         n = nbytes // 8
         if n <= 0:
             return 0
-        from ..common import hint_hugepages
+        from ..common import collapse_hugepages
         a = np.empty(n, np.float64)
-        hint_hugepages(a)   # opt-in THP: 512x fewer warm-up faults
         a[:] = 0.0
+        # collapse AFTER populating (MADV_COLLAPSE refuses unpopulated
+        # ranges here): the buffer returns to the recycled heap with 2 MB
+        # backing, so every round's temporaries inherit huge pages —
+        # random gathers over them measure ~3.5-25x faster than on 4 KB
+        # pages on this host (common.collapse_hugepages)
+        collapse_hugepages(a)
         del a
         return n * 8
 
@@ -407,24 +412,25 @@ class GraphShard:
         ``perm`` is the stable argsort of indices, so reduce order — and
         float sums — are bit-identical to the naive _grouped_sum path."""
         if getattr(self, "_msg_cache", None) is None:
-            from ..common import hint_hugepages
             if self._edge_keep is not None:
                 kept = np.flatnonzero(self._edge_keep)
                 perm = kept[np.argsort(self.indices[kept], kind="stable")]
             else:
                 perm = np.argsort(self.indices, kind="stable")
-            hint_hugepages(perm)   # per-iteration message gathers use it
             k = self.indices[perm]
             uk, starts = np.unique(k, return_index=True)
             cuts = np.searchsorted(uk, self.bounds)
+            from ..common import collapse_hugepages
+            collapse_hugepages(perm, uk, starts)  # per-iteration gathers
             self._msg_cache = (perm, uk, starts, cuts)
         return self._msg_cache
 
     def _build_csr(self, src: np.ndarray, dst: np.ndarray, w: np.ndarray):
-        from ..common import hint_hugepages
-        # the sort below traverses these randomly — 2MB pages make the
-        # cold pass ~25x cheaper on virtualized hosts (common.py)
-        hint_hugepages(src, dst, w)
+        from ..common import collapse_hugepages
+        # the sort below gathers these randomly — promote to 2 MB pages
+        # first (populated by the exchange concat; ~3.5-25x cheaper
+        # random access on this host)
+        collapse_hugepages(src, dst, w)
         self._msg_cache = None
         self._lv_bucket_cache = {}
         # graph mutation invalidates the hub split (the engine re-splits
@@ -453,7 +459,10 @@ class GraphShard:
         np.add.at(indptr, loc + 1, 1)
         np.cumsum(indptr, out=indptr)
         self.indptr, self.indices, self.weights = indptr, dst, w
-        hint_hugepages(dst, w)   # gathered randomly by every algorithm
+        # deterministic huge-page promotion of the arrays every superstep
+        # gathers from: 4 KB pages cost ~25x on random access here
+        from ..common import collapse_hugepages
+        collapse_hugepages(indptr, dst, w)
         deg = np.diff(indptr)
         if len(dst):
             ksum = np.add.reduceat(np.concatenate([w, [0.0]]), indptr[:-1])

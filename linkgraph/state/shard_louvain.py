@@ -97,8 +97,8 @@ class LouvainShard(AlgoShard):
         the static position maps that make later syncs incremental."""
         ghost_vals = _resolve(ghost_vals)
         self._lv_ids, self._lv_labs = self._full_values("labels", ghost_vals)
-        from ..common import hint_hugepages
-        hint_hugepages(self._lv_ids, self._lv_labs)  # gathered every round
+        from ..common import collapse_hugepages
+        collapse_hugepages(self._lv_ids, self._lv_labs)  # gathered every round
         self._lv_local_pos = np.searchsorted(
             self._lv_ids, np.arange(self.lo, self.hi, dtype=np.int64))
         self._lv_ghost_pos = [np.searchsorted(self._lv_ids, g)
@@ -269,8 +269,8 @@ class LouvainShard(AlgoShard):
         # per-round (row, comm) sort may be UNSTABLE (sum order is
         # irrelevant); float weights keep the oracle's stable order
         w_int = bool(len(w) == 0 or (w == np.floor(w)).all())
-        from ..common import hint_hugepages
-        hint_hugepages(rows, cols, w, col_pos)  # per-round order gathers
+        from ..common import collapse_hugepages
+        collapse_hugepages(rows, cols, w, col_pos)  # per-round order gathers
         out = (sel_idx, rows, cols, w, col_pos, w_int)
         cache[key] = out
         return out
