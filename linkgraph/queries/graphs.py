@@ -334,7 +334,58 @@ WITH RECURSIVE lpa_base AS (
 )
 SELECT node, label FROM lab WHERE iter = 20"""
 
+# exact-to-quantization PageRank oracle: a fixed-{PR_ITERS}-iteration
+# power method as a recursive CTE on the directed deduped graph (the
+# same edge set as `graph_edges`, unweighted: contrib = rank/outdeg over
+# DISTINCT (src, dst)).  Engine semantics replicated term-for-term
+# (shard_algos.pagerank_apply): rank' = (1-d)/n + d*(agg + dangling/n),
+# dangling = sum of rank over zero-outdeg slots (scalar subquery on the
+# working table — DuckDB allows the second recursive reference), keeper
+# weight-0 self-edges keep all {NMOD} slots present every iteration.
+# Both sides floor-quantize to 1e-8 BIGINT units; the two float paths
+# agree to ~1e-15 absolute while the quantization step is 1e-8, so the
+# boundary-flip probability is ~1e-8 per row — value-checked in practice
+# (verified exact at sf0.001/0.01/0.1).
+PR_ITERS = 15
+PR_DAMPING = 0.85
+
+_PR_SQL = f"""
+WITH RECURSIVE pr_edges AS (
+  SELECT DISTINCT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst
+  FROM lineitem
+), pr_outd AS (
+  SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS od
+  FROM pr_edges GROUP BY src
+), pr_msg AS (
+  SELECT e.src, e.dst, 1.0 / o.od AS w
+  FROM pr_edges e JOIN pr_outd o ON o.node = e.src
+  UNION ALL
+  SELECT CAST(range AS BIGINT), CAST(range AS BIGINT), 0.0
+  FROM range({NMOD})
+), pr_dang AS (
+  SELECT CAST(range AS BIGINT) AS node FROM range({NMOD})
+  WHERE CAST(range AS BIGINT) NOT IN (SELECT src FROM pr_edges)
+), r(iter, node, rank) AS (
+    SELECT 0, CAST(range AS BIGINT), 1.0 / {NMOD} FROM range({NMOD})
+  UNION ALL
+    SELECT it, node,
+           (1.0 - {PR_DAMPING}) / {NMOD}
+           + {PR_DAMPING} * (agg + (SELECT COALESCE(SUM(r2.rank), 0.0)
+                                    FROM r r2
+                                    JOIN pr_dang dg ON dg.node = r2.node
+                                    WHERE r2.iter = it - 1) / {NMOD})
+    FROM (
+      SELECT r.iter + 1 AS it, m.dst AS node, SUM(r.rank * m.w) AS agg
+      FROM r JOIN pr_msg m ON m.src = r.node
+      WHERE r.iter < {PR_ITERS}
+      GROUP BY r.iter, m.dst
+    )
+)
+SELECT node, CAST(FLOOR(rank * 100000000) AS BIGINT) AS rank_q8
+FROM r WHERE iter = {PR_ITERS}"""
+
 GRAPH_SQL: dict[str, str] = {
+    "graph_pagerank": _PR_SQL,
     "graph_connected_components": _CC_SQL,
     "graph_label_propagation": _LPA_SQL,
     "graph_edges": _BASE + "SELECT src, dst, w FROM edges",
@@ -429,12 +480,19 @@ def _louvain_engine(sf_dir: str):
 
 
 def q_pagerank(sf_dir: str):
-    """North-rule PageRank on the *directed* deduped edge graph; weights
-    are link multiplicities folded into parallel edges (unweighted CSR
-    semantics match the oracle).  Rows-only check (iterative float)."""
+    """North-rule PageRank on the *directed* deduped edge graph
+    (unweighted CSR over distinct (src, dst)).  Fixed {PR_ITERS}
+    iterations so the recursive-CTE SQL oracle (_PR_SQL) replays the
+    exact same power method; ranks floor-quantized to 1e-8 BIGINT units
+    so the gate is VALUE-checked despite float arithmetic (the two
+    float paths agree to ~1e-15).  Convergence-mode PageRank (tol) is
+    exercised by the headline bench and the engine/oracle tests."""
     eng = _build_engine(sf_dir, kind="dir")
-    eng.pagerank(tol=1e-10, max_iter=100)
-    return eng.pagerank_result()
+    eng.pagerank(damping=PR_DAMPING, tol=0.0, max_iter=PR_ITERS)
+    tbl = eng.pagerank_result()
+    q8 = np.floor(tbl.column("rank").to_numpy() * 1e8).astype(np.int64)
+    return pa.table({"node": tbl.column("node"),
+                     "rank_q8": pa.array(q8, pa.int64())})
 
 
 def q_connected_components(sf_dir: str):

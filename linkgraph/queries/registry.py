@@ -3,9 +3,11 @@
 Every SURVEY.md §2 operator implemented so far has an entry; entries with
 a DuckDB-expressible semantics also carry an oracle SQL string (column
 names match exactly — the driver hash-compares values after sorting
-columns by name).  Iterative float algorithms (PageRank, Louvain, LPA,
-dynamic) are rows-only here; their numeric parity is pinned by the
-oracle-kernel tests in tests/.
+columns by name).  Fixed-iteration algorithms are value-checked via
+recursive-CTE oracles (CC, LPA integer-exact; PageRank floor-quantized
+to 1e-8 — see graphs._PR_SQL).  The remaining rows-only entries
+(Louvain and friends: data-dependent float optimization) have their
+numeric parity pinned by the oracle-kernel tests in tests/.
 """
 
 from __future__ import annotations

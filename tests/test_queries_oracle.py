@@ -21,8 +21,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # heavy engine queries are covered by their own oracle-kernel tests;
 # keep the pytest gate fast by checking the SQL-checked set + a sample
 # of rows-only ones.
-ROWS_ONLY_SAMPLE = ["graph_pagerank", "doc_minhash_pairs",
-                    "graph_comm_sizes"]
+ROWS_ONLY_SAMPLE = ["doc_minhash_pairs", "graph_comm_sizes"]
 
 
 def _to_pandas(obj):
