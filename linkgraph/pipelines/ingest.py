@@ -82,8 +82,17 @@ def build_nodes(links: rd.Dataset) -> rd.Dataset:
     (2) per-block row counts -> driver-side cumulative offsets (one int
     per block) -> per-block id assignment.
     """
+    def _block_uniq(batch: pa.Table) -> pa.Table:
+        # map-side combine: distinct urls per block before the shuffle
+        # (urls repeat once per in/out link — the dedup shuffle payload
+        # drops from #link-endpoints to #distinct-per-block)
+        import pyarrow.compute as pc
+        return pa.table({"url": pc.unique(batch.column("url"))})
+
     urls = (links.select_columns(["src_url"]).rename_columns({"src_url": "url"})
-            .union(links.select_columns(["dst_url"]).rename_columns({"dst_url": "url"})))
+            .union(links.select_columns(["dst_url"]).rename_columns({"dst_url": "url"}))
+            .map_batches(_block_uniq, batch_format="pyarrow",
+                         zero_copy_batch=True))
     uniq = urls.groupby("url").aggregate(Count(alias_name="_c")) \
                .select_columns(["url"])
     sorted_ds = uniq.sort("url").materialize()
@@ -169,11 +178,37 @@ def resolve_edges(links: rd.Dataset, nodes: rd.Dataset, **kw) -> rd.Dataset:
     return dedup_resolved(resolve_raw(links, nodes, **kw))
 
 
+def _combine_pair_counts(batch: pa.Table) -> pa.Table:
+    """Per-block combiner: collapse duplicate (src,dst) rows to one row
+    with a partial count BEFORE the all-to-all groupby — the classic
+    map-side combine.  Shuffle volume drops from #links to #distinct
+    pairs per block; the downstream Sum is associative, so the result is
+    identical to counting raw rows."""
+    src = batch.column("src").to_numpy()
+    dst = batch.column("dst").to_numpy()
+    if "c" in batch.column_names:
+        c = batch.column("c").to_numpy()
+    else:
+        c = np.ones(len(src), np.int64)
+    order = np.lexsort((dst, src))
+    s, d, c = src[order], dst[order], c[order]
+    new = np.empty(len(s), bool)
+    new[:1] = True
+    np.logical_or(s[1:] != s[:-1], d[1:] != d[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    sums = np.add.reduceat(c, starts) if len(starts) else \
+        np.empty(0, np.int64)
+    return pa.table({"src": s[starts], "dst": d[starts], "c": sums})
+
+
 def dedup_resolved(resolved: rd.Dataset) -> rd.Dataset:
     """Raw per-link (src,dst) rows -> deduped directed edges with
-    multiplicity weight (E2)."""
-    return (resolved.groupby(["src", "dst"])
-            .aggregate(Count(alias_name="w"))
+    multiplicity weight (E2).  Map-side combine, then a Sum groupby."""
+    return (resolved.map_batches(_combine_pair_counts,
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby(["src", "dst"])
+            .aggregate(Sum("c", alias_name="w"))
             .map_batches(lambda t: t.set_column(
                 t.schema.get_field_index("w"), "w",
                 t.column("w").cast(pa.float64())),
@@ -186,18 +221,18 @@ def sym_from_raw(resolved: rd.Dataset) -> rd.Dataset:
     mult(s->d) + mult(d->s), identical to dedup-then-mirror-then-sum
     (the queries/graphs.sym_edges single-shuffle formulation)."""
 
-    def mirror_raw(batch: pa.Table) -> pa.Table:
+    def mirror_combine(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy()
         dst = batch.column("dst").to_numpy()
         nonself = src != dst
-        return pa.table({
+        return _combine_pair_counts(pa.table({
             "src": np.concatenate([src, dst[nonself]]),
             "dst": np.concatenate([dst, src[nonself]]),
-        })
+        }))
 
-    return (resolved.map_batches(mirror_raw, batch_format="pyarrow",
+    return (resolved.map_batches(mirror_combine, batch_format="pyarrow",
                                  zero_copy_batch=True)
-            .groupby(["src", "dst"]).aggregate(Count(alias_name="w"))
+            .groupby(["src", "dst"]).aggregate(Sum("c", alias_name="w"))
             .map_batches(lambda t: t.set_column(
                 t.schema.get_field_index("w"), "w",
                 t.column("w").cast(pa.float64())),
