@@ -74,36 +74,92 @@ def extract_links(pages: rd.Dataset, *, concurrency: int | tuple | None = None,
     return links
 
 
+@ray.remote
+def _url_sample(tbl: pa.Table, k: int) -> pa.Table:
+    """Deterministic stride sample of a block's distinct urls (range-
+    boundary estimation; no RNG so reruns route identically)."""
+    import pyarrow.compute as pc
+    u = pc.unique(tbl.column("url"))
+    n = len(u)
+    if n <= k:
+        return pa.table({"url": u})
+    idx = np.linspace(0, n - 1, k).astype(np.int64)
+    return pa.table({"url": u.take(pa.array(idx))})
+
+
+@ray.remote
+def _url_route(tbl: pa.Table, bounds) -> tuple:
+    """Route a block's distinct urls to their range partition.  numpy
+    UCS-4 comparison and Arrow UTF-8 byte comparison induce the same
+    order (UTF-8 preserves code-point order), so range routing agrees
+    with the per-partition Arrow sort."""
+    import pyarrow.compute as pc
+    u = pc.unique(tbl.column("url"))
+    P = len(bounds) + 1
+    un = np.asarray(u.to_pylist(), dtype=str)
+    part = np.searchsorted(np.asarray(bounds, dtype=str), un,
+                           side="right")
+    order = np.argsort(part, kind="stable")
+    arr = u.take(pa.array(order))
+    cuts = np.searchsorted(part[order], np.arange(P + 1))
+    return tuple(pa.table({"url": arr.slice(cuts[p], cuts[p + 1] - cuts[p])})
+                 for p in range(P))
+
+
+@ray.remote
+def _url_reduce(*parts) -> pa.Table:
+    """Distinct + sort one url range partition (Arrow C++ kernels)."""
+    import pyarrow.compute as pc
+    tbls = [t for t in parts if t.num_rows]
+    if not tbls:
+        return pa.table({"url": pa.array([], pa.string())})
+    arr = pc.unique(pa.concat_tables(tbls).column("url").combine_chunks())
+    return pa.table({"url": arr.take(pc.array_sort_indices(arr))})
+
+
 def build_nodes(links: rd.Dataset) -> rd.Dataset:
     """Distinct urls -> nodes(url, node_id) with dense ids in sorted url
     order.
 
-    Two passes, no driver row materialization: (1) shuffle-dedup + sort;
-    (2) per-block row counts -> driver-side cumulative offsets (one int
-    per block) -> per-block id assignment.
-    """
-    def _block_uniq(batch: pa.Table) -> pa.Table:
-        # map-side combine: distinct urls per block before the shuffle
-        # (urls repeat once per in/out link — the dedup shuffle payload
-        # drops from #link-endpoints to #distinct-per-block)
-        import pyarrow.compute as pc
-        return pa.table({"url": pc.unique(batch.column("url"))})
-
+    One range exchange instead of Ray Data's two string all-to-alls
+    (sort-based groupby + sort): per-block distinct -> deterministic
+    sample -> range boundaries -> route -> per-partition Arrow
+    unique+sort (partitions are globally ordered by construction), then
+    per-partition row counts -> cumulative offsets -> id assignment.
+    Output ids are P-invariant (rank in the global sorted order) and no
+    driver-side row materialization happens at any step."""
     urls = (links.select_columns(["src_url"]).rename_columns({"src_url": "url"})
-            .union(links.select_columns(["dst_url"]).rename_columns({"dst_url": "url"}))
-            .map_batches(_block_uniq, batch_format="pyarrow",
-                         zero_copy_batch=True))
-    uniq = urls.groupby("url").aggregate(Count(alias_name="_c")) \
-               .select_columns(["url"])
-    sorted_ds = uniq.sort("url").materialize()
-
-    blocks = sorted_ds.to_arrow_refs()
+            .union(links.select_columns(["dst_url"]).rename_columns({"dst_url": "url"})))
+    blocks = urls.materialize().to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(pa.table({"url": pa.array([], pa.string()),
+                                       "node_id": pa.array([], pa.int64())}))
+    try:
+        P = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        P = 8
+    samples = ray.get([_url_sample.remote(b, 4 * P) for b in blocks])
+    pool = np.sort(np.asarray(
+        pa.concat_tables(samples).column("url").to_pylist(), dtype=str))
+    if len(pool) == 0:
+        P = 1
+        bounds = []
+    else:
+        q = np.linspace(0, len(pool) - 1, P + 1)[1:-1].astype(np.int64)
+        bounds = [str(x) for x in dict.fromkeys(pool[q])]  # distinct, ordered
+        P = len(bounds) + 1
+    routed = [_url_route.options(num_returns=P).remote(b, bounds)
+              for b in blocks]
+    if P == 1:
+        routed = [[r] for r in routed]
+    parts = [_url_reduce.remote(*[routed[i][p] for i in range(len(routed))])
+             for p in range(P)]
 
     @ray.remote
     def _count(tbl: pa.Table) -> int:
         return tbl.num_rows
 
-    counts = ray.get([_count.remote(b) for b in blocks])
+    counts = ray.get([_count.remote(b) for b in parts])
     offsets = np.concatenate([[0], np.cumsum(counts)])
 
     @ray.remote
@@ -112,7 +168,7 @@ def build_nodes(links: rd.Dataset) -> rd.Dataset:
         return pa.table({"url": tbl.column("url"), "node_id": ids})
 
     out_refs = [_assign.remote(b, int(off))
-                for b, off in zip(blocks, offsets[:-1])]
+                for b, off in zip(parts, offsets[:-1])]
     return rd.from_arrow_refs(out_refs)
 
 
@@ -130,32 +186,55 @@ def resolve_raw(links: rd.Dataset, nodes: rd.Dataset, *,
     n_nodes = nodes.count()
     if n_nodes <= broadcast_threshold:
         from ..common import gather_table
+        from ..text.ops import _poly_hash_flat, _splitmix64, _str_bytes
         nodes_tbl = gather_table(nodes)
-        # broadcast the sorted url->id map once; fixed-width numpy
-        # unicode arrays make every searchsorted comparison a C memcmp
-        # (object-dtype string compares ran the whole lookup in Python)
-        urls_sorted = np.asarray(nodes_tbl.column("url").to_pylist(),
-                                 dtype=str)
-        ids_sorted = nodes_tbl.column("node_id").to_numpy()
-        order = np.argsort(urls_sorted)
-        urls_sorted, ids_sorted = urls_sorted[order], ids_sorted[order]
-        map_ref = ray.put((urls_sorted, ids_sorted))
+        # Broadcast sorted 64-bit url fingerprints + ids (16 B/url)
+        # instead of the urls themselves: the UCS-4 string broadcast was
+        # ~15x larger and each batch paid a to_pylist -> numpy-unicode
+        # copy, which forced a 4-actor cap and made this stage scale
+        # INVERSELY with CPUs (1M-page profile: 17.7s@32 vs 11.6s@8).
+        # Fingerprints hash straight off the Arrow buffers.  Collisions
+        # are checked once over the (distinct) node urls; on a hit we
+        # fall back to exact string matching — at 5M urls the birthday
+        # bound is ~7e-7, so the fallback is effectively test-only.
+        url_col = nodes_tbl.column("url")
+        h_nodes = _splitmix64(_poly_hash_flat(*_str_bytes(url_col)))
+        ids = nodes_tbl.column("node_id").to_numpy()
+        order = np.argsort(h_nodes, kind="stable")
+        h_sorted, ids_sorted = h_nodes[order], ids[order]
+        collision = bool(np.any(h_sorted[1:] == h_sorted[:-1]))
+        if not collision:
+            map_ref = ray.put((h_sorted, ids_sorted))
 
-        class UrlToId:
-            def __init__(self):
-                self.urls, self.ids = ray.get(map_ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                s = np.asarray(batch.column("src_url").to_pylist(),
-                               dtype=str)
-                d = np.asarray(batch.column("dst_url").to_pylist(),
-                               dtype=str)
-                si = self.ids[np.searchsorted(self.urls, s)]
-                di = self.ids[np.searchsorted(self.urls, d)]
+            def url_to_id(batch: pa.Table) -> pa.Table:
+                hs, ids_s = ray.get(map_ref)  # zero-copy plasma views
+                si = ids_s[np.searchsorted(hs, _splitmix64(_poly_hash_flat(
+                    *_str_bytes(batch.column("src_url")))))]
+                di = ids_s[np.searchsorted(hs, _splitmix64(_poly_hash_flat(
+                    *_str_bytes(batch.column("dst_url")))))]
                 return pa.table({"src": pa.array(si), "dst": pa.array(di)})
 
-        resolved = links.map_batches(UrlToId, batch_format="pyarrow",
-                                     zero_copy_batch=True, concurrency=(1, 4))
+            resolved = links.map_batches(url_to_id, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+        else:
+            # exact-string fallback (collision among node fingerprints)
+            urls_sorted = np.asarray(url_col.to_pylist(), dtype=str)
+            sorder = np.argsort(urls_sorted)
+            urls_sorted, sids = urls_sorted[sorder], ids[sorder]
+            smap_ref = ray.put((urls_sorted, sids))
+
+            def url_to_id_str(batch: pa.Table) -> pa.Table:
+                urls, ids_s = ray.get(smap_ref)
+                s = np.asarray(batch.column("src_url").to_pylist(), dtype=str)
+                d = np.asarray(batch.column("dst_url").to_pylist(), dtype=str)
+                si = ids_s[np.searchsorted(urls, s)]
+                di = ids_s[np.searchsorted(urls, d)]
+                return pa.table({"src": pa.array(si), "dst": pa.array(di)})
+
+            resolved = links.map_batches(url_to_id_str,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True,
+                                         concurrency=4)
     else:
         resolved = (
             links.join(nodes, join_type="inner",
@@ -201,18 +280,83 @@ def _combine_pair_counts(batch: pa.Table) -> pa.Table:
     return pa.table({"src": s[starts], "dst": d[starts], "c": sums})
 
 
+@ray.remote
+def _pair_split(tbl: pa.Table, P: int, mirror: bool):
+    """Exchange stage 1: (optionally mirror), map-side combine, then
+    hash-split the combined rows into P owner partitions (splitmix on
+    the pair key — uniform even on skewed id ranges)."""
+    if mirror and tbl.num_rows:
+        src = tbl.column("src").to_numpy()
+        dst = tbl.column("dst").to_numpy()
+        nonself = src != dst
+        tbl = pa.table({
+            "src": np.concatenate([src, dst[nonself]]),
+            "dst": np.concatenate([dst, src[nonself]]),
+        })
+    t = _combine_pair_counts(tbl)
+    s = t.column("src").to_numpy()
+    d = t.column("dst").to_numpy()
+    h = s * np.int64(-7046029254386353131) + d   # splitmix64-style mix
+    h ^= h >> 31
+    h *= np.int64(8636460921947867917)
+    part = (h.astype(np.uint64) >> np.uint64(33)).astype(np.int64) % P
+    order = np.argsort(part, kind="stable")
+    t = t.take(pa.array(order))
+    cuts = np.searchsorted(part[order], np.arange(P + 1))
+    return tuple(t.slice(cuts[p], cuts[p + 1] - cuts[p])
+                 for p in range(P))
+
+
+@ray.remote
+def _pair_reduce(*parts) -> pa.Table:
+    """Exchange stage 2: sum partial counts of one hash partition and
+    emit the final (src, dst, w float64) rows."""
+    tbls = [t for t in parts if t.num_rows]
+    if not tbls:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64()),
+                         "w": pa.array([], pa.float64())})
+    t = _combine_pair_counts(pa.concat_tables(tbls))
+    return pa.table({"src": t.column("src"), "dst": t.column("dst"),
+                     "w": t.column("c").cast(pa.float64())})
+
+
+def _pair_count_exchange(resolved: rd.Dataset, *, mirror: bool,
+                         num_partitions: int | None = None) -> rd.Dataset:
+    """(src, dst) multiplicity aggregation as an explicit two-stage
+    hash exchange (combine -> split -> numpy reduce), the same shape as
+    ``state.engine._route_block``.  Replaces the Dataset groupby on this
+    path: Ray Data's sort-based AllToAll Aggregate measured ~30x slower
+    than the numpy reduce at 17M rows (1M-page profile: sym 79.5 s ->
+    see BASELINE round-3 ingest note), while this exchange moves the
+    same bytes once and reduces in C.  Deterministic output partitioning
+    (hash of the pair), resumable per partition."""
+    if num_partitions is None:
+        try:
+            num_partitions = max(4, int(
+                ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            num_partitions = 8
+    P = int(num_partitions)
+    blocks = resolved.materialize().to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "w": pa.array([], pa.float64())}))
+    split = [_pair_split.options(num_returns=P).remote(b, P, mirror)
+             for b in blocks]
+    if P == 1:
+        split = [[r] for r in split]
+    outs = [_pair_reduce.remote(*[split[i][p] for i in range(len(split))])
+            for p in range(P)]
+    return rd.from_arrow_refs(outs)
+
+
 def dedup_resolved(resolved: rd.Dataset) -> rd.Dataset:
     """Raw per-link (src,dst) rows -> deduped directed edges with
-    multiplicity weight (E2).  Map-side combine, then a Sum groupby."""
-    return (resolved.map_batches(_combine_pair_counts,
-                                 batch_format="pyarrow",
-                                 zero_copy_batch=True)
-            .groupby(["src", "dst"])
-            .aggregate(Sum("c", alias_name="w"))
-            .map_batches(lambda t: t.set_column(
-                t.schema.get_field_index("w"), "w",
-                t.column("w").cast(pa.float64())),
-                batch_format="pyarrow"))
+    multiplicity weight (E2).  Combine + hash exchange + numpy reduce."""
+    return _pair_count_exchange(resolved, mirror=False)
 
 
 def sym_from_raw(resolved: rd.Dataset) -> rd.Dataset:
@@ -221,22 +365,7 @@ def sym_from_raw(resolved: rd.Dataset) -> rd.Dataset:
     mult(s->d) + mult(d->s), identical to dedup-then-mirror-then-sum
     (the queries/graphs.sym_edges single-shuffle formulation)."""
 
-    def mirror_combine(batch: pa.Table) -> pa.Table:
-        src = batch.column("src").to_numpy()
-        dst = batch.column("dst").to_numpy()
-        nonself = src != dst
-        return _combine_pair_counts(pa.table({
-            "src": np.concatenate([src, dst[nonself]]),
-            "dst": np.concatenate([dst, src[nonself]]),
-        }))
-
-    return (resolved.map_batches(mirror_combine, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-            .groupby(["src", "dst"]).aggregate(Sum("c", alias_name="w"))
-            .map_batches(lambda t: t.set_column(
-                t.schema.get_field_index("w"), "w",
-                t.column("w").cast(pa.float64())),
-                batch_format="pyarrow"))
+    return _pair_count_exchange(resolved, mirror=True)
 
 
 def symmetrize_edges(edges: rd.Dataset) -> rd.Dataset:

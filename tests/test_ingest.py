@@ -102,3 +102,29 @@ def test_shuffle_join_path_matches_broadcast(pages_path, ray_session):
     a = bcast.sort_values(key).reset_index(drop=True)
     b = shuf.sort_values(key).reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_resolve_collision_fallback_matches_fingerprint(pages_path,
+                                                        ray_session,
+                                                        monkeypatch):
+    """Forcing a fingerprint collision among node urls must route
+    resolve through the exact-string fallback and produce identical
+    edges.  The patch only affects the driver-side collision check (the
+    fallback path never hashes), so patching text.ops is sufficient."""
+    import ray.data as rd
+    import linkgraph.text.ops as tops
+    from linkgraph.pipelines.ingest import resolve_raw
+    cfg, path = pages_path
+    pages = rd.read_parquet(path, columns=["url", "html"])
+    links = extract_links(pages).materialize()
+    nodes = build_nodes(links).materialize()
+    fp = resolve_raw(links, nodes).to_pandas()
+    real = tops._splitmix64
+    monkeypatch.setattr(
+        tops, "_splitmix64",
+        lambda x: np.zeros(len(x), np.uint64) if len(x) > 1 else real(x))
+    fb = resolve_raw(links, nodes).to_pandas()
+    key = ["src", "dst"]
+    a = fp.sort_values(key).reset_index(drop=True)
+    b = fb.sort_values(key).reset_index(drop=True)
+    assert a.equals(b[a.columns])
