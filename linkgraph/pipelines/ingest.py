@@ -25,7 +25,6 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
 from ..stages.extract import LinkExtractor
 from ..stages.normalize import normalize_links
@@ -172,6 +171,41 @@ def build_nodes(links: rd.Dataset) -> rd.Dataset:
     return rd.from_arrow_refs(out_refs)
 
 
+@ray.remote
+def _fp_hash_block(tbl: pa.Table, chunk: int = 16384):
+    """Hash one nodes block's urls to 64-bit fingerprints.  Parallel
+    per-block tasks, and CHUNKED inside the block: the vectorized hash
+    allocates ~40x the text size in temporaries (a whole-table hash of
+    1M urls touched ~1.8 GB of fresh pages, serialized by the host's
+    first-touch population throttle at 100-200 MB/s).  Hashing 16k rows
+    at a time bounds the temporaries to a few MB whose freed pages the
+    next chunk reuses (malloc trim is disabled via tune_malloc)."""
+    from ..common import tune_malloc
+    from ..text.ops import _poly_hash_flat, _splitmix64, _str_bytes
+    tune_malloc()
+    col = tbl.column("url")
+    n = len(col)
+    out = np.empty(n, np.uint64)
+    for s in range(0, n, chunk):
+        sl = col.slice(s, min(chunk, n - s))
+        out[s:s + len(sl)] = _splitmix64(_poly_hash_flat(*_str_bytes(sl)))
+    return out, tbl.column("node_id").to_numpy()
+
+
+@ray.remote(num_returns=2)
+def _fp_merge(*parts):
+    """Merge per-block fingerprints into the sorted broadcast index.
+    Returns (collision_flag, index): the driver fetches only the flag;
+    the (hash, id) arrays stay in plasma and are read zero-copy by every
+    url_to_id task."""
+    h = np.concatenate([p[0] for p in parts])
+    ids = np.concatenate([p[1] for p in parts])
+    order = np.argsort(h, kind="stable")
+    hs, iss = h[order], ids[order]
+    collision = bool(np.any(hs[1:] == hs[:-1]))
+    return collision, (hs, iss)
+
+
 def resolve_raw(links: rd.Dataset, nodes: rd.Dataset, *,
                 num_partitions: int = DEFAULT_JOIN_PARTITIONS,
                 broadcast_threshold: int = 5_000_000) -> rd.Dataset:
@@ -185,9 +219,7 @@ def resolve_raw(links: rd.Dataset, nodes: rd.Dataset, *,
     """
     n_nodes = nodes.count()
     if n_nodes <= broadcast_threshold:
-        from ..common import gather_table
         from ..text.ops import _poly_hash_flat, _splitmix64, _str_bytes
-        nodes_tbl = gather_table(nodes)
         # Broadcast sorted 64-bit url fingerprints + ids (16 B/url)
         # instead of the urls themselves: the UCS-4 string broadcast was
         # ~15x larger and each batch paid a to_pylist -> numpy-unicode
@@ -197,15 +229,15 @@ def resolve_raw(links: rd.Dataset, nodes: rd.Dataset, *,
         # are checked once over the (distinct) node urls; on a hit we
         # fall back to exact string matching — at 5M urls the birthday
         # bound is ~7e-7, so the fallback is effectively test-only.
-        url_col = nodes_tbl.column("url")
-        h_nodes = _splitmix64(_poly_hash_flat(*_str_bytes(url_col)))
-        ids = nodes_tbl.column("node_id").to_numpy()
-        order = np.argsort(h_nodes, kind="stable")
-        h_sorted, ids_sorted = h_nodes[order], ids[order]
-        collision = bool(np.any(h_sorted[1:] == h_sorted[:-1]))
+        # The index is built in TASKS, not on the driver: a cold driver
+        # heap pays the host's first-touch page-population throttle
+        # (measured 23.7 s for the 1M-url hash the warm worker pool does
+        # in <1 s); only the 1-byte collision flag reaches the driver.
+        hashed = [_fp_hash_block.remote(b)
+                  for b in nodes.materialize().to_arrow_refs()]
+        col_ref, map_ref = _fp_merge.remote(*hashed)
+        collision = ray.get(col_ref)
         if not collision:
-            map_ref = ray.put((h_sorted, ids_sorted))
-
             def url_to_id(batch: pa.Table) -> pa.Table:
                 hs, ids_s = ray.get(map_ref)  # zero-copy plasma views
                 si = ids_s[np.searchsorted(hs, _splitmix64(_poly_hash_flat(
@@ -218,7 +250,11 @@ def resolve_raw(links: rd.Dataset, nodes: rd.Dataset, *,
                                          zero_copy_batch=True)
         else:
             # exact-string fallback (collision among node fingerprints)
-            urls_sorted = np.asarray(url_col.to_pylist(), dtype=str)
+            from ..common import gather_table
+            nodes_tbl = gather_table(nodes)
+            ids = nodes_tbl.column("node_id").to_numpy()
+            urls_sorted = np.asarray(nodes_tbl.column("url").to_pylist(),
+                                     dtype=str)
             sorder = np.argsort(urls_sorted)
             urls_sorted, sids = urls_sorted[sorder], ids[sorder]
             smap_ref = ray.put((urls_sorted, sids))
@@ -257,66 +293,21 @@ def resolve_edges(links: rd.Dataset, nodes: rd.Dataset, **kw) -> rd.Dataset:
     return dedup_resolved(resolve_raw(links, nodes, **kw))
 
 
-def _combine_pair_counts(batch: pa.Table) -> pa.Table:
-    """Per-block combiner: collapse duplicate (src,dst) rows to one row
-    with a partial count BEFORE the all-to-all groupby — the classic
-    map-side combine.  Shuffle volume drops from #links to #distinct
-    pairs per block; the downstream Sum is associative, so the result is
-    identical to counting raw rows."""
+def _mirror_pairs(batch: pa.Table) -> pa.Table:
+    """Emit both directions of every non-self pair (self-loops once) —
+    the pre-transform for the symmetric tables."""
+    if batch.num_rows == 0:
+        return batch.select(["src", "dst"])
     src = batch.column("src").to_numpy()
     dst = batch.column("dst").to_numpy()
-    if "c" in batch.column_names:
-        c = batch.column("c").to_numpy()
-    else:
-        c = np.ones(len(src), np.int64)
-    order = np.lexsort((dst, src))
-    s, d, c = src[order], dst[order], c[order]
-    new = np.empty(len(s), bool)
-    new[:1] = True
-    np.logical_or(s[1:] != s[:-1], d[1:] != d[:-1], out=new[1:])
-    starts = np.flatnonzero(new)
-    sums = np.add.reduceat(c, starts) if len(starts) else \
-        np.empty(0, np.int64)
-    return pa.table({"src": s[starts], "dst": d[starts], "c": sums})
+    nonself = src != dst
+    return pa.table({
+        "src": np.concatenate([src, dst[nonself]]),
+        "dst": np.concatenate([dst, src[nonself]]),
+    })
 
 
-@ray.remote
-def _pair_split(tbl: pa.Table, P: int, mirror: bool):
-    """Exchange stage 1: (optionally mirror), map-side combine, then
-    hash-split the combined rows into P owner partitions (splitmix on
-    the pair key — uniform even on skewed id ranges)."""
-    if mirror and tbl.num_rows:
-        src = tbl.column("src").to_numpy()
-        dst = tbl.column("dst").to_numpy()
-        nonself = src != dst
-        tbl = pa.table({
-            "src": np.concatenate([src, dst[nonself]]),
-            "dst": np.concatenate([dst, src[nonself]]),
-        })
-    t = _combine_pair_counts(tbl)
-    s = t.column("src").to_numpy()
-    d = t.column("dst").to_numpy()
-    h = s * np.int64(-7046029254386353131) + d   # splitmix64-style mix
-    h ^= h >> 31
-    h *= np.int64(8636460921947867917)
-    part = (h.astype(np.uint64) >> np.uint64(33)).astype(np.int64) % P
-    order = np.argsort(part, kind="stable")
-    t = t.take(pa.array(order))
-    cuts = np.searchsorted(part[order], np.arange(P + 1))
-    return tuple(t.slice(cuts[p], cuts[p + 1] - cuts[p])
-                 for p in range(P))
-
-
-@ray.remote
-def _pair_reduce(*parts) -> pa.Table:
-    """Exchange stage 2: sum partial counts of one hash partition and
-    emit the final (src, dst, w float64) rows."""
-    tbls = [t for t in parts if t.num_rows]
-    if not tbls:
-        return pa.table({"src": pa.array([], pa.int64()),
-                         "dst": pa.array([], pa.int64()),
-                         "w": pa.array([], pa.float64())})
-    t = _combine_pair_counts(pa.concat_tables(tbls))
+def _count_to_w(t: pa.Table) -> pa.Table:
     return pa.table({"src": t.column("src"), "dst": t.column("dst"),
                      "w": t.column("c").cast(pa.float64())})
 
@@ -324,33 +315,19 @@ def _pair_reduce(*parts) -> pa.Table:
 def _pair_count_exchange(resolved: rd.Dataset, *, mirror: bool,
                          num_partitions: int | None = None) -> rd.Dataset:
     """(src, dst) multiplicity aggregation as an explicit two-stage
-    hash exchange (combine -> split -> numpy reduce), the same shape as
-    ``state.engine._route_block``.  Replaces the Dataset groupby on this
-    path: Ray Data's sort-based AllToAll Aggregate measured ~30x slower
-    than the numpy reduce at 17M rows (1M-page profile: sym 79.5 s ->
-    see BASELINE round-3 ingest note), while this exchange moves the
-    same bytes once and reduces in C.  Deterministic output partitioning
-    (hash of the pair), resumable per partition."""
-    if num_partitions is None:
-        try:
-            num_partitions = max(4, int(
-                ray.cluster_resources().get("CPU", 8)) // 2)
-        except Exception:
-            num_partitions = 8
-    P = int(num_partitions)
-    blocks = resolved.materialize().to_arrow_refs()
-    if not blocks:
-        return rd.from_arrow(pa.table({
-            "src": pa.array([], pa.int64()),
-            "dst": pa.array([], pa.int64()),
-            "w": pa.array([], pa.float64())}))
-    split = [_pair_split.options(num_returns=P).remote(b, P, mirror)
-             for b in blocks]
-    if P == 1:
-        split = [[r] for r in split]
-    outs = [_pair_reduce.remote(*[split[i][p] for i in range(len(split))])
-            for p in range(P)]
-    return rd.from_arrow_refs(outs)
+    hash exchange (combine -> split -> numpy reduce) — see
+    ``stages.exchange``.  Replaces the Dataset groupby on this path:
+    Ray Data's sort-based AllToAll Aggregate measured ~30x slower than
+    the numpy reduce at 17M rows (1M-page profile: sym 79.5 s -> 1.5 s),
+    while this exchange moves the same bytes once and reduces in C.
+    Deterministic output partitioning (hash of the pair), resumable per
+    partition."""
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(resolved, ["src", "dst"],
+                            [("count", "", "c")],
+                            pre=_mirror_pairs if mirror else None,
+                            post=_count_to_w,
+                            num_partitions=num_partitions)
 
 
 def dedup_resolved(resolved: rd.Dataset) -> rd.Dataset:
@@ -368,32 +345,44 @@ def sym_from_raw(resolved: rd.Dataset) -> rd.Dataset:
     return _pair_count_exchange(resolved, mirror=True)
 
 
+def _mirror_weighted(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch.select(["src", "dst", "w"])
+    src = batch.column("src").to_numpy()
+    dst = batch.column("dst").to_numpy()
+    w = batch.column("w").to_numpy()
+    nonself = src != dst
+    return pa.table({
+        "src": np.concatenate([src, dst[nonself]]),
+        "dst": np.concatenate([dst, src[nonself]]),
+        "w": np.concatenate([w, w[nonself]]),
+    })
+
+
 def symmetrize_edges(edges: rd.Dataset) -> rd.Dataset:
     """Directed edges -> symmetric (both directions, self-loops once),
-    duplicate (src,dst) weights summed (E1 + E2, graph.cpp:78-81,132-162)."""
+    duplicate (src,dst) weights summed (E1 + E2, graph.cpp:78-81,132-162).
+    One grouped exchange (stages.exchange), no Dataset groupby."""
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(edges, ["src", "dst"], [("sum", "w", "w")],
+                            pre=_mirror_weighted)
 
-    def mirror(batch: pa.Table) -> pa.Table:
-        src = batch.column("src").to_numpy()
-        dst = batch.column("dst").to_numpy()
-        w = batch.column("w").to_numpy()
-        nonself = src != dst
-        return pa.table({
-            "src": np.concatenate([src, dst[nonself]]),
-            "dst": np.concatenate([dst, src[nonself]]),
-            "w": np.concatenate([w, w[nonself]]),
-        })
 
-    return (edges.map_batches(mirror, batch_format="pyarrow",
-                              zero_copy_batch=True)
-            .groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w")))
+def _deg_rename(t: pa.Table) -> pa.Table:
+    return t.rename_columns(["node", "degree", "wdegree"])
 
 
 def degree_table(sym_edges: rd.Dataset) -> rd.Dataset:
-    """degrees(node, degree, wdegree) from the symmetric edge table (A1)."""
-    return (sym_edges.groupby("src")
-            .aggregate(Count(alias_name="degree"),
-                       Sum("w", alias_name="wdegree"))
-            .rename_columns({"src": "node"}))
+    """degrees(node, degree, wdegree) from the symmetric edge table (A1).
+
+    Grouped exchange, not a Dataset groupby: Ray Data's aggregate
+    accumulates per group in Python, which measured 92.8 s for 1M
+    groups over 8.5M rows where this exchange takes <1 s."""
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(sym_edges, ["src"],
+                            [("count", "", "degree"),
+                             ("sum", "w", "wdegree")],
+                            post=_deg_rename)
 
 
 def ingest(pages_path: str, out_dir: str | None = None, *,

@@ -30,7 +30,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Sum
 
 NMOD = 8192  # node-id modulus; graph is sparse at sf<=0.1 (<=600k rows)
 
@@ -117,10 +116,8 @@ def degrees(sf_dir: str) -> rd.Dataset:
     """A1: per-node degree / weighted degree from the symmetric table."""
 
     def build():
-        return (sym_edges(sf_dir).groupby("src")
-                .aggregate(Count(alias_name="degree"),
-                           Sum("w", alias_name="wdegree"))
-                .rename_columns({"src": "node"}))
+        from ..pipelines.ingest import degree_table
+        return degree_table(sym_edges(sf_dir))
 
     return _cached_ds((sf_dir, "deg"), build)
 
@@ -164,9 +161,9 @@ def q_check_symmetry(sf_dir: str):
         return pa.table({"u": np.minimum(s, d), "v": np.maximum(s, d),
                          "w": t.column("w").to_numpy()})
 
-    grouped = (dedup_edges(sf_dir)
-               .map_batches(canon, batch_format="pyarrow")
-               .groupby(["u", "v", "w"]).aggregate(Count(alias_name="c")))
+    from ..stages.exchange import grouped_exchange
+    grouped = grouped_exchange(dedup_edges(sf_dir), ["u", "v", "w"],
+                               [("count", "", "c")], pre=canon)
     n = (grouped.filter(expr="c == 1 and u != v")).count()
     return pa.table({"n_asym": pa.array([int(n)], pa.int64())})
 
@@ -220,9 +217,9 @@ def q_add_selfloops(sf_dir: str):
             "src": nodes, "dst": nodes,
             "w": np.ones(len(nodes), dtype=np.float64)})
 
-    new_loops = (sym.map_batches(flag, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-                 .groupby("node").aggregate(Max("is_loop", alias_name="has"))
+    from ..stages.exchange import grouped_exchange
+    new_loops = (grouped_exchange(sym, ["node"],
+                                  [("max", "is_loop", "has")], pre=flag)
                  .filter(expr="has == 0")
                  .map_batches(make_loops, batch_format="pyarrow"))
     return sym.union(new_loops)

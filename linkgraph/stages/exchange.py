@@ -1,0 +1,178 @@
+"""Generic grouped-aggregate exchange: combine -> hash-split -> reduce.
+
+Ray Data's sort-based ``groupby().aggregate()`` accumulates per GROUP in
+Python, so a 1M-group aggregate over 8.5M rows measured 92.8 s where a
+per-block numpy lexsort+reduceat combine takes 0.05 s (1M-page profile,
+32 CPUs).  This module is the repo-wide replacement for high-cardinality
+grouped sums/counts/maxes over numeric keys: the classic two-stage hash
+exchange with ALL reduction done by vectorized numpy kernels.
+
+    stage 1 (per input block, task):  optional ``pre`` row transform ->
+        lexsort+reduceat partial aggregate -> hash-split on the group
+        key into P owner partitions (splitmix64 mix — uniform even on
+        skewed / structured id ranges)
+    stage 2 (per partition, task):    concat partials -> final
+        lexsort+reduceat aggregate -> optional ``post`` transform
+
+Bytes cross the wire exactly once, pre-combined; output partitioning is
+deterministic (hash of the group key), so a resumable writer can skip
+finished partitions.  Semantically identical to the Dataset groupby for
+associative aggregates (count / sum / max / min).
+
+Keys and aggregated columns must be numeric (int / float); float keys
+group and hash by bit pattern (exact equality, the same semantics the
+Dataset groupby applies).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+Agg = tuple[str, str, str]  # (op, src_col, out_col); op: count|sum|max|min
+
+_U64 = np.uint64
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, wrapping uint64 arithmetic)."""
+    h = (h ^ (h >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return h ^ (h >> _U64(31))
+
+
+def _key_hash(karrs: list[np.ndarray]) -> np.ndarray:
+    h = np.zeros(len(karrs[0]), _U64)
+    for a in karrs:
+        ai = a.view(_U64) if a.dtype.kind == "f" else a.astype(_U64)
+        h = _mix64(h + _U64(0x9E3779B97F4A7C15) + ai)
+    return h
+
+
+def _empty_like(tbl: pa.Table, keys: Sequence[str],
+                aggs: Sequence[Agg]) -> pa.Table:
+    cols: dict[str, pa.Array] = {}
+    for k in keys:
+        cols[k] = pa.array([], tbl.schema.field(k).type)
+    for op, src, out in aggs:
+        cols[out] = pa.array([], pa.int64() if op == "count"
+                             else tbl.schema.field(src).type)
+    return pa.table(cols)
+
+
+def _group_reduce(tbl: pa.Table, keys: Sequence[str],
+                  aggs: Sequence[Agg]) -> pa.Table:
+    """One vectorized grouped aggregate over a single Arrow table."""
+    if tbl.num_rows == 0:
+        return _empty_like(tbl, keys, aggs)
+    karrs = [tbl.column(k).to_numpy() for k in keys]
+    n = len(karrs[0])
+    order = np.lexsort(tuple(reversed(karrs)))
+    karrs = [a[order] for a in karrs]
+    new = np.zeros(n, bool)
+    new[0] = True
+    for a in karrs:
+        new[1:] |= a[1:] != a[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    cols: dict[str, np.ndarray] = {k: a[starts]
+                                   for k, a in zip(keys, karrs)}
+    for op, src, out in aggs:
+        if op == "count":
+            cols[out] = (ends - starts).astype(np.int64)
+            continue
+        v = tbl.column(src).to_numpy()[order]
+        if op == "sum":
+            cols[out] = np.add.reduceat(v, starts)
+        elif op == "max":
+            cols[out] = np.maximum.reduceat(v, starts)
+        elif op == "min":
+            cols[out] = np.minimum.reduceat(v, starts)
+        else:  # pragma: no cover - guarded by grouped_exchange
+            raise ValueError(f"unknown agg op {op!r}")
+    return pa.table(cols)
+
+
+def _stage2_aggs(aggs: Sequence[Agg]) -> list[Agg]:
+    """Partial results re-aggregate with count folded into sum."""
+    return [("sum" if op == "count" else op, out, out)
+            for op, _, out in aggs]
+
+
+@ray.remote
+def _xchg_split(tbl: pa.Table, keys, aggs, P: int, pre):
+    if tbl.num_rows == 0 and tbl.num_columns == 0:
+        # schema-less empty block (e.g. repartition filler): nothing to
+        # contribute and no types to derive — signal the reducer to skip
+        return None if P == 1 else tuple(None for _ in range(P))
+    if pre is not None:
+        tbl = pre(tbl)
+    t = _group_reduce(tbl, keys, aggs)
+    if P == 1:
+        return t  # num_returns=1: the ref holds the table itself
+    if t.num_rows == 0:
+        return tuple(t for _ in range(P))
+    part = (_key_hash([t.column(k).to_numpy() for k in keys])
+            % _U64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    t = t.take(pa.array(order))
+    cuts = np.searchsorted(part[order], np.arange(P + 1))
+    return tuple(t.slice(cuts[p], cuts[p + 1] - cuts[p])
+                 for p in range(P))
+
+
+@ray.remote
+def _xchg_reduce(keys, aggs, post, *parts) -> pa.Table:
+    typed = [t for t in parts if t is not None]
+    if not typed:
+        raise ValueError("grouped_exchange: every input block was "
+                         "schema-less and empty")
+    tbls = [t for t in typed if t.num_rows]
+    t = _group_reduce(pa.concat_tables(tbls), keys, aggs) if tbls \
+        else typed[0]
+    return post(t) if post is not None else t
+
+
+def default_partitions() -> int:
+    try:
+        return max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        return 8
+
+
+def grouped_exchange(ds: rd.Dataset, keys: Sequence[str],
+                     aggs: Sequence[Agg], *,
+                     pre: Callable[[pa.Table], pa.Table] | None = None,
+                     post: Callable[[pa.Table], pa.Table] | None = None,
+                     num_partitions: int | None = None) -> rd.Dataset:
+    """Grouped aggregate of ``ds`` by ``keys`` (numeric columns).
+
+    ``aggs`` is a list of ``(op, src_col, out_col)`` with op in
+    count / sum / max / min (``src_col`` ignored for count).  ``pre``
+    runs on each raw input block before the partial aggregate (e.g. a
+    mirror or projection); ``post`` runs on each final partition.
+    Result rows are exact (identical to the Dataset groupby); row order
+    follows the hash partitioning.
+    """
+    for op, _, _ in aggs:
+        if op not in ("count", "sum", "max", "min"):
+            raise ValueError(f"unknown agg op {op!r}")
+    P = int(num_partitions or default_partitions())
+    keys = list(keys)
+    aggs = [tuple(a) for a in aggs]
+    blocks = ds.materialize().to_arrow_refs()
+    if not blocks:
+        raise ValueError("grouped_exchange on a dataset with no blocks")
+    split = [_xchg_split.options(num_returns=P).remote(b, keys, aggs, P, pre)
+             for b in blocks]
+    if P == 1:
+        split = [[r] for r in split]
+    aggs2 = _stage2_aggs(aggs)
+    outs = [_xchg_reduce.remote(keys, aggs2, post,
+                                *[split[i][p] for i in range(len(split))])
+            for p in range(P)]
+    return rd.from_arrow_refs(outs)

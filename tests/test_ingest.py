@@ -109,20 +109,26 @@ def test_resolve_collision_fallback_matches_fingerprint(pages_path,
                                                         monkeypatch):
     """Forcing a fingerprint collision among node urls must route
     resolve through the exact-string fallback and produce identical
-    edges.  The patch only affects the driver-side collision check (the
-    fallback path never hashes), so patching text.ops is sufficient."""
+    edges.  Stub the index-builder task to report a collision (the
+    fallback path never consults the fingerprint index)."""
+    import sys
+
+    import ray
     import ray.data as rd
-    import linkgraph.text.ops as tops
     from linkgraph.pipelines.ingest import resolve_raw
+    ing = sys.modules["linkgraph.pipelines.ingest"]
     cfg, path = pages_path
     pages = rd.read_parquet(path, columns=["url", "html"])
     links = extract_links(pages).materialize()
     nodes = build_nodes(links).materialize()
     fp = resolve_raw(links, nodes).to_pandas()
-    real = tops._splitmix64
-    monkeypatch.setattr(
-        tops, "_splitmix64",
-        lambda x: np.zeros(len(x), np.uint64) if len(x) > 1 else real(x))
+
+    class FakeMerge:
+        @staticmethod
+        def remote(*parts):
+            return ray.put(True), ray.put(None)
+
+    monkeypatch.setattr(ing, "_fp_merge", FakeMerge)
     fb = resolve_raw(links, nodes).to_pandas()
     key = ["src", "dst"]
     a = fp.sort_values(key).reset_index(drop=True)
