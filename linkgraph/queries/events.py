@@ -44,12 +44,12 @@ def q_hour_window(sf_dir: str):
             "value": t.column("value"),
         })
 
-    return (ev.map_batches(trunc, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(["user_id", "hour"])
-            .aggregate(Count(alias_name="n_events"),
-                       Min("value", alias_name="min_value"),
-                       Max("value", alias_name="max_value")))
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(ev, ["user_id", "hour"],
+                            [("count", "", "n_events"),
+                             ("min", "value", "min_value"),
+                             ("max", "value", "max_value")],
+                            pre=trunc)
 
 
 def q_sessions(sf_dir: str):

@@ -81,9 +81,24 @@ def q_doc_simhash(sf_dir: str):
         tx.simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# doc_minhash_pairs and doc_dedup_near share the verified pair table;
+# compute it once per process (same pattern as graphs._DS_CACHE)
+_MH_PAIRS_CACHE: dict[str, object] = {}
+
+
+def _minhash_pairs(sf_dir: str):
+    r = _MH_PAIRS_CACHE.get(sf_dir)
+    if r is None:
+        r = tx.minhash_dup_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                 threshold=0.5)
+        if isinstance(r, rd.Dataset):
+            r = r.materialize()
+        _MH_PAIRS_CACHE[sf_dir] = r
+    return r
+
+
 def q_doc_minhash_pairs(sf_dir: str):
-    return tx.minhash_dup_pairs(_docs(sf_dir, ["doc_id", "text"]),
-                                threshold=0.5)
+    return _minhash_pairs(sf_dir)
 
 
 def q_doc_token_jaccard(sf_dir: str):
@@ -97,7 +112,7 @@ def q_doc_dedup_near(sf_dir: str):
     min-label propagation over the pair graph; see
     text/ops.near_dup_keepmap)."""
     return tx.near_dup_keepmap(_docs(sf_dir, ["doc_id", "text"]),
-                               threshold=0.5)
+                               threshold=0.5, pairs=_minhash_pairs(sf_dir))
 
 
 # ------------------------------------------------------- embedding queries

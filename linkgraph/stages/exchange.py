@@ -137,6 +137,11 @@ def _xchg_reduce(keys, aggs, post, *parts) -> pa.Table:
     return post(t) if post is not None else t
 
 
+@ray.remote
+def _count_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
 def default_partitions() -> int:
     try:
         return max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
@@ -175,4 +180,10 @@ def grouped_exchange(ds: rd.Dataset, keys: Sequence[str],
     outs = [_xchg_reduce.remote(keys, aggs2, post,
                                 *[split[i][p] for i in range(len(split))])
             for p in range(P)]
-    return rd.from_arrow_refs(outs)
+    # Drop empty output partitions: Ray Data map operators (including
+    # Project/select_columns) pass zero-row blocks through WITHOUT
+    # running the UDF, so a typed-but-empty partition would poison any
+    # schema-changing downstream map or join with a stale schema.
+    counts = ray.get([_count_rows.remote(r) for r in outs])
+    kept = [r for r, n in zip(outs, counts) if n]
+    return rd.from_arrow_refs(kept if kept else outs[:1])

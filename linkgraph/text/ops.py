@@ -435,6 +435,10 @@ def shingle_sets_batch(batch: pa.Table, k: int) -> pa.Table:
     return pa.table({"doc_id": batch.column("doc_id"), "sh": sh})
 
 
+def _project_ab(t: pa.Table) -> pa.Table:
+    return t.select(["a", "b"])
+
+
 def minhash_dup_pairs(docs, *, threshold: float = 0.7,
                       num_perm: int = DEFAULT_NUM_PERM,
                       bands: int = DEFAULT_BANDS,
@@ -455,19 +459,21 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
     (every qualifying pair is found; pinned by the value-checked gate).
     """
     import ray
-    from ray.data.aggregate import Count
+
+    from ..stages.exchange import grouped_exchange
 
     band_rows = minhash_signatures(docs, num_perm=num_perm, bands=bands,
                                    k=k).materialize()
 
-    # heavy-key prefilter: a vectorized Count aggregate finds the buckets
-    # with >= 2 docs (only real near-dup clusters); per-group Python work
+    # heavy-key prefilter: a vectorized count finds the buckets with
+    # >= 2 docs (only real near-dup clusters); per-group Python work
     # then runs on THOSE groups only, not one call per (band, band_hash)
     # of the whole corpus (the round-1 latency hot spot).  The hot-key
     # set is broadcast (ray.put) — it is O(#dup clusters), tiny.
-    hot = (band_rows.groupby(["band", "band_hash"])
-           .aggregate(Count(alias_name="c"))
-           .filter(expr="c >= 2").select_columns(["band_hash"]))
+    # grouped_exchange, not Dataset groupby: #groups here is ~docs*bands
+    # and Ray Data's aggregate accumulates per group in Python.
+    hot = grouped_exchange(band_rows, ["band", "band_hash"],
+                           [("count", "", "c")]).filter(expr="c >= 2")
     hot_keys = np.unique(pa.concat_tables(
         ray.get(hot.to_arrow_refs())).column("band_hash").to_numpy())
     if len(hot_keys) == 0:
@@ -487,13 +493,16 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[a], "b": ids[b]})
 
-    pairs = (band_rows.map_batches(only_hot, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-             .groupby(["band", "band_hash"])
-             .map_groups(emit_pairs, batch_format="pandas")
-             .groupby(["a", "b"]).count()
-             .select_columns(["a", "b"])
-             .materialize())          # candidates: tiny vs the corpus
+    # projection happens in post (inside the reduce task): Ray Data's
+    # Project operator passes zero-row blocks through UNprojected, which
+    # poisons downstream joins with mixed schemas
+    pairs = grouped_exchange(
+        band_rows.map_batches(only_hot, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby(["band", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pandas"),
+        ["a", "b"], [("count", "", "c")],
+        post=_project_ab).materialize()  # candidates: tiny vs the corpus
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "n_common": pa.array([], pa.int64()),
@@ -502,11 +511,12 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
         return empty
 
     # distinct candidate doc ids (small side of the semi-join)
-    need = (pairs.map_batches(
+    need = grouped_exchange(pairs.map_batches(
         lambda t: pa.table({"doc_id": np.unique(np.concatenate(
             [t.column("a").to_numpy(), t.column("b").to_numpy()]))}),
-        batch_format="pyarrow")
-        .groupby("doc_id").count().select_columns(["doc_id"]))
+        batch_format="pyarrow"),
+        ["doc_id"], [("count", "", "c")],
+        post=lambda t: t.select(["doc_id"]))
 
     # shingle sets for candidate docs only (semi-join prunes the corpus)
     from ..common import strip_meta
@@ -633,7 +643,7 @@ def _uf_min_labels(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray,
 
 
 def near_dup_keepmap(docs, *, threshold: float = 0.5, max_iter: int = 32,
-                     **minhash_kw):
+                     pairs=None, **minhash_kw):
     """Complete dedup decision table: (doc_id, keep_id) for EVERY doc,
     where keep_id = min doc_id of the doc's near-duplicate cluster
     (connected component of the MinHash-verified pair graph; singletons
@@ -651,9 +661,11 @@ def near_dup_keepmap(docs, *, threshold: float = 0.5, max_iter: int = 32,
     assumption: pair-graph components fit the loop's groupby."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Min
 
-    pairs = minhash_dup_pairs(docs, threshold=threshold, **minhash_kw)
+    from ..stages.exchange import grouped_exchange
+
+    if pairs is None:
+        pairs = minhash_dup_pairs(docs, threshold=threshold, **minhash_kw)
     ids = docs.select_columns(["doc_id"])
     add_self = lambda t: t.append_column("keep_id", t.column("doc_id"))
     if isinstance(pairs, pa.Table):   # no candidate buckets at all
@@ -685,12 +697,11 @@ def near_dup_keepmap(docs, *, threshold: float = 0.5, max_iter: int = 32,
 
         edges = pairs.map_batches(sym, batch_format="pyarrow") \
             .materialize()
-        lab = (edges.map_batches(
+        lab = grouped_exchange(edges.map_batches(
             lambda t: pa.table({"node": t.column("src"),
                                 "label": t.column("src")}),
-            batch_format="pyarrow")
-            .groupby("node").aggregate(Min("label", alias_name="label"))
-            .materialize())
+            batch_format="pyarrow"),
+            ["node"], [("min", "label", "label")]).materialize()
         prev_sum = lab.sum("label")
         for _ in range(max_iter):
             msgs = (edges.join(
@@ -701,10 +712,9 @@ def near_dup_keepmap(docs, *, threshold: float = 0.5, max_iter: int = 32,
                 .map_batches(lambda t: pa.table({
                     "node": t.column("dst"), "label": t.column("label")}),
                     batch_format="pyarrow"))
-            lab = (msgs.union(lab)
-                   .groupby("node")
-                   .aggregate(Min("label", alias_name="label"))
-                   .materialize())
+            lab = grouped_exchange(
+                msgs.union(lab), ["node"],
+                [("min", "label", "label")]).materialize()
             cur = lab.sum("label")
             if cur == prev_sum:     # labels only decrease -> fixpoint
                 break
