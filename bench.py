@@ -27,7 +27,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PAGES_DIR_BASE = "/tmp/linkgraph_bench_pages"
-DEFAULT_BENCH_PAGES = 100_000
+# Compute-dominant ingestion size for the two-parallelism scaling runs:
+# at 100k pages the ingest wall was mostly fixed session/setup overhead,
+# so the A/B ratio measured noise; at 1M pages (4.3M links) the parse +
+# exchange compute dominates.
+DEFAULT_BENCH_PAGES = 1_000_000
 
 
 def _init_ray(num_cpus: int):
