@@ -81,6 +81,12 @@ def q_doc_simhash(sf_dir: str):
         tx.simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_doc_simhash_pairs(sf_dir: str):
+    """Banded-Hamming SimHash near-dup pairs (exact recall at the
+    hamming<=3 threshold; oracle: self-join on bit_count(xor))."""
+    return tx.simhash_dup_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
 # doc_minhash_pairs and doc_dedup_near share the verified pair table;
 # compute it once per process (same pattern as graphs._DS_CACHE)
 _MH_PAIRS_CACHE: dict[str, object] = {}
@@ -310,8 +316,19 @@ _NEAR_DEDUP_SQL = ("WITH RECURSIVE" + _PAIR_CTES + f""",
     SELECT d.doc_id, COALESCE(m.keep_id, d.doc_id) AS keep_id
     FROM documents d LEFT JOIN m ON m.node = d.doc_id""")
 
+# exact hamming-ball self-join over the bit-reproduced simhash values;
+# threshold mirrors text/ops.SIMHASH_MAX_HAMMING
+_SIMHASH_PAIRS_SQL = f"""
+    WITH sim AS ({_SIMHASH_SQL})
+    SELECT s1.doc_id AS a, s2.doc_id AS b,
+           CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT)
+             AS hamming
+    FROM sim s1 JOIN sim s2 ON s1.doc_id < s2.doc_id
+    WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3"""
+
 TEXT_SQL: dict[str, str] = {
     "doc_minhash_pairs": _MINHASH_SQL,
+    "doc_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "doc_dedup_near": _NEAR_DEDUP_SQL,
     "doc_quality_score": _QUALITY_SCORE_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
@@ -452,6 +469,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_token_jaccard": q_doc_token_jaccard,
     "doc_dedup_near": q_doc_dedup_near,

@@ -98,6 +98,56 @@ def test_simhash_similarity_property():
         out.column("simhash").to_pylist()[0]
 
 
+def test_popcount64_matches_python():
+    from linkgraph.text.ops import _popcount64
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 2**63, size=257, dtype=np.int64).view(np.uint64)
+    x[0] = np.uint64(0)
+    x[1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    got = _popcount64(x)
+    want = [bin(int(v)).count("1") for v in x]
+    assert got.tolist() == want
+
+
+def test_simhash_dup_pairs_matches_bruteforce(ray_session):
+    """Banded-Hamming pairs == exhaustive hamming ball (exact recall),
+    each pair emitted exactly once, a < b."""
+    import ray.data as rd
+
+    from linkgraph.text.ops import simhash_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    texts = [
+        base,
+        base.replace("lazy", "sleepy"),          # near 0
+        base.replace("quick", "swift"),          # near 0/1
+        base,                                    # identical to 0
+        "completely different words entirely unrelated content " * 5,
+        "",                                      # empty doc
+        "",                                      # empty dup -> hamming 0
+        "one more unrelated singleton document text body",
+    ]
+    ids = [3, 1, 4, 9, 5, 6, 7, 8]
+    tbl = docs_table(texts, ids=ids)
+    got = (simhash_dup_pairs(rd.from_arrow(tbl).repartition(3))
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+
+    h = np.array(simhash_batch(tbl).column("simhash").to_pylist(),
+                 dtype=np.int64).view(np.uint64)
+    order = np.argsort(ids)
+    hs, idss = h[order], np.array(ids)[order]
+    want = []
+    for i in range(len(idss)):
+        for j in range(i + 1, len(idss)):
+            d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+            if d <= 3:
+                want.append((int(idss[i]), int(idss[j]), d))
+    assert sorted(map(tuple, got.itertuples(index=False))) == sorted(want)
+    assert len(want) >= 2          # fixture really exercises the path
+    assert (got["a"] < got["b"]).all()
+    assert not got.duplicated(["a", "b"]).any()
+
+
 def test_minhash_signature_similarity():
     mh = MinHasher(num_perm=64, bands=16, k=3)
     base = "w" + " w".join(str(i) for i in range(100))
