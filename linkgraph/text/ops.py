@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 _U64 = np.uint64
 _MASK = _U64(0xFFFFFFFFFFFFFFFF)
@@ -353,49 +354,99 @@ def simhash_dup_pairs(docs, *, max_hamming: int = SIMHASH_MAX_HAMMING,
             "bkey": bkey.reshape(-1),
         })
 
+    # no batch_size: per-block tasks (a batch_size here coalesces the
+    # read blocks into few tasks and serializes the bit-matrix compute)
     rows = docs.select_columns(["doc_id", "text"]).map_batches(
-        band_rows, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=4096).materialize()
+        band_rows, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+    refs = rows.to_arrow_refs()
 
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int64())})
-    hot = grouped_exchange(rows, ["bkey"],
-                           [("count", "", "c")]).filter(expr="c >= 2")
+    hot = grouped_exchange(
+        rows, ["bkey"], [("count", "", "c")],
+        post=lambda t: t.filter(pc.greater_equal(t.column("c"), 2)))
     hot_keys = np.unique(pa.concat_tables(
         ray.get(hot.to_arrow_refs())).column("bkey").to_numpy())
     if len(hot_keys) == 0:
         return empty
     hot_ref = ray.put(hot_keys)
 
-    def only_hot(t: pa.Table) -> pa.Table:
-        m = np.isin(t.column("bkey").to_numpy(), ray.get(hot_ref))
-        return t.filter(pa.array(m))
+    # pair exchange over the MATERIALIZED band rows: hot-filter in the
+    # split task (only dup-cluster rows cross the wire), hash-partition
+    # on bkey, vectorized per-partition pair emission — no Dataset Sort
+    # over the full band-row table and no per-group Python bodies.
+    P = min(16, max(4, len(refs)))
+    split = [_simhash_pair_split.options(num_returns=P)
+             .remote(r, hot_ref, P) for r in refs]
+    if P == 1:
+        split = [[r] for r in split]
+    outs = ray.get([_simhash_pair_reduce.remote(
+        width, int(mask), max_hamming, bands,
+        *[split[i][p] for i in range(len(split))]) for p in range(P)])
+    outs = [t for t in outs if t.num_rows] or [empty]
+    import ray.data as rd
+    return rd.from_arrow(pa.concat_tables(outs))
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        none = pd.DataFrame({"a": np.empty(0, np.int64),
-                             "b": np.empty(0, np.int64),
-                             "hamming": np.empty(0, np.int64)})
-        n = len(g)
-        if n < 2:
-            return none
-        ids = g["doc_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        h = np.ascontiguousarray(g["simhash"].to_numpy()[order]).view(_U64)
-        band = int(g["bkey"].iloc[0]) >> width
-        iu, ju = np.triu_indices(n, k=1)
-        ham = _popcount64(h[iu] ^ h[ju])
-        keep = ham <= max_hamming
-        for j in range(band):  # first-matching-band: emit exactly once
-            sh = _U64(width * j)
-            keep &= ((h[iu] >> sh) & mask) != ((h[ju] >> sh) & mask)
-        return pd.DataFrame({"a": ids[iu][keep], "b": ids[ju][keep],
-                             "hamming": ham[keep]})
 
-    return (rows.map_batches(only_hot, batch_format="pyarrow",
-                             zero_copy_batch=True)
-            .groupby("bkey").map_groups(emit, batch_format="pandas"))
+@ray.remote
+def _simhash_pair_split(tbl: pa.Table, hot_keys: np.ndarray, P: int):
+    from ..stages.exchange import _mix64
+    bk = tbl.column("bkey").to_numpy()
+    t = tbl.filter(pa.array(np.isin(bk, hot_keys)))
+    if P == 1:
+        return t
+    part = (_mix64(t.column("bkey").to_numpy().astype(_U64))
+            % _U64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    t = t.take(pa.array(order))
+    cuts = np.searchsorted(part[order], np.arange(P + 1))
+    return tuple(t.slice(cuts[p], cuts[p + 1] - cuts[p])
+                 for p in range(P))
+
+
+@ray.remote
+def _simhash_pair_reduce(width: int, mask: int, max_hamming: int,
+                         bands: int, *parts: pa.Table) -> pa.Table:
+    """Emit verified (a, b, hamming) pairs for every bkey segment of
+    this partition — all-segment pair construction, XOR popcount and
+    the first-matching-band filter run as single vector ops."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    tbls = [t for t in parts if t.num_rows]
+    if not tbls:
+        return empty
+    t = pa.concat_tables(tbls)
+    bk = t.column("bkey").to_numpy()
+    ids = t.column("doc_id").to_numpy()
+    order = np.lexsort((ids, bk))
+    bk, ids = bk[order], ids[order]
+    h = np.ascontiguousarray(
+        t.column("simhash").to_numpy()[order]).view(_U64)
+    n = len(bk)
+    seg_starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+    seg_lens = np.diff(np.append(seg_starts, n))
+    # all intra-segment (i < j) index pairs, fully vectorized
+    row_reps = np.repeat(seg_lens, seg_lens) - 1 \
+        - (np.arange(n) - np.repeat(seg_starts, seg_lens))
+    ia = np.repeat(np.arange(n), row_reps)
+    csum = np.cumsum(row_reps)
+    total = int(csum[-1]) if n else 0
+    if total == 0:
+        return empty
+    ib = ia + (np.arange(total) - np.repeat(csum - row_reps, row_reps)) + 1
+    ham = _popcount64(h[ia] ^ h[ib])
+    keep = ham <= max_hamming
+    band = (bk[ia] >> width).astype(np.int64)
+    umask = _U64(mask)
+    for j in range(bands - 1):  # first-matching-band: emit exactly once
+        sh = _U64(width * j)
+        keep &= (band <= j) | (((h[ia] >> sh) & umask)
+                               != ((h[ib] >> sh) & umask))
+    return pa.table({"a": ids[ia][keep], "b": ids[ib][keep],
+                     "hamming": ham[keep]})
 
 
 # ------------------------------------------------------------ MinHash + LSH
