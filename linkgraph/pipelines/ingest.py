@@ -406,6 +406,16 @@ def ingest(pages_path: str, out_dir: str | None = None, *,
     out = {"links": links, "nodes": nodes, "edges": edges,
            "sym_edges": sym, "degrees": degrees}
     if out_dir:
+        import os
+        import shutil
         for name in ("nodes", "edges", "sym_edges"):
-            out[name].write_parquet(f"{out_dir}/{name}")
+            d = f"{out_dir}/{name}"
+            marker = os.path.join(d, "_SUCCESS")
+            if os.path.exists(marker):
+                continue  # resumable: this table already committed
+            if os.path.isdir(d):
+                shutil.rmtree(d)  # partial output from a failed run
+            out[name].write_parquet(d)
+            with open(marker, "w") as f:
+                f.write("")
     return out

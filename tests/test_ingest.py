@@ -77,6 +77,32 @@ def test_full_ingest_graph_invariants(pages_path, ray_session):
         assert deg.loc[node, "degree"] == (sym["src"] == node).sum()
 
 
+def test_ingest_write_resumable(pages_path, ray_session, tmp_path):
+    """Committed tables (_SUCCESS) are skipped on rerun; a partial
+    directory (no marker) is cleared and rewritten."""
+    cfg, path = pages_path
+    out_dir = str(tmp_path / "out")
+    ingest(path, out_dir=out_dir)
+    for name in ("nodes", "edges", "sym_edges"):
+        assert os.path.exists(os.path.join(out_dir, name, "_SUCCESS"))
+    # stamp a committed table; a rerun must not touch it
+    stamp = os.path.join(out_dir, "nodes", "_SUCCESS")
+    with open(stamp, "w") as f:
+        f.write("keep")
+    # break an uncommitted table: drop its marker and plant a stale file
+    os.remove(os.path.join(out_dir, "edges", "_SUCCESS"))
+    stale = os.path.join(out_dir, "edges", "stale.bin")
+    with open(stale, "w") as f:
+        f.write("junk")
+    ingest(path, out_dir=out_dir)
+    with open(stamp) as f:
+        assert f.read() == "keep"          # skipped: still our stamp
+    assert not os.path.exists(stale)        # partial dir was cleared
+    assert os.path.exists(os.path.join(out_dir, "edges", "_SUCCESS"))
+    got = pq.read_table(os.path.join(out_dir, "edges"))
+    assert got.num_rows > 0
+
+
 def test_nodes_deterministic_across_runs(pages_path, ray_session):
     import ray.data as rd
     cfg, path = pages_path
