@@ -148,6 +148,18 @@ def test_simhash_dup_pairs_matches_bruteforce(ray_session):
     assert not got.duplicated(["a", "b"]).any()
 
 
+def test_simhash_dup_pairs_no_dups_is_empty(ray_session):
+    import ray.data as rd
+
+    from linkgraph.text.ops import simhash_dup_pairs
+
+    texts = [f"totally unique document number {i} " +
+             " ".join(f"tok{i}x{j}" for j in range(30)) for i in range(12)]
+    got = simhash_dup_pairs(rd.from_arrow(docs_table(texts))).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["a", "b", "hamming"]
+
+
 def test_minhash_signature_similarity():
     mh = MinHasher(num_perm=64, bands=16, k=3)
     base = "w" + " w".join(str(i) for i in range(100))
