@@ -76,6 +76,83 @@ def q_type_counts(sf_dir: str):
             .groupby("event_type").aggregate(Count(alias_name="n")))
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding 3h window (RANGE: 2 preceding hours + current) per
+    event_type over hourly partials: (event_type, hour, n_events, n_3h,
+    max_3h).
+
+    Two-level design: the wide reduction is the tumbling hourly
+    aggregate (one shuffle, bounded output = types x hours); the sliding
+    frame is then a vectorized cumsum/searchsorted pass over each type's
+    tiny hour series — sliding state never touches raw events."""
+    ev = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "hour": pc.floor_temporal(t.column("ts"), unit="hour"),
+            "value": t.column("value"),
+        })
+
+    hourly = (ev.map_batches(trunc, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "hour"])
+              .aggregate(Count(alias_name="n_events"),
+                         Max("value", alias_name="max_3h_src")))
+
+    def slide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour")
+        h = g["hour"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = g["n_events"].to_numpy().astype(np.int64)
+        mx = g["max_3h_src"].to_numpy()
+        start = np.searchsorted(h, h - 2 * 3_600_000_000, side="left")
+        cn = np.concatenate([[0], np.cumsum(n)])
+        idx = np.arange(len(h))
+        # hours are already aggregated (tiny per type); the variable
+        # RANGE-frame max is a short python pass over that small series
+        mx3 = np.array([mx[s:i + 1].max() for i, s in zip(idx, start)],
+                       np.float64) if len(h) else np.empty(0, np.float64)
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "hour": g["hour"].to_numpy(),
+            "n_events": n,
+            "n_3h": (cn[idx + 1] - cn[start]).astype(np.int64),
+            "max_3h": mx3})
+
+    return hourly.groupby("event_type").map_groups(
+        slide, batch_format="pandas")
+
+
+def q_asof_last_order(sf_dir: str):
+    """As-of join (backward): each event matched to the user's latest
+    order at-or-before the event timestamp (ties -> max o_orderkey).
+    The temporal-lookup operator Ray Data lacks natively; see
+    stages/joins.asof_join for the exchange + merge design."""
+    from ..common import strip_meta
+    from ..stages.joins import asof_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    orders = strip_meta(rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice"]))
+    out = asof_join(ev, orders,
+                    left_by="user_id", right_by="o_custkey",
+                    left_on="ts", right_on="o_orderdate",
+                    right_values=["o_orderkey", "o_totalprice"],
+                    right_tie="o_orderkey", how="inner")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "last_orderkey": t.column("o_orderkey"),
+            "last_totalprice": t.column("o_totalprice")})
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_topk_per_user(sf_dir: str):
     """Grouped top-k: top events per user by (value desc, event_id asc)."""
     ev = _events(sf_dir, ["user_id", "event_id", "value"])
@@ -114,6 +191,30 @@ EVENTS_SQL: dict[str, str] = {
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY value DESC, event_id)
                 <= {TOPK_PER_USER}""",
+    "ev_sliding_window": """
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 MAX(value) AS max_value
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, hour, n_events,
+               CAST(SUM(n_events) OVER w AS BIGINT) AS n_3h,
+               MAX(max_value) OVER w AS max_3h
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     RANGE BETWEEN INTERVAL 2 HOURS PRECEDING
+                           AND CURRENT ROW)""",
+    "ev_asof_last_order": """
+        WITH j AS (
+          SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY e.event_id
+                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+          FROM events e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        SELECT event_id, user_id, o_orderkey AS last_orderkey,
+               o_totalprice AS last_totalprice
+        FROM j WHERE rn = 1""",
 }
 
 

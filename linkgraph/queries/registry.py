@@ -483,6 +483,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ev_sessions": ev.q_sessions,
     "ev_type_counts": ev.q_type_counts,
     "ev_topk_per_user": ev.q_topk_per_user,
+    "ev_sliding_window": ev.q_sliding_window,
+    "ev_asof_last_order": ev.q_asof_last_order,
     # general relational joins/aggregates (J7 machinery on other keys)
     "rel_orders_by_segment": rel.q_orders_by_segment,
     "rel_lineitem_nation_rollup": rel.q_lineitem_nation_rollup,
