@@ -153,6 +153,46 @@ def q_asof_last_order(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_pairs_1h(sf_dir: str):
+    """Range (band) join: pairs of same-user events at most 1 hour
+    apart, each pair emitted once under the later event (ties on equal
+    ts broken by event_id).  Exercises stages/joins.band_join — the
+    interval-predicate join Ray Data lacks natively."""
+    from ..stages.joins import band_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def as_b(t: pa.Table) -> pa.Table:
+        return pa.table({"b_user_id": t.column("user_id"),
+                         "b_event_id": t.column("event_id"),
+                         "b_ts": t.column("ts")})
+
+    pairs = band_join(
+        ev, ev.map_batches(as_b, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        left_by="user_id", right_by="b_user_id",
+        left_on="ts", right_on="b_ts",
+        lo=-3_600_000_000, hi=0,
+        left_values=["event_id", "user_id", "ts"],
+        right_values=["b_event_id", "b_ts"])
+
+    def strictly_before(t: pa.Table) -> pa.Table:
+        a_ts = t.column("ts").to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+        b_ts = t.column("b_ts").to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+        a_id = t.column("event_id").to_numpy()
+        b_id = t.column("b_event_id").to_numpy()
+        keep = (b_ts < a_ts) | ((b_ts == a_ts) & (b_id < a_id))
+        return pa.table({"a_event_id": pa.array(a_id[keep], pa.int64()),
+                         "b_event_id": pa.array(b_id[keep], pa.int64()),
+                         "user_id": t.column("user_id")
+                               .take(pa.array(np.flatnonzero(keep)))})
+
+    return pairs.map_batches(strictly_before, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def q_topk_per_user(sf_dir: str):
     """Grouped top-k: top events per user by (value desc, event_id asc)."""
     ev = _events(sf_dir, ["user_id", "event_id", "value"])
@@ -204,6 +244,13 @@ EVENTS_SQL: dict[str, str] = {
         WINDOW w AS (PARTITION BY event_type ORDER BY hour
                      RANGE BETWEEN INTERVAL 2 HOURS PRECEDING
                            AND CURRENT ROW)""",
+    "ev_pairs_1h": """
+        SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
+               a.user_id
+        FROM events a JOIN events b
+          ON b.user_id = a.user_id
+         AND b.ts >= a.ts - INTERVAL 1 HOUR
+         AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))""",
     "ev_asof_last_order": """
         WITH j AS (
           SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,

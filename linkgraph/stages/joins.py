@@ -121,6 +121,129 @@ def _asof_reduce(meta: dict, n_left: int, *parts) -> pa.Table:
     return pa.table(cols).cast(out_schema)
 
 
+@ray.remote
+def _band_reduce(meta: dict, n_left: int, *parts) -> pa.Table:
+    """Merge one co-partition of a band join: every (left, right) pair
+    with equal ``by`` keys and ``right_on`` within
+    ``[left_on + lo, left_on + hi]`` (inclusive, signed offsets).
+
+    Fully vectorized: both sides dense-rank their ``by`` keys jointly,
+    the right side sorts once by (rank, on), and the per-left-row window
+    becomes two structured-dtype ``searchsorted`` probes (numpy compares
+    structured records field-lexicographically, so no composite-int
+    overflow concerns); pairs are emitted with the repeat/arange gather."""
+    lby, lon = meta["left_by"], meta["left_on"]
+    rby, ron = meta["right_by"], meta["right_on"]
+    lo, hi = meta["lo"], meta["hi"]
+    lvals, rvals = meta["left_values"], meta["right_values"]
+    out_schema = pa.schema(
+        [meta["left_schema"].field(c) for c in lvals]
+        + [meta["right_schema"].field(c) for c in rvals])
+
+    lt = [t for t in parts[:n_left] if t is not None and t.num_rows]
+    rt = [t for t in parts[n_left:] if t is not None and t.num_rows]
+    if not lt or not rt:
+        return out_schema.empty_table()
+    left = pa.concat_tables(lt)
+    right = pa.concat_tables(rt)
+
+    lk = left.column(lby).to_numpy().astype(np.int64)
+    rk = right.column(rby).to_numpy().astype(np.int64)
+    lon_v = _to_int64(left.column(lon).to_pandas())
+    ron_v = _to_int64(right.column(ron).to_pandas())
+
+    keys = np.unique(np.concatenate([lk, rk]))
+    lr = np.searchsorted(keys, lk)
+    rr = np.searchsorted(keys, rk)
+    rorder = np.lexsort((ron_v, rr))
+    rr_s, ron_s = rr[rorder], ron_v[rorder]
+
+    rec = np.dtype([("k", np.int64), ("t", np.int64)])
+    hay = np.empty(len(rr_s), rec)
+    hay["k"], hay["t"] = rr_s, ron_s
+
+    def probe(on_q: np.ndarray, side: str) -> np.ndarray:
+        q = np.empty(len(lr), rec)
+        q["k"], q["t"] = lr, on_q
+        return np.searchsorted(hay, q, side=side)
+
+    lo_pos = probe(lon_v + np.int64(lo), "left")
+    hi_pos = probe(lon_v + np.int64(hi), "right")
+    counts = np.maximum(hi_pos - lo_pos, 0)
+    total = int(counts.sum())
+    li = np.repeat(np.arange(len(lr), dtype=np.int64), counts)
+    cum = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    ri = rorder[np.arange(total, dtype=np.int64)
+                - np.repeat(cum - lo_pos, counts)]
+
+    cols = {c: left.column(c).take(pa.array(li)) for c in lvals}
+    for c in rvals:
+        cols[c] = right.column(c).take(pa.array(ri))
+    return pa.table(cols).cast(out_schema)
+
+
+def band_join(left: rd.Dataset, right: rd.Dataset, *,
+              left_by: str, right_by: str,
+              left_on: str, right_on: str,
+              lo: int, hi: int,
+              left_values: Sequence[str],
+              right_values: Sequence[str],
+              num_partitions: int | None = None) -> rd.Dataset:
+    """Range (band) join: all pairs with equal ``by`` keys and
+    ``right_on`` in ``[left_on + lo, left_on + hi]`` (inclusive; signed
+    int offsets in the ``on`` column's native ticks — epoch-us for
+    timestamps).
+
+    Same partitioning contract as :func:`asof_join` (whole ``by``-key
+    history co-located by hash); the per-partition kernel is two
+    searchsorted probes over the right side sorted once, so the cost is
+    output-bound, never the cross product.  Output columns =
+    ``left_values`` + ``right_values`` (names must not clash)."""
+    lvals, rvals = list(left_values), list(right_values)
+    if set(lvals) & set(rvals):
+        raise ValueError("left_values/right_values name clash")
+    P = int(num_partitions or default_partitions())
+
+    lproj = list(dict.fromkeys([left_by, left_on] + lvals))
+    rproj = list(dict.fromkeys([right_by, right_on] + rvals))
+    lblocks = left.select_columns(lproj).materialize().to_arrow_refs()
+    rblocks = right.select_columns(rproj).materialize().to_arrow_refs()
+    if not lblocks or not rblocks:
+        raise ValueError("band_join on a dataset with no blocks")
+
+    @ray.remote
+    def _schema(t: pa.Table) -> pa.Schema:
+        return t.schema
+
+    lschema, rschema = ray.get([_schema.remote(lblocks[0]),
+                                _schema.remote(rblocks[0])])
+    meta = {"left_by": left_by, "left_on": left_on,
+            "right_by": right_by, "right_on": right_on,
+            "lo": int(lo), "hi": int(hi),
+            "left_values": lvals, "right_values": rvals,
+            "left_schema": lschema, "right_schema": rschema}
+
+    lsplit = [_asof_split.options(num_returns=P).remote(b, left_by, P)
+              for b in lblocks]
+    rsplit = [_asof_split.options(num_returns=P).remote(b, right_by, P)
+              for b in rblocks]
+    if P == 1:
+        lsplit = [[r] for r in lsplit]
+        rsplit = [[r] for r in rsplit]
+    outs = [_band_reduce.remote(meta, len(lsplit),
+                                *[s[p] for s in lsplit],
+                                *[s[p] for s in rsplit])
+            for p in range(P)]
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in outs])
+    kept = [r for r, n in zip(outs, counts) if n]
+    return rd.from_arrow_refs(kept if kept else outs[:1])
+
+
 def asof_join(left: rd.Dataset, right: rd.Dataset, *,
               left_by: str, right_by: str,
               left_on: str, right_on: str,

@@ -113,6 +113,42 @@ def test_asof_name_clash_rejected(ray_session):
                   right_values=["t"], right_tie="tie")
 
 
+from linkgraph.stages.joins import band_join
+
+
+def _band_oracle(left, right, lo, hi):
+    j = left.merge(right, left_on="k", right_on="rk")
+    j = j[(j["rt"] >= j["t"] + lo) & (j["rt"] <= j["t"] + hi)]
+    return (j[["id", "tie"]].sort_values(["id", "tie"])
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("seed,parts,lo,hi",
+                         [(1, 1, -10, 0), (2, 4, -5, 5), (3, 8, 3, 40)])
+def test_band_join_matches_oracle(ray_session, seed, parts, lo, hi):
+    left, right = _mkdata(seed, n_l=800, n_r=500)
+    out = band_join(rd.from_pandas(left).repartition(4),
+                    rd.from_pandas(right).repartition(3),
+                    left_by="k", right_by="rk",
+                    left_on="t", right_on="rt", lo=lo, hi=hi,
+                    left_values=["id"], right_values=["tie"],
+                    num_partitions=parts).to_pandas()
+    got = out.sort_values(["id", "tie"]).reset_index(drop=True)
+    want = _band_oracle(left, right, lo, hi)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_band_join_empty_window(ray_session):
+    left, right = _mkdata(9, n_l=100, n_r=80)
+    right["rt"] += 10_000  # every right on-value far above the band
+    out = band_join(rd.from_pandas(left), rd.from_pandas(right),
+                    left_by="k", right_by="rk",
+                    left_on="t", right_on="rt", lo=-50, hi=50,
+                    left_values=["id"], right_values=["tie"],
+                    num_partitions=3).to_pandas()
+    assert len(out) == 0
+
+
 def test_sliding_window_matches_duckdb(ray_session):
     import duckdb
 
