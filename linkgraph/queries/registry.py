@@ -71,6 +71,37 @@ def q_doc_fingerprint(sf_dir: str):
         tx.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_mm_media_features(sf_dir: str):
+    """Multimodal binary-column stage end-to-end (documents' utf-8 bytes
+    stand in for opaque media payloads; no media libs in this env): the
+    actor-pool extractor decodes a deterministic fake feature per row;
+    the gate value-checks the bytes that flowed through the pool
+    (n_bytes + rolling-hash fingerprint).  The feature column is
+    exercised but projected away (codec-internal, not SQL-expressible)."""
+    import pyarrow as _pa
+
+    from ..stages.multimodal import MediaFeatureExtractor
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_media(t: "_pa.Table") -> "_pa.Table":
+        return _pa.table({"id": t.column("doc_id"),
+                          "media": t.column("text").cast(_pa.binary())})
+
+    feats = (docs.map_batches(to_media, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                          concurrency=(1, 4), batch_size=128))
+
+    def project(t: "_pa.Table") -> "_pa.Table":
+        return _pa.table({"doc_id": t.column("id"),
+                          "n_bytes": t.column("n_bytes"),
+                          "fingerprint": t.column("fingerprint")})
+
+    return feats.map_batches(project, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def q_doc_langid(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         tx.langid_batch, batch_format="pyarrow", zero_copy_batch=True)
@@ -213,6 +244,18 @@ _FINGERPRINT_SQL = f"""
     f AS (SELECT doc_id, {_POLY_FOLD.format(h='hx')} AS fp FROM h)
     SELECT doc_id, {_U64_TO_I64.format(x='fp')} AS fingerprint FROM f"""
 
+# multimodal stage: n_bytes + payload fingerprint pin the bytes that
+# flowed through the actor pool (the feature vector is codec-internal)
+_MM_SQL = f"""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      CAST(octet_length(encode(text)) AS BIGINT)
+                        AS n_bytes
+               FROM documents),
+    f AS (SELECT doc_id, n_bytes, {_POLY_FOLD.format(h='hx')} AS fp
+          FROM h)
+    SELECT doc_id, n_bytes, {_U64_TO_I64.format(x='fp')} AS fingerprint
+    FROM f"""
+
 # 64 majority-vote bit aggregates recombined into the signed simhash
 _SIMHASH_BITS = " + ".join(
     f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
@@ -332,6 +375,7 @@ TEXT_SQL: dict[str, str] = {
     "doc_dedup_near": _NEAR_DEDUP_SQL,
     "doc_quality_score": _QUALITY_SCORE_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
+    "mm_media_features": _MM_SQL,
     "doc_simhash": _SIMHASH_SQL,
     "doc_tokens": """
         SELECT doc_id,
@@ -473,6 +517,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_token_jaccard": q_doc_token_jaccard,
     "doc_dedup_near": q_doc_dedup_near,
+    # multimodal binary-column stage (north rule)
+    "mm_media_features": q_mm_media_features,
     # embeddings / similarity search (north rule)
     "emb_ann": q_emb_ann,
     "emb_ivf_ann": q_emb_ivf_ann,

@@ -47,11 +47,17 @@ class StubCodec:
 
 
 class MediaFeatureExtractor:
-    """Actor-pool stage: (id, media:binary) -> (id, n_bytes, feature).
+    """Actor-pool stage: (id, media:binary) -> (id, n_bytes,
+    fingerprint, feature).
 
     Use with ``map_batches(MediaFeatureExtractor, concurrency=(n, m),
     batch_size=SMALL, batch_format="pyarrow")`` — batch_size must be small
     because rows carry megabyte payloads (SURVEY.md §4 memory notes).
+
+    ``n_bytes`` and ``fingerprint`` (the repo's polynomial rolling hash,
+    read zero-copy from the binary buffers) pin the exact payload bytes
+    that flowed through the pool — they are the SQL-checkable half of
+    the stage, while ``feature`` is the codec's (stubbed) decode output.
     """
 
     def __init__(self, id_col: str = "id", media_col: str = "media",
@@ -60,10 +66,15 @@ class MediaFeatureExtractor:
         self.codec = StubCodec(deterministic)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..text.ops import _poly_hash_flat, _str_bytes
+
+        data, lens = _str_bytes(batch.column(self.media_col))
+        fp = _poly_hash_flat(data, lens)
         payloads = batch.column(self.media_col).to_pylist()
         feats = [self.codec.decode(p) for p in payloads]
         return pa.table({
             self.id_col: batch.column(self.id_col),
-            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "n_bytes": pa.array(lens.astype(np.int64), pa.int64()),
+            "fingerprint": pa.array(fp.view(np.int64), pa.int64()),
             "feature": [f.tolist() for f in feats],
         })

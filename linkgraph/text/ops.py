@@ -170,9 +170,9 @@ _FP_BASE = _U64(1099511628211)  # FNV prime as the rolling base
 
 
 def _str_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
-    """Arrow string array -> (flat utf-8 bytes, per-row byte lengths),
-    zero-copy straight from the Arrow offsets/data buffers (no per-row
-    Python encode)."""
+    """Arrow string OR binary array -> (flat bytes, per-row byte
+    lengths), zero-copy straight from the Arrow offsets/data buffers (no
+    per-row Python encode); binary shares the string buffer layout."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if arr.null_count:
@@ -181,7 +181,9 @@ def _str_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
         # the old to_pylist path did
         raise ValueError("null text rows are not hashable; filter or "
                          "fill nulls before fingerprint/simhash")
-    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    odt = (np.int64 if (pa.types.is_large_string(arr.type)
+                        or pa.types.is_large_binary(arr.type))
+           else np.int32)
     bufs = arr.buffers()
     offs = np.frombuffer(bufs[1], dtype=odt)[
         arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
