@@ -380,12 +380,14 @@ class GraphShard:
             # (astype always copies — 3 extra O(E) passes at build time)
             src = np.asarray(tbl.column("src").to_numpy(), dtype=np.int64)
             dst = np.asarray(tbl.column("dst").to_numpy(), dtype=np.int64)
+            # no ones() fill for unweighted inputs — _build_csr elides
+            # every E-length weight array for w=None
             w = (np.asarray(tbl.column("w").to_numpy(), dtype=np.float64)
-                 if "w" in tbl.column_names else np.ones(len(src)))
+                 if "w" in tbl.column_names else None)
         else:
             src = np.empty(0, np.int64)
             dst = np.empty(0, np.int64)
-            w = np.empty(0, np.float64)
+            w = None
         self._pending = []
         _t1 = _time.time()
         self._build_csr(src, dst, w)
@@ -425,12 +427,31 @@ class GraphShard:
             self._msg_cache = (perm, uk, starts, cuts)
         return self._msg_cache
 
-    def _build_csr(self, src: np.ndarray, dst: np.ndarray, w: np.ndarray):
+    def _build_csr(self, src: np.ndarray, dst: np.ndarray,
+                   w: np.ndarray | None):
         from ..common import collapse_hugepages
+        # Unweighted graphs (w absent or all exactly 1.0 — the common
+        # case for level-0 web link graphs) skip every E-length weight
+        # array: no ones() fill, no w gather, and the persistent
+        # ``weights`` is a stride-0 broadcast view backed by ONE float64.
+        # That removes ~3 E x 8 B first-touch page populations per build
+        # plus E x 8 B of resident CSR bytes — population is the
+        # documented non-scaling term of the build on this host.  All
+        # kernel reads (gathers, sums, reduceat on gathered copies) are
+        # value-identical because every weight IS 1.0.
+        unweighted = w is None
+        if not unweighted:
+            w = np.asarray(w)
+            unweighted = (len(w) == 0
+                          or (w.strides[0] == 0 and w.flat[0] == 1.0)
+                          or bool((w == 1.0).all()))
         # the sort below gathers these randomly — promote to 2 MB pages
         # first (populated by the exchange concat; ~3.5-25x cheaper
         # random access on this host)
-        collapse_hugepages(src, dst, w)
+        if unweighted:
+            collapse_hugepages(src, dst)
+        else:
+            collapse_hugepages(src, dst, w)
         self._msg_cache = None
         self._lv_bucket_cache = {}
         # graph mutation invalidates the hub split (the engine re-splits
@@ -446,7 +467,7 @@ class GraphShard:
         self._frag_groups = (np.empty(0, np.int64), np.empty(0, np.int64),
                              np.empty(0, np.int64))
         loc = src - self.lo
-        if (len(w) == 0 or (w == np.floor(w)).all()) \
+        if (unweighted or (w == np.floor(w)).all()) \
                 and composite_fits(self.n_local, self.n_global):
             # integral weights: kernel sums are exact, so multi-edge
             # order is irrelevant — unstable composite-key sort (the
@@ -454,17 +475,29 @@ class GraphShard:
             order = np.argsort(loc * np.int64(self.n_global) + dst)
         else:
             order = np.lexsort((dst, loc))
-        loc, dst, w = loc[order], dst[order], w[order]
+        loc, dst = loc[order], dst[order]
+        if not unweighted:
+            w = w[order]
         indptr = np.zeros(self.n_local + 1, dtype=np.int64)
         np.add.at(indptr, loc + 1, 1)
         np.cumsum(indptr, out=indptr)
+        if unweighted:
+            w = np.broadcast_to(np.float64(1.0), len(dst))
         self.indptr, self.indices, self.weights = indptr, dst, w
         # deterministic huge-page promotion of the arrays every superstep
         # gathers from: 4 KB pages cost ~25x on random access here
         from ..common import collapse_hugepages
-        collapse_hugepages(indptr, dst, w)
+        if unweighted:
+            collapse_hugepages(indptr, dst)
+        else:
+            collapse_hugepages(indptr, dst, w)
         deg = np.diff(indptr)
-        if len(dst):
+        if unweighted:
+            # weighted degree of all-1.0 weights IS the degree count;
+            # integer counts < 2^53 are exact in float64, so this is
+            # bit-identical to the reduceat sum of ones
+            self.k = deg.astype(np.float64)
+        elif len(dst):
             ksum = np.add.reduceat(np.concatenate([w, [0.0]]), indptr[:-1])
             self.k = np.where(deg > 0, ksum, 0.0)
         else:
