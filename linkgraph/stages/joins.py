@@ -19,6 +19,11 @@ Determinism: ties on the right ``on`` key resolve to the largest
 ``right_tie`` value (rows sorted ascending by ``(on, tie)``;
 ``merge_asof`` picks the last qualifying row), so results are identical
 at any parallelism.
+
+Key contract (same as ``stages.exchange``): ``by`` columns are numeric
+(splitmix64 hash partitioning); ``on`` columns are numeric or timestamp
+(compared by their epoch-us ticks).  Hash string keys to int64 upstream
+(see ``pipelines.ingest``'s fingerprint index for the pattern).
 """
 
 from __future__ import annotations
