@@ -122,3 +122,51 @@ class TestSortedUniqueIds:
         assert len(s._sorted_unique_ids(e, e)) == 0
         np.testing.assert_array_equal(
             s._sorted_unique_ids(np.array([3, 3]), e), [3])
+
+
+class TestUnweightedElision:
+    """_build_csr stores all-1.0 weights as a stride-0 broadcast and
+    switches back to a real array the moment real weights appear."""
+
+    @staticmethod
+    def _shard():
+        from linkgraph.state.shard_louvain import LouvainShard
+        import pyarrow as pa
+
+        s = LouvainShard(0, [0, 6])
+        s.ingest_edges(pa.table({
+            "src": np.array([0, 0, 1, 2, 3], np.int64),
+            "dst": np.array([1, 2, 0, 5, 4], np.int64)}))
+        s.finalize_graph()
+        return s
+
+    def test_unweighted_broadcast_and_degrees(self):
+        s = self._shard()
+        assert s.weights.strides == (0,)          # one float64 backs E
+        np.testing.assert_array_equal(s.weights, np.ones(5))
+        np.testing.assert_array_equal(s.k, [2.0, 1.0, 1.0, 1.0, 0.0, 0.0])
+
+    def test_weighted_delta_materializes(self):
+        import pyarrow as pa
+
+        s = self._shard()
+        add = pa.table({"src": np.array([4], np.int64),
+                        "dst": np.array([5], np.int64),
+                        "w": np.array([2.5], np.float64)})
+        missing = s.apply_delta(add, None, None)
+        assert missing == 0
+        assert s.weights.strides != (0,)          # real array again
+        assert s.weights.sum() == 5 * 1.0 + 2.5
+        np.testing.assert_array_equal(
+            s.k, [2.0, 1.0, 1.0, 1.0, 2.5, 0.0])
+
+    def test_all_ones_delta_stays_broadcast(self):
+        import pyarrow as pa
+
+        s = self._shard()
+        add = pa.table({"src": np.array([4], np.int64),
+                        "dst": np.array([5], np.int64),
+                        "w": np.array([1.0], np.float64)})
+        s.apply_delta(add, None, None)
+        assert s.weights.strides == (0,)
+        assert len(s.weights) == 6
