@@ -160,7 +160,9 @@ def q_pairs_1h(sf_dir: str):
     interval-predicate join Ray Data lacks natively."""
     from ..stages.joins import band_join
 
-    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    # materialize once: both join sides derive from the same blocks, so
+    # the parquet scan does not run twice for the self-join
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"]).materialize()
 
     def as_b(t: pa.Table) -> pa.Table:
         return pa.table({"b_user_id": t.column("user_id"),

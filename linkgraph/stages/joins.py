@@ -1,12 +1,11 @@
-"""As-of join: each left row matched to the single right row with the
-largest ``on`` key at-or-before the left's, within the same ``by`` key.
+"""As-of and range (band) joins: temporal lookups Ray Data lacks
+natively (its ``Dataset.join`` is equality-only).
 
-Ray Data has no native as-of join (its ``Dataset.join`` is equality
-only), so this is the composition the SURVEY §2.4 mapping prescribes for
-temporal lookups: a two-stage hash exchange on the equality (``by``) key
-— the same splitmix64 partitioner as ``stages.exchange`` — followed by a
-per-partition vectorized backward merge (``pandas.merge_asof``, a C
-merge over both sides sorted by the ``on`` key).
+Both are the composition the SURVEY §2.4 mapping prescribes: a
+two-stage hash exchange on the equality (``by``) key — the same
+splitmix64 partitioner as ``stages.exchange`` — followed by a
+per-partition vectorized merge (``pandas.merge_asof`` backward search /
+structured-dtype double-``searchsorted`` window probes).
 
 Partitioning assumption (documented per the north rule): the whole
 history of one ``by`` key must land in one partition, because a backward
@@ -15,15 +14,16 @@ a pathologically hot key bounds its partition's work by that key's own
 history (mitigate upstream by pre-filtering the right side to the left's
 key range, or range-splitting ``on`` with boundary replication).
 
-Determinism: ties on the right ``on`` key resolve to the largest
+Determinism: as-of ties on the right ``on`` key resolve to the largest
 ``right_tie`` value (rows sorted ascending by ``(on, tie)``;
 ``merge_asof`` picks the last qualifying row), so results are identical
 at any parallelism.
 
-Key contract (same as ``stages.exchange``): ``by`` columns are numeric
-(splitmix64 hash partitioning); ``on`` columns are numeric or timestamp
-(compared by their epoch-us ticks).  Hash string keys to int64 upstream
-(see ``pipelines.ingest``'s fingerprint index for the pattern).
+Key contract (checked loudly): ``by`` columns are integers (splitmix64
+hash partitioning + exact rank equality); ``on`` columns are integers or
+timestamps (compared by their epoch-us ticks).  Hash string keys to
+int64 upstream (see ``pipelines.ingest``'s fingerprint index for the
+pattern); float keys are rejected rather than silently truncated.
 """
 
 from __future__ import annotations
@@ -41,30 +41,84 @@ from .exchange import _key_hash, default_partitions
 _U64 = np.uint64
 
 
-def _to_int64(s: pd.Series) -> np.ndarray:
+def _to_int64(s: pd.Series, col: str) -> np.ndarray:
     """Order-preserving int64 view of an ``on`` column (timestamps
-    compare as their epoch-us ticks)."""
+    compare as their epoch-us ticks).  Floats are rejected: truncation
+    would silently move window boundaries."""
     v = s.to_numpy()
     if v.dtype.kind == "M":
         return v.astype("datetime64[us]").astype(np.int64)
+    if v.dtype.kind not in "iu":
+        raise TypeError(f"on-column {col!r} must be integer or timestamp, "
+                        f"got {v.dtype}")
+    return v.astype(np.int64)
+
+
+def _int_keys(arr, col: str) -> np.ndarray:
+    v = arr.to_numpy() if not isinstance(arr, np.ndarray) else arr
+    if v.dtype.kind not in "iu":
+        raise TypeError(f"by-column {col!r} must be integer (hash string "
+                        f"keys to int64 upstream), got {v.dtype}")
     return v.astype(np.int64)
 
 
 @ray.remote
-def _asof_split(tbl: pa.Table, by: str, P: int):
+def _split_by_key(tbl: pa.Table, by: str, P: int):
     """Hash-split one block into P row partitions on the ``by`` column."""
     if tbl.num_rows == 0:
         return None if P == 1 else tuple(None for _ in range(P))
+    keys = _int_keys(tbl.column(by), by)
     if P == 1:
         return tbl
-    part = (_key_hash([tbl.column(by).to_numpy()])
-            % _U64(P)).astype(np.int64)
+    part = (_key_hash([keys]) % _U64(P)).astype(np.int64)
     order = np.argsort(part, kind="stable")
     tbl = tbl.take(pa.array(order))
     cuts = np.searchsorted(part[order], np.arange(P + 1))
     return tuple(tbl.slice(cuts[p], cuts[p + 1] - cuts[p])
                  for p in range(P))
 
+
+@ray.remote
+def _block_schema(t: pa.Table):
+    return t.schema if t.num_columns else None
+
+
+@ray.remote
+def _nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def _typed_schema(blocks, side: str) -> pa.Schema:
+    """First non-degenerate block schema (Ray repartition can emit
+    schema-less 0-column filler blocks — same guard as exchange.py)."""
+    for s in ray.get([_block_schema.remote(b) for b in blocks]):
+        if s is not None:
+            return s
+    raise ValueError(f"asof/band join: every {side} block is schema-less")
+
+
+def _copartition(lblocks, rblocks, left_by: str, right_by: str, P: int,
+                 reduce_remote, meta: dict) -> rd.Dataset:
+    """Shared driver epilogue: hash-split both sides, one reduce task per
+    partition, drop empty output partitions (Ray Data map operators skip
+    zero-row blocks, which poisons schema-changing downstream maps)."""
+    lsplit = [_split_by_key.options(num_returns=P).remote(b, left_by, P)
+              for b in lblocks]
+    rsplit = [_split_by_key.options(num_returns=P).remote(b, right_by, P)
+              for b in rblocks]
+    if P == 1:
+        lsplit = [[r] for r in lsplit]
+        rsplit = [[r] for r in rsplit]
+    outs = [reduce_remote.remote(meta, len(lsplit),
+                                 *[s[p] for s in lsplit],
+                                 *[s[p] for s in rsplit])
+            for p in range(P)]
+    counts = ray.get([_nrows.remote(r) for r in outs])
+    kept = [r for r, n in zip(outs, counts) if n]
+    return rd.from_arrow_refs(kept if kept else outs[:1])
+
+
+# --------------------------------------------------------------- as-of join
 
 @ray.remote
 def _asof_reduce(meta: dict, n_left: int, *parts) -> pa.Table:
@@ -97,19 +151,22 @@ def _asof_reduce(meta: dict, n_left: int, *parts) -> pa.Table:
                                     preserve_index=False)
     right = pa.concat_tables(rt).to_pandas()
 
-    left["__on"] = _to_int64(left[lon])
-    right["__on"] = _to_int64(right[ron])
+    left["__on"] = _to_int64(left[lon], lon)
+    right["__on"] = _to_int64(right[ron], ron)
+    # non-null match sentinel: a matched row whose FIRST right value is
+    # null in the source data must not be mistaken for "no match"
+    right["__m"] = np.int8(1)
     left = left.sort_values("__on", kind="stable")
     rsort = ["__on"] + ([tie] if tie else [])
     right = right.sort_values(rsort, kind="stable")
-    right = right[[rby, "__on"] + [c for c in rvals if c != rby]]
+    right = right[[rby, "__on", "__m"] + [c for c in rvals if c != rby]]
 
     merged = pd.merge_asof(left, right, on="__on",
                            left_by=lby, right_by=rby,
                            direction="backward",
                            allow_exact_matches=True)
     if how == "inner":
-        merged = merged[merged[rvals[0]].notna()]
+        merged = merged[merged["__m"].notna()]
     cols: dict[str, pa.Array] = {
         c: pa.array(merged[c], out_schema.field(c).type, from_pandas=True)
         for c in lcols}
@@ -117,7 +174,7 @@ def _asof_reduce(meta: dict, n_left: int, *parts) -> pa.Table:
         typ = out_schema.field(c).type
         v = merged[c]
         if pa.types.is_integer(typ) and v.dtype.kind == "f":
-            # NaN-introduced float upcast: restore via explicit null mask
+            # no-match float upcast: restore ints via explicit null mask
             mask = v.isna().to_numpy()
             arr = v.fillna(0).to_numpy().astype(typ.to_pandas_dtype())
             cols[c] = pa.array(arr, typ, mask=mask)
@@ -125,6 +182,49 @@ def _asof_reduce(meta: dict, n_left: int, *parts) -> pa.Table:
             cols[c] = pa.array(v, typ, from_pandas=True)
     return pa.table(cols).cast(out_schema)
 
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, *,
+              left_by: str, right_by: str,
+              left_on: str, right_on: str,
+              right_values: Sequence[str],
+              right_tie: str | None = None,
+              how: str = "inner",
+              num_partitions: int | None = None) -> rd.Dataset:
+    """Backward as-of join of ``left`` to ``right``.
+
+    For each left row, finds the right row with the same ``by`` key and
+    the greatest ``on`` value <= the left's ``on`` value (ties broken by
+    the greatest ``right_tie``).  Returns the left columns plus
+    ``right_values`` (null / dropped per ``how`` when no match).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r}")
+    rvals = [c for c in right_values]
+    if right_by in rvals:
+        raise ValueError("right_values must not contain right_by")
+    P = int(num_partitions or default_partitions())
+
+    lblocks = left.materialize().to_arrow_refs()
+    rproj = list(dict.fromkeys([right_by, right_on] +
+                               ([right_tie] if right_tie else []) + rvals))
+    rblocks = right.select_columns(rproj).materialize().to_arrow_refs()
+    if not lblocks or not rblocks:
+        raise ValueError("asof_join on a dataset with no blocks")
+    lschema = _typed_schema(lblocks, "left")
+    rschema = _typed_schema(rblocks, "right")
+    clash = set(lschema.names) & (set(rvals) | ({right_by} - {left_by}))
+    if clash:
+        raise ValueError(f"left/right column name clash: {sorted(clash)}; "
+                         "rename before joining")
+    meta = {"left_by": left_by, "left_on": left_on,
+            "right_by": right_by, "right_on": right_on,
+            "right_tie": right_tie, "right_values": rvals, "how": how,
+            "left_schema": lschema, "right_schema": rschema}
+    return _copartition(lblocks, rblocks, left_by, right_by, P,
+                        _asof_reduce, meta)
+
+
+# --------------------------------------------------------------- band join
 
 @ray.remote
 def _band_reduce(meta: dict, n_left: int, *parts) -> pa.Table:
@@ -152,10 +252,10 @@ def _band_reduce(meta: dict, n_left: int, *parts) -> pa.Table:
     left = pa.concat_tables(lt)
     right = pa.concat_tables(rt)
 
-    lk = left.column(lby).to_numpy().astype(np.int64)
-    rk = right.column(rby).to_numpy().astype(np.int64)
-    lon_v = _to_int64(left.column(lon).to_pandas())
-    ron_v = _to_int64(right.column(ron).to_pandas())
+    lk = _int_keys(left.column(lby), lby)
+    rk = _int_keys(right.column(rby), rby)
+    lon_v = _to_int64(left.column(lon).to_pandas(), lon)
+    ron_v = _to_int64(right.column(ron).to_pandas(), ron)
 
     keys = np.unique(np.concatenate([lk, rk]))
     lr = np.searchsorted(keys, lk)
@@ -215,99 +315,11 @@ def band_join(left: rd.Dataset, right: rd.Dataset, *,
     rblocks = right.select_columns(rproj).materialize().to_arrow_refs()
     if not lblocks or not rblocks:
         raise ValueError("band_join on a dataset with no blocks")
-
-    @ray.remote
-    def _schema(t: pa.Table) -> pa.Schema:
-        return t.schema
-
-    lschema, rschema = ray.get([_schema.remote(lblocks[0]),
-                                _schema.remote(rblocks[0])])
     meta = {"left_by": left_by, "left_on": left_on,
             "right_by": right_by, "right_on": right_on,
             "lo": int(lo), "hi": int(hi),
             "left_values": lvals, "right_values": rvals,
-            "left_schema": lschema, "right_schema": rschema}
-
-    lsplit = [_asof_split.options(num_returns=P).remote(b, left_by, P)
-              for b in lblocks]
-    rsplit = [_asof_split.options(num_returns=P).remote(b, right_by, P)
-              for b in rblocks]
-    if P == 1:
-        lsplit = [[r] for r in lsplit]
-        rsplit = [[r] for r in rsplit]
-    outs = [_band_reduce.remote(meta, len(lsplit),
-                                *[s[p] for s in lsplit],
-                                *[s[p] for s in rsplit])
-            for p in range(P)]
-
-    @ray.remote
-    def _nrows(t: pa.Table) -> int:
-        return t.num_rows
-
-    counts = ray.get([_nrows.remote(r) for r in outs])
-    kept = [r for r, n in zip(outs, counts) if n]
-    return rd.from_arrow_refs(kept if kept else outs[:1])
-
-
-def asof_join(left: rd.Dataset, right: rd.Dataset, *,
-              left_by: str, right_by: str,
-              left_on: str, right_on: str,
-              right_values: Sequence[str],
-              right_tie: str | None = None,
-              how: str = "inner",
-              num_partitions: int | None = None) -> rd.Dataset:
-    """Backward as-of join of ``left`` to ``right``.
-
-    For each left row, finds the right row with the same ``by`` key and
-    the greatest ``on`` value <= the left's ``on`` value (ties broken by
-    the greatest ``right_tie``).  Returns the left columns plus
-    ``right_values`` (null / dropped per ``how`` when no match).
-    """
-    if how not in ("inner", "left"):
-        raise ValueError(f"unknown how {how!r}")
-    rvals = [c for c in right_values]
-    if right_by in rvals:
-        raise ValueError("right_values must not contain right_by")
-    P = int(num_partitions or default_partitions())
-
-    lblocks = left.materialize().to_arrow_refs()
-    rproj = list(dict.fromkeys([right_by, right_on] +
-                               ([right_tie] if right_tie else []) + rvals))
-    rblocks = right.select_columns(rproj).materialize().to_arrow_refs()
-    if not lblocks or not rblocks:
-        raise ValueError("asof_join on a dataset with no blocks")
-
-    @ray.remote
-    def _schema(t: pa.Table) -> pa.Schema:
-        return t.schema
-
-    lschema, rschema = ray.get([_schema.remote(lblocks[0]),
-                                _schema.remote(rblocks[0])])
-    clash = set(lschema.names) & (set(rvals) | ({right_by} - {left_by}))
-    if clash:
-        raise ValueError(f"left/right column name clash: {sorted(clash)}; "
-                         "rename before joining")
-    meta = {"left_by": left_by, "left_on": left_on,
-            "right_by": right_by, "right_on": right_on,
-            "right_tie": right_tie, "right_values": rvals, "how": how,
-            "left_schema": lschema, "right_schema": rschema}
-
-    lsplit = [_asof_split.options(num_returns=P).remote(b, left_by, P)
-              for b in lblocks]
-    rsplit = [_asof_split.options(num_returns=P).remote(b, right_by, P)
-              for b in rblocks]
-    if P == 1:
-        lsplit = [[r] for r in lsplit]
-        rsplit = [[r] for r in rsplit]
-    outs = [_asof_reduce.remote(meta, len(lsplit),
-                                *[s[p] for s in lsplit],
-                                *[s[p] for s in rsplit])
-            for p in range(P)]
-
-    @ray.remote
-    def _nrows(t: pa.Table) -> int:
-        return t.num_rows
-
-    counts = ray.get([_nrows.remote(r) for r in outs])
-    kept = [r for r, n in zip(outs, counts) if n]
-    return rd.from_arrow_refs(kept if kept else outs[:1])
+            "left_schema": _typed_schema(lblocks, "left"),
+            "right_schema": _typed_schema(rblocks, "right")}
+    return _copartition(lblocks, rblocks, left_by, right_by, P,
+                        _band_reduce, meta)

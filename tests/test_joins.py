@@ -104,6 +104,42 @@ def test_asof_timestamp_on_key(ray_session):
     assert got == [10, 20, 20]  # t=0 has no match; 60/61 hit the 60s row
 
 
+def test_asof_inner_keeps_matched_rows_with_null_value(ray_session):
+    """A matched right row whose FIRST right value is null must survive
+    an inner as-of join (match-ness comes from the sentinel, not from
+    value null-ness)."""
+    left = pd.DataFrame({"id": np.array([0], np.int64),
+                         "k": np.array([1], np.int64),
+                         "t": np.array([100], np.int64)})
+    right = pd.DataFrame({"rk": np.array([1], np.int64),
+                          "rt": np.array([50], np.int64),
+                          "tie": np.array([7], np.int64),
+                          "val": np.array([np.nan], np.float64)})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    left_by="k", right_by="rk",
+                    left_on="t", right_on="rt",
+                    right_values=["val", "tie"], right_tie="tie",
+                    how="inner", num_partitions=2).to_pandas()
+    assert len(out) == 1
+    assert out["tie"].iloc[0] == 7 and bool(out["val"].isna().iloc[0])
+
+
+def test_float_on_and_by_columns_rejected(ray_session):
+    left, right = _mkdata(13, n_l=20, n_r=20)
+    fleft = left.assign(t=left["t"].astype(np.float64))
+    with pytest.raises(Exception, match="integer or timestamp"):
+        asof_join(rd.from_pandas(fleft), rd.from_pandas(right),
+                  left_by="k", right_by="rk", left_on="t", right_on="rt",
+                  right_values=["tie"], right_tie="tie",
+                  num_partitions=2).to_pandas()
+    fkey = left.assign(k=left["k"].astype(np.float64))
+    with pytest.raises(Exception, match="must be integer"):
+        band_join(rd.from_pandas(fkey), rd.from_pandas(right),
+                  left_by="k", right_by="rk", left_on="t", right_on="rt",
+                  lo=-5, hi=5, left_values=["id"], right_values=["tie"],
+                  num_partitions=2).to_pandas()
+
+
 def test_asof_name_clash_rejected(ray_session):
     left, right = _mkdata(7, n_l=10, n_r=10)
     right = right.rename(columns={"val": "t"})  # clashes with left "t"
