@@ -92,6 +92,59 @@ def enable_shmmap() -> bool:
     return True
 
 
+_CSRKERN: "object" = False   # False = not tried yet; None = unavailable
+
+
+def csr_kernels():
+    """Compile (once per checkout) and load (once per process) the
+    single-pass counting-sort CSR kernels (``_native/csrkern.c``).
+
+    The kernels replace the argsort+gather CSR finalize for
+    integral-weight graphs: fresh heap drops from ~40-56 B/edge to
+    8-16 B/edge, which is the lever on this host where first-touch page
+    population is the documented non-scaling term of the build
+    (BASELINE.md).  Returns the configured ctypes lib or None (numpy
+    sort fallback — also the semantics oracle for the kernels).
+    Opt-out: ``LINKGRAPH_CSRKERN=0``."""
+    global _CSRKERN
+    if _CSRKERN is not False:
+        return _CSRKERN
+    import ctypes
+    import os
+    import subprocess
+    import tempfile
+
+    _CSRKERN = None
+    if os.environ.get("LINKGRAPH_CSRKERN", "1") != "1":
+        return None
+    base = os.path.join(os.path.dirname(__file__), "_native")
+    src = os.path.join(base, "csrkern.c")
+    so = os.path.join(base, "csrkern.so")
+    try:
+        if not (os.path.exists(so)
+                and os.path.getmtime(so) >= os.path.getmtime(src)):
+            # compile to a temp name + atomic rename: many actor
+            # processes may race here on first use
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=base)
+            os.close(fd)
+            subprocess.run(["gcc", "-O3", "-fPIC", "-shared", "-o", tmp,
+                            src], check=True, capture_output=True)
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
+        p = ctypes.c_void_p
+        i64 = ctypes.c_int64
+        lib.csr_count.argtypes = [p, i64, i64, i64, p]
+        lib.csr_count.restype = i64
+        lib.csr_scatter.argtypes = [p, p, i64, i64, p, p]
+        lib.csr_scatter.restype = None
+        lib.csr_scatter_w.argtypes = [p, p, p, i64, i64, p, p, p]
+        lib.csr_scatter_w.restype = None
+        _CSRKERN = lib
+    except Exception:
+        _CSRKERN = None
+    return _CSRKERN
+
+
 _MADV_HUGEPAGE = 14
 _PAGE = 4096
 

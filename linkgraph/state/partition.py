@@ -373,7 +373,33 @@ class GraphShard:
     def finalize_graph(self) -> dict:
         """Build the local CSR from ingested rows. Returns local stats."""
         import time as _time
+        from ..common import csr_kernels
         _t0 = _time.time()
+        chunks = None
+        lib = csr_kernels()
+        if self._pending and lib is not None \
+                and all("w" not in t.column_names for t in self._pending):
+            chunks = self._int64_chunks(self._pending)
+        if chunks is not None:
+            # zero-materialization path: count + scatter straight from the
+            # plasma-backed exchange chunks — no concat copies, no sort
+            # temporaries; the only fresh heap is the adjacency itself
+            self._pending = []
+            _t1 = _time.time()
+            self._reset_graph_caches()
+            indptr, indices, _ = self._scatter_build(lib, chunks)
+            self._install_csr(indptr, indices, None)
+            _t2 = _time.time()
+            self.warmup_scratch()
+            return {
+                "pid": self.pid, "n_local": self.n_local,
+                "n_edges": int(len(self.indices)),
+                "k_sum": float(self.k.sum()),
+                "out_deg_nonzero": int((np.diff(self.indptr) > 0).sum()),
+                "secs": {"concat": round(_t1 - _t0, 3),
+                         "build_csr": round(_t2 - _t1, 3),
+                         "warmup": round(_time.time() - _t2, 3)},
+            }
         if self._pending:
             tbl = pa.concat_tables(self._pending)
             # np.asarray: no copy when parquet already stores int64/f64
@@ -427,9 +453,138 @@ class GraphShard:
             self._msg_cache = (perm, uk, starts, cuts)
         return self._msg_cache
 
+    @staticmethod
+    def _int64_chunks(tables) -> "list[tuple[np.ndarray, np.ndarray]] | None":
+        """(src, dst) per Arrow chunk as zero-copy int64 views into the
+        plasma-backed exchange blocks, or None when any chunk has nulls
+        or a non-int64 dtype (callers fall back to the concat path)."""
+        out = []
+        try:
+            for t in tables:
+                sc, dc = t.column("src"), t.column("dst")
+                if sc.null_count or dc.null_count:
+                    return None
+                for s_ch, d_ch in zip(sc.chunks, dc.chunks):
+                    if len(s_ch) == 0:
+                        continue
+                    s = s_ch.to_numpy(zero_copy_only=True)
+                    d = d_ch.to_numpy(zero_copy_only=True)
+                    if s.dtype != np.int64 or d.dtype != np.int64:
+                        return None
+                    out.append((s, d))
+        except Exception:
+            return None
+        return out
+
+    def _scatter_build(self, lib, chunks, w_chunks=None):
+        """Two-pass counting sort over (src, dst[, w]) chunks via the C
+        kernels: read-only count pass -> indptr, then one scatter pass
+        into the fresh adjacency (+ weights).  Within-node order is
+        chunk-arrival order (deterministic: actor tasks run in submission
+        order), which is value-identical for the integral-weight graphs
+        this path is gated to — see csrkern.c and tests/test_csrkern.py.
+        Returns (indptr, indices, w_out-or-None)."""
+        import ctypes
+        from ..common import collapse_hugepages
+        p = ctypes.c_void_p
+        indptr = np.zeros(self.n_local + 1, dtype=np.int64)
+        counts_p = p(indptr.ctypes.data + 8)   # counts land in indptr[1:]
+        bad = 0
+        n_tot = 0
+        for s, _ in chunks:
+            bad += lib.csr_count(p(s.ctypes.data), len(s), self.lo,
+                                 self.n_local, counts_p)
+            n_tot += len(s)
+        if bad:
+            raise ValueError(f"shard {self.pid}: {bad} edges with src "
+                             f"outside [{self.lo}, {self.hi})")
+        np.cumsum(indptr, out=indptr)
+        indices = np.empty(n_tot, dtype=np.int64)
+        if n_tot:
+            # the scatter writes RANDOMLY: pre-fault the pages with one
+            # sequential touch per 4 KB page and collapse to 2 MB pages
+            # first — random access to cold 4 KB pages costs ~1 us/element
+            # on this host (measured 3.5 s -> 0.8 s on a 50M-edge scatter)
+            indices[::512] = 0
+            collapse_hugepages(indices)
+        cursor = indptr[:-1].copy()
+        if w_chunks is None:
+            for s, d in chunks:
+                lib.csr_scatter(p(s.ctypes.data), p(d.ctypes.data), len(s),
+                                self.lo, p(cursor.ctypes.data),
+                                p(indices.ctypes.data))
+            return indptr, indices, None
+        w_out = np.empty(n_tot, dtype=np.float64)
+        w_out[::512] = 0.0
+        collapse_hugepages(w_out)
+        for (s, d), wv in zip(chunks, w_chunks):
+            lib.csr_scatter_w(p(s.ctypes.data), p(d.ctypes.data),
+                              p(wv.ctypes.data), len(s), self.lo,
+                              p(cursor.ctypes.data), p(indices.ctypes.data),
+                              p(w_out.ctypes.data))
+        return indptr, indices, w_out
+
+    def _reset_graph_caches(self):
+        self._msg_cache = None
+        self._lv_bucket_cache = {}
+        # graph mutation invalidates the hub split (the engine re-splits
+        # explicitly if wanted); fall back to unsplit message paths
+        self.hub_mask = np.zeros(self.n_local, dtype=bool)
+        self._edge_keep = None
+        self.frag_src_u = np.empty(0, np.int64)
+        self.frag_counts = np.empty(0, np.int64)
+        self.frag_dst = np.empty(0, np.int64)
+        self.frag_w = np.empty(0, np.float64)
+        self.frag_offsets = np.zeros(1, np.int64)
+        self.frag_src_bucket = np.empty(0, np.int64)
+        self._frag_groups = (np.empty(0, np.int64), np.empty(0, np.int64),
+                             np.empty(0, np.int64))
+
+    def _install_csr(self, indptr: np.ndarray, indices: np.ndarray,
+                     w: "np.ndarray | None"):
+        """Common CSR epilogue: install arrays (``w=None`` -> stride-0
+        broadcast ones, the unweighted elision), promote to huge pages,
+        derive weighted degrees and the static ghost sets."""
+        from ..common import collapse_hugepages
+        unweighted = w is None
+        if unweighted:
+            w = np.broadcast_to(np.float64(1.0), len(indices))
+        self.indptr, self.indices, self.weights = indptr, indices, w
+        # deterministic huge-page promotion of the arrays every superstep
+        # gathers from: 4 KB pages cost ~25x on random access here
+        if unweighted:
+            collapse_hugepages(indptr, indices)
+        else:
+            collapse_hugepages(indptr, indices, w)
+        deg = np.diff(indptr)
+        if unweighted:
+            # weighted degree of all-1.0 weights IS the degree count;
+            # integer counts < 2^53 are exact in float64, so this is
+            # bit-identical to the reduceat sum of ones
+            self.k = deg.astype(np.float64)
+        elif len(indices):
+            ksum = np.add.reduceat(np.concatenate([w, [0.0]]), indptr[:-1])
+            self.k = np.where(deg > 0, ksum, 0.0)
+        else:
+            self.k = np.zeros(self.n_local)
+        # static ghost sets: remote ids referenced by local edges.
+        # Bitmap + flatnonzero (already sorted) when the node space is
+        # small enough for a worker-side byte vector — np.unique's
+        # mask-copy + sort was 5.9 s/shard at 50M edges; the bitmap pass
+        # is ~0.3 s.  Billion-vertex graphs fall back to unique.
+        if self.n_global <= 64_000_000:
+            bm = np.zeros(self.n_global, dtype=bool)
+            bm[indices] = True
+            bm[self.lo:self.hi] = False
+            remote = np.flatnonzero(bm)
+        else:
+            remote = np.unique(indices[(indices < self.lo)
+                                       | (indices >= self.hi)])
+        self.ghosts = [ids for ids, in split_by_owner(remote, self.bounds)]
+
     def _build_csr(self, src: np.ndarray, dst: np.ndarray,
                    w: np.ndarray | None):
-        from ..common import collapse_hugepages
+        from ..common import collapse_hugepages, csr_kernels
         # Unweighted graphs (w absent or all exactly 1.0 — the common
         # case for level-0 web link graphs) skip every E-length weight
         # array: no ones() fill, no w gather, and the persistent
@@ -445,30 +600,32 @@ class GraphShard:
             unweighted = (len(w) == 0
                           or (w.strides[0] == 0 and w.flat[0] == 1.0)
                           or bool((w == 1.0).all()))
-        # the sort below gathers these randomly — promote to 2 MB pages
+        integral = unweighted or bool((w == np.floor(w)).all())
+        self._reset_graph_caches()
+        lib = csr_kernels() if integral else None
+        if lib is not None:
+            # counting-sort scatter: no composite key, no argsort output,
+            # no gathers — fresh heap is the adjacency (+ weights) only.
+            # Integral weights make every downstream sum exact, so the
+            # arrival multi-edge order is value-identical to sorted.
+            src = np.ascontiguousarray(src, dtype=np.int64)
+            dst = np.ascontiguousarray(dst, dtype=np.int64)
+            wc = None if unweighted \
+                else [np.ascontiguousarray(w, dtype=np.float64)]
+            indptr, indices, w_out = self._scatter_build(
+                lib, [(src, dst)], wc)
+            self._install_csr(indptr, indices, w_out)
+            return
+        # numpy sort fallback (and the semantics oracle for the kernels)
+        # — the sort below gathers these randomly; promote to 2 MB pages
         # first (populated by the exchange concat; ~3.5-25x cheaper
         # random access on this host)
         if unweighted:
             collapse_hugepages(src, dst)
         else:
             collapse_hugepages(src, dst, w)
-        self._msg_cache = None
-        self._lv_bucket_cache = {}
-        # graph mutation invalidates the hub split (the engine re-splits
-        # explicitly if wanted); fall back to unsplit message paths
-        self.hub_mask = np.zeros(self.n_local, dtype=bool)
-        self._edge_keep = None
-        self.frag_src_u = np.empty(0, np.int64)
-        self.frag_counts = np.empty(0, np.int64)
-        self.frag_dst = np.empty(0, np.int64)
-        self.frag_w = np.empty(0, np.float64)
-        self.frag_offsets = np.zeros(1, np.int64)
-        self.frag_src_bucket = np.empty(0, np.int64)
-        self._frag_groups = (np.empty(0, np.int64), np.empty(0, np.int64),
-                             np.empty(0, np.int64))
         loc = src - self.lo
-        if (unweighted or (w == np.floor(w)).all()) \
-                and composite_fits(self.n_local, self.n_global):
+        if integral and composite_fits(self.n_local, self.n_global):
             # integral weights: kernel sums are exact, so multi-edge
             # order is irrelevant — unstable composite-key sort (the
             # stable lexsort dominated CSR build time at 100M edges)
@@ -481,30 +638,7 @@ class GraphShard:
         indptr = np.zeros(self.n_local + 1, dtype=np.int64)
         np.add.at(indptr, loc + 1, 1)
         np.cumsum(indptr, out=indptr)
-        if unweighted:
-            w = np.broadcast_to(np.float64(1.0), len(dst))
-        self.indptr, self.indices, self.weights = indptr, dst, w
-        # deterministic huge-page promotion of the arrays every superstep
-        # gathers from: 4 KB pages cost ~25x on random access here
-        from ..common import collapse_hugepages
-        if unweighted:
-            collapse_hugepages(indptr, dst)
-        else:
-            collapse_hugepages(indptr, dst, w)
-        deg = np.diff(indptr)
-        if unweighted:
-            # weighted degree of all-1.0 weights IS the degree count;
-            # integer counts < 2^53 are exact in float64, so this is
-            # bit-identical to the reduceat sum of ones
-            self.k = deg.astype(np.float64)
-        elif len(dst):
-            ksum = np.add.reduceat(np.concatenate([w, [0.0]]), indptr[:-1])
-            self.k = np.where(deg > 0, ksum, 0.0)
-        else:
-            self.k = np.zeros(self.n_local)
-        # static ghost sets: remote ids referenced by local edges
-        remote = np.unique(dst[(dst < self.lo) | (dst >= self.hi)])
-        self.ghosts = [ids for ids, in split_by_owner(remote, self.bounds)]
+        self._install_csr(indptr, dst, None if unweighted else w)
 
     def edge_arrays(self) -> pa.Table:
         """Local edges as (src,dst,w) with global ids (for rebuild/ckpt)."""
@@ -522,9 +656,13 @@ class GraphShard:
         dst, w = self.indices, self.weights
         if reverse:
             order = np.lexsort((src, dst))[:k]
-            return pa.table({"src": src[order], "dst": dst[order],
-                             "w": w[order]})
-        return pa.table({"src": src[:k], "dst": dst[:k], "w": w[:k]})
+        else:
+            # within-node adjacency order is arrival order on the scatter
+            # build path, so the printed (src, dst) contract needs its own
+            # sort — debug path, bounded output, worker-side sort is fine
+            order = np.lexsort((dst, src))[:k]
+        return pa.table({"src": src[order], "dst": dst[order],
+                         "w": w[order]})
 
     def set_global(self, *, M: float | None = None, n_global: int | None = None):
         if M is not None:
