@@ -360,12 +360,18 @@ class GraphShard:
             return 0
         from ..common import collapse_hugepages
         a = np.empty(n, np.float64)
-        a[:] = 0.0
-        # collapse AFTER populating (MADV_COLLAPSE refuses unpopulated
-        # ranges here): the buffer returns to the recycled heap with 2 MB
-        # backing, so every round's temporaries inherit huge pages —
-        # random gathers over them measure ~3.5-25x faster than on 4 KB
-        # pages on this host (common.collapse_hugepages)
+        # ONE touch per 4 KB page, then collapse: userspace writes to
+        # cold 4 KB-backed pages run at ~210 MB/s on this host (nested
+        # page-table walks per access), while the kernel-side collapse
+        # copy runs at full speed — the strided touch populates the same
+        # pages with 1/512th of the slow writes.  Measured on a 16-actor
+        # x 480 MB wave: full fill 64.6 s, stride+collapse 10-14 s.
+        # Collapse must come AFTER the touch (MADV_COLLAPSE refuses
+        # unpopulated ranges); the buffer then returns to the recycled
+        # heap with 2 MB backing, so every round's temporaries inherit
+        # huge pages — random gathers over them measure ~3.5-25x faster
+        # than on 4 KB pages (common.collapse_hugepages)
+        a[::512] = 0.0
         collapse_hugepages(a)
         del a
         return n * 8
