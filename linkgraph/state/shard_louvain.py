@@ -938,11 +938,21 @@ class LouvainShard(AlgoShard):
                     keep[hit] = False
                 else:
                     n_missing += 1
-        src, dst, w = src[keep], dst[keep], w[keep]
+        # keep the unweighted elision through the rebuild: fancy-indexing
+        # a stride-0 broadcast of ones would materialize E x 8 B of fresh
+        # heap per timestep only for _build_csr to re-detect and discard
+        elide = w.strides[0] == 0 and w.flat[0] == 1.0
+        src, dst = src[keep], dst[keep]
+        w = None if elide else w[keep]
         if add_tbl is not None and add_tbl.num_rows:
+            aw = add_tbl.column("w").to_numpy()
+            n_kept = len(src)
             src = np.concatenate([src, add_tbl.column("src").to_numpy()])
             dst = np.concatenate([dst, add_tbl.column("dst").to_numpy()])
-            w = np.concatenate([w, add_tbl.column("w").to_numpy()])
+            if elide and not bool((aw == 1.0).all()):
+                w, elide = np.concatenate([np.ones(n_kept), aw]), False
+            elif not elide:
+                w = np.concatenate([w, aw])
         self._build_csr(src, dst, w)
         return n_missing
 
