@@ -642,6 +642,19 @@ class GraphEngine:
             return 0.0
         return to_own / (2 * self.M) - tot_sq / (4 * self.M * self.M)
 
+    def _ensure_scratch(self, bytes_per_edge: "int | None" = None):
+        """Top the actors' prefaulted scratch up to the Louvain budget
+        (WARMUP_BYTES_PER_EDGE) before round 0.  Build-time warmup only
+        covers the message-path BASE budget, so engines that never run
+        Louvain (the PageRank stress job) never populate the difference;
+        the shard-side call is a no-op when already covered."""
+        from .partition import GraphShard
+        bpe = bytes_per_edge or GraphShard.WARMUP_BYTES_PER_EDGE
+        if getattr(self, "_scratch_bpe", 0) >= bpe:
+            return
+        ray.get([a.warmup_scratch.remote(bpe) for a in self.actors])
+        self._scratch_bpe = bpe
+
     def _one_level(self, min_gain: float, use_subset: bool) -> tuple[bool, float]:
         """Distributed level-0 one_level.  Returns (changed, final_q).
 
@@ -656,6 +669,7 @@ class GraphEngine:
         changed = False
         total_gain = min_gain
         _t0 = time.time()
+        self._ensure_scratch()
         q_before = self._modularity()  # refreshes ghost labels (barrier)
         # skip globally-empty degree buckets (the common case at high
         # bucket ids)
@@ -972,6 +986,7 @@ class GraphEngine:
         (aggregates are still rebuilt from post-previous-bucket labels —
         actor queue order guarantees it)."""
         from ..oracle import qlouvain as qlv
+        self._ensure_scratch()
         # -- preprocessing (nbc == 0) ------------------------------------
         max_w = max(ray.get([a.lv_max_weight_local.remote()
                              for a in self.actors]))
@@ -1110,6 +1125,10 @@ class GraphEngine:
         (selfloop insertion).  Drops the hub split: shard-side fragment
         copies no longer match the mutated CSR."""
         self.has_frags = False
+        # edge counts may have grown: let the next Louvain re-issue the
+        # scratch wave (shard-side check is bytes-based and no-ops when
+        # the warmed budget still covers the new size)
+        self._scratch_bpe = 0
         stats = ray.get([a.local_stats.remote() for a in self.actors])
         self.stats = stats
         self.M = sum(s["k_sum"] for s in stats) / 2.0
@@ -1398,6 +1417,7 @@ class GraphEngine:
         self._graph_version = getattr(self, "_graph_version", 0) + 1
         self.has_frags = False
         self._frag_reqs = None
+        self._scratch_bpe = 0   # edges may have grown: re-check warmup
         stats = ray.get([a.local_stats.remote() for a in self.actors])
         self.stats = stats
         self.M = sum(s_["k_sum"] for s_ in stats) / 2.0

@@ -330,19 +330,42 @@ class GraphShard:
             if vals else np.empty(0)
         return out  # frag_src_u is sorted -> owner chunks concat in order
 
-    # prefault budget per CSR edge: covers the per-round transient
-    # allocations (bucket-slice arrays, sort key/order, three gathers)
+    # prefault budgets per CSR edge.  BASE covers the message-path
+    # algorithms (PageRank/CC/LPA: perm cache + per-iteration gathered
+    # values) and is paid at build; the full budget covers a Louvain
+    # round's transient allocations (bucket-slice arrays, sort
+    # key/order, three gathers) and is topped up lazily before round 0
+    # (engine._ensure_scratch) so PageRank-only engines never populate it
+    BASE_WARMUP_BYTES_PER_EDGE = 24
     WARMUP_BYTES_PER_EDGE = 64
     WARMUP_CAP_BYTES = 2 << 30
 
-    def warmup_scratch(self) -> int:
+    def warmup_scratch(self, bytes_per_edge: "int | None" = None) -> int:
+        """Prefault per-round scratch, workload-aware and incremental.
+
+        Build-time default is BASE_WARMUP_BYTES_PER_EDGE (covers the
+        message-path algorithms: perm cache + per-iteration gathers);
+        the Louvain entry points top up to WARMUP_BYTES_PER_EDGE before
+        round 0 (engine._ensure_scratch).  Re-warming a smaller-or-equal
+        budget is a no-op; a larger budget re-allocates the full size —
+        the recycled heap supplies the already-warm portion, so only the
+        delta pages are populated."""
         import os as _os
         _env = _os.environ.get("LINKGRAPH_WARMUP_BYTES_PER_EDGE")
         if _env is not None:
-            self.WARMUP_BYTES_PER_EDGE = int(_env)
-        return self._warmup_scratch_impl()
+            bpe = int(_env)
+        elif bytes_per_edge is not None:
+            bpe = int(bytes_per_edge)
+        else:
+            bpe = self.BASE_WARMUP_BYTES_PER_EDGE
+        n_edges = len(self.indices) if self.indices is not None else 0
+        nbytes = min(n_edges * bpe, self.WARMUP_CAP_BYTES)
+        if nbytes <= getattr(self, "_warmed_bytes", 0):
+            return 0
+        self._warmed_bytes = nbytes
+        return self._warmup_scratch_impl(nbytes)
 
-    def _warmup_scratch_impl(self) -> int:
+    def _warmup_scratch_impl(self, nbytes: int) -> int:
         """Prefault the per-round scratch working set with one SEQUENTIAL
         fill.  tune_malloc keeps freed large buffers on the heap, so the
         pages this faults in are exactly the pages every round's
@@ -352,9 +375,6 @@ class GraphShard:
         scale on this virtualized host (round-2 profile).  Runs inside
         the build wave, so it overlaps across actors and scales with P.
         Returns bytes prefaulted."""
-        n_edges = len(self.indices) if self.indices is not None else 0
-        nbytes = min(n_edges * self.WARMUP_BYTES_PER_EDGE,
-                     self.WARMUP_CAP_BYTES)
         n = nbytes // 8
         if n <= 0:
             return 0
