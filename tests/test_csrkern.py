@@ -149,3 +149,25 @@ def test_raw_kernels_counting_sort():
                     p(cursor.ctypes.data), p(out.ctypes.data))
     # arrival order within each node
     assert out.tolist() == [8, 7, 4, 6, 9, 5]
+
+
+def test_warmup_lazy_and_incremental():
+    """Build-time warmup covers the BASE budget; Louvain top-up warms the
+    difference; a smaller-or-equal re-request is a no-op; growth after a
+    rebuild re-warms."""
+    sh = _mk_shard([0, 100, 200])
+    src, dst = _rand_edges(3, 10_000, 0, 100, 200)
+    sh._build_csr(src, dst, None)
+    sh._warmed_bytes = 0                      # isolate from build warmup
+    base = sh.warmup_scratch()
+    assert base == 10_000 * sh.BASE_WARMUP_BYTES_PER_EDGE
+    assert sh.warmup_scratch() == 0           # covered: no-op
+    top = sh.warmup_scratch(sh.WARMUP_BYTES_PER_EDGE)
+    assert top == 10_000 * sh.WARMUP_BYTES_PER_EDGE
+    assert sh.warmup_scratch(sh.WARMUP_BYTES_PER_EDGE) == 0
+    assert sh.warmup_scratch(32) == 0         # smaller budget: no-op
+    # grow the graph: same budget now needs more bytes
+    src2, dst2 = _rand_edges(4, 20_000, 0, 100, 200)
+    sh._build_csr(src2, dst2, None)
+    assert sh.warmup_scratch(sh.WARMUP_BYTES_PER_EDGE) \
+        == 20_000 * sh.WARMUP_BYTES_PER_EDGE
