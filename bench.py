@@ -160,6 +160,7 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
     pr_eng = GraphEngine.from_dataset(pr_ds, n_nodes=PR_NODES, n_parts=P,
                                       name="pr_stress")
     pr_build_secs = time.time() - t0
+    pr_build_phases = [m for m in pr_eng.metrics if m.get("algo") == "build"]
     n_pr_edges = sum(s["n_edges"] for s in pr_eng.stats)
     pr_eng.pagerank(tol=0.0, max_iter=2)     # warm
     windows = []
@@ -243,6 +244,7 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
         "dynamic_r_frac": round(recs[-1]["r_frac"], 4) if recs else 0.0,
         "build_phases": [m for m in eng.metrics
                          if m.get("algo") == "build"],
+        "pr_build_phases": pr_build_phases,
     }
 
 
