@@ -51,6 +51,12 @@ def q_doc_tokens(sf_dir: str):
         concurrency=(1, 4))
 
 
+def q_doc_bpe_tokens(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.bpe_token_count_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def q_doc_quality(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         tx.quality_batch, batch_format="pyarrow", zero_copy_batch=True)
@@ -382,6 +388,11 @@ TEXT_SQL: dict[str, str] = {
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars
         FROM documents""",
+    "doc_bpe_tokens": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '{tx.BPE_TOKEN_PAT}')) AS BIGINT) AS n_bpe
+        FROM documents""",
     "doc_quality": f"""
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -507,6 +518,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_dynamic_louvain": ev.q_dynamic_louvain,
     # text / training-data operators (north rule)
     "doc_tokens": q_doc_tokens,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_quality": q_doc_quality,
     "doc_quality_score": q_doc_quality_score,
     "doc_dedup_exact": q_doc_dedup_exact,

@@ -273,6 +273,7 @@ class GraphEngine:
 
         hist_parts = ray.get([_deg_block.remote(b) for b in block_refs])
         hist = np.sum(hist_parts, axis=0) if hist_parts else np.zeros(nb)
+        hist_raw = hist  # uncapped: exact per-range row counts (prewarm)
         if split_hubs and hist.sum() > 0:
             # the hub split exports hub-src rows to their dst owners, so
             # the per-shard move/message work a range actually carries is
@@ -289,6 +290,25 @@ class GraphEngine:
         eng = cls(bounds, name=name)
         _t2 = time.time()
         bounds_ref = ray.put(eng.bounds)
+        # Overlap per-shard scratch population with the route wave: the
+        # UNCAPPED histogram gives each bound range's exact row count
+        # (src-bucket mass, linear within boundary buckets), so every
+        # actor prefaults its BASE scratch as its FIRST queued task while
+        # the stateless _route_block tasks produce its blocks on other
+        # CPUs.  finalize's warmup_scratch then only pays the shortfall.
+        cum_raw = np.concatenate([[0.0], np.cumsum(hist_raw)])
+
+        def _mass(x: int) -> float:
+            b, r = divmod(int(x), width)
+            m = cum_raw[min(b, nb)]
+            if r and b < nb:
+                m += hist_raw[b] * (r / width)
+            return m
+
+        if os.environ.get("LINKGRAPH_PREWARM", "1") != "0":
+            for p, a in enumerate(eng.actors):
+                est = _mass(eng.bounds[p + 1]) - _mass(eng.bounds[p])
+                a.prewarm_scratch.remote(int(est))
         pending = []
         for blk in block_refs:
             parts = _route_block.options(num_returns=eng.P).remote(

@@ -78,6 +78,23 @@ def _per_row_sum(flags: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return out
 
 
+# BPE-ish subword segmentation (GPT-2-style word/number/punct classes
+# with leading-space absorption, simplified to RE2: no lookahead — RE2 is
+# what BOTH pyarrow (pc.count_substring_regex) and DuckDB
+# (regexp_extract_all) run, so the SQL oracle matches bit-exactly).
+BPE_TOKEN_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+|[ \t\n\r]+"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe) — non-overlapping BPE_TOKEN_PAT match count per
+    doc; one vectorized RE2 pass in Arrow C++, no per-row Python."""
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bpe": pc.count_substring_regex(
+            batch.column("text"), BPE_TOKEN_PAT).cast(pa.int64()),
+    })
+
+
 # ------------------------------------------------------------- token stats
 
 class TokenStats:

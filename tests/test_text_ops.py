@@ -40,6 +40,28 @@ def test_token_stats_matches_python_split():
     assert out.column("n_chars").to_pylist() == [len(t) for t in texts]
 
 
+def test_bpe_token_count_matches_re_and_duckdb():
+    import re
+
+    import duckdb
+
+    from linkgraph.text.ops import BPE_TOKEN_PAT, bpe_token_count_batch
+
+    texts = ["Hello, world! It's 2026...", "  foo\tbar  42x7 ", "",
+             "naïve café №42", "a'b''c", "x" * 5000, "1 2 3\n\n4"]
+    out = bpe_token_count_batch(docs_table(texts))
+    got = out.column("n_bpe").to_pylist()
+    # BPE_TOKEN_PAT is lookahead-free, so Python re == RE2 here
+    want = [len(re.findall(BPE_TOKEN_PAT, t)) for t in texts]
+    assert got == want
+    con = duckdb.connect()
+    for t, n in zip(texts, got):
+        sql_n = con.execute(
+            "select len(regexp_extract_all(?, ?))",
+            [t, BPE_TOKEN_PAT]).fetchone()[0]
+        assert sql_n == n
+
+
 def test_quality_counts():
     texts = ["the cat and the hat", "a a a", "xyz"]
     out = quality_batch(docs_table(texts))
