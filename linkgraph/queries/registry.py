@@ -57,6 +57,33 @@ def q_doc_bpe_tokens(sf_dir: str):
         zero_copy_batch=True)
 
 
+def q_mm_frames(sf_dir: str):
+    """Frame-sampling multimodal stage end-to-end (see FrameSampler):
+    1 -> K row expansion with binary-window fingerprints, value-checked
+    against the hex-substring SQL oracle."""
+    import pyarrow as _pa
+
+    from ..stages.multimodal import FrameSampler
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_media(t: "_pa.Table") -> "_pa.Table":
+        return _pa.table({"id": t.column("doc_id"),
+                          "media": t.column("text").cast(_pa.binary())})
+
+    frames = (docs.map_batches(to_media, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .map_batches(FrameSampler, batch_format="pyarrow",
+                           concurrency=(1, 4), batch_size=128))
+
+    def project(t: "_pa.Table") -> "_pa.Table":
+        return t.rename_columns(
+            ["doc_id", "frame_idx", "f_len", "f_fingerprint"])
+
+    return frames.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_doc_quality(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         tx.quality_batch, batch_format="pyarrow", zero_copy_batch=True)
@@ -262,6 +289,33 @@ _MM_SQL = f"""
     SELECT doc_id, n_bytes, {_U64_TO_I64.format(x='fp')} AS fingerprint
     FROM f"""
 
+# frame sampling: K=4 evenly spaced 64-byte windows per payload; byte
+# windows are hex-string substrings in SQL, and the integer offset
+# arithmetic ((j * max(n-64, 0)) // 3) is identical on both sides
+_FRAMES_SQL = f"""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      CAST(octet_length(encode(text)) AS BIGINT)
+                        AS n_bytes
+               FROM documents),
+    fr AS (SELECT doc_id, n_bytes, hx,
+                  CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS frame_idx
+           FROM h),
+    st AS (SELECT doc_id, frame_idx, hx, n_bytes,
+                  (frame_idx * GREATEST(n_bytes - 64, 0)) // 3 AS fstart
+           FROM fr),
+    ln AS (SELECT doc_id, frame_idx, hx, fstart,
+                  LEAST(64, GREATEST(n_bytes - fstart, 0)) AS f_len
+           FROM st),
+    sx AS (SELECT doc_id, frame_idx, f_len,
+                  substring(hx, CAST(fstart * 2 + 1 AS BIGINT),
+                            CAST(f_len * 2 AS BIGINT)) AS fhx
+           FROM ln),
+    f AS (SELECT doc_id, frame_idx, f_len,
+                 {_POLY_FOLD.format(h='fhx')} AS fp FROM sx)
+    SELECT doc_id, frame_idx, f_len,
+           {_U64_TO_I64.format(x='fp')} AS f_fingerprint
+    FROM f"""
+
 # 64 majority-vote bit aggregates recombined into the signed simhash
 _SIMHASH_BITS = " + ".join(
     f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
@@ -382,6 +436,7 @@ TEXT_SQL: dict[str, str] = {
     "doc_quality_score": _QUALITY_SCORE_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
     "mm_media_features": _MM_SQL,
+    "mm_frames": _FRAMES_SQL,
     "doc_simhash": _SIMHASH_SQL,
     "doc_tokens": """
         SELECT doc_id,
@@ -531,6 +586,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_dedup_near": q_doc_dedup_near,
     # multimodal binary-column stage (north rule)
     "mm_media_features": q_mm_media_features,
+    "mm_frames": q_mm_frames,
     # embeddings / similarity search (north rule)
     "emb_ann": q_emb_ann,
     "emb_ivf_ann": q_emb_ivf_ann,

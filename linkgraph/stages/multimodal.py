@@ -46,6 +46,55 @@ class StubCodec:
         return out
 
 
+class FrameSampler:
+    """Actor-pool stage: (id, media:binary) -> K rows per payload
+    (id, frame_idx, f_len, f_fingerprint) — the video frame-sampling
+    shape (decode container -> sample K evenly spaced frames) with the
+    codec stubbed: a 'frame' is an L-byte window of the raw payload at
+    evenly spaced offsets start_j = (j * max(n_bytes - L, 0)) // (K - 1).
+
+    Row-expanding (1 -> K) inside map_batches, all-vectorized: one flat
+    gather over the zero-copy Arrow binary buffers + one Horner-fold
+    fingerprint pass over the concatenated frame bytes.  Integer offset
+    arithmetic matches DuckDB's `//`, so the gate is value-hashed
+    exactly (substring on the hex-encoded payload in SQL).
+    """
+
+    def __init__(self, id_col: str = "id", media_col: str = "media",
+                 n_frames: int = 4, frame_len: int = 64):
+        assert n_frames >= 2 and frame_len >= 1
+        self.id_col, self.media_col = id_col, media_col
+        self.K, self.L = int(n_frames), int(frame_len)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..text.ops import _poly_hash_flat, _str_bytes
+
+        data, lens = _str_bytes(batch.column(self.media_col))
+        lens = lens.astype(np.int64)
+        n, K, L = len(lens), self.K, self.L
+        row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) \
+            .astype(np.int64)
+        j = np.arange(K, dtype=np.int64)
+        span = np.maximum(lens - L, 0)                    # (n,)
+        starts = (j[None, :] * span[:, None]) // (K - 1)  # (n, K)
+        flen = np.clip(lens[:, None] - starts, 0, L)      # (n, K)
+        fl = flen.ravel()
+        abs_start = (row_starts[:, None] + starts).ravel()
+        # flat gather indices: concat of aranges, no Python loop
+        csum0 = np.concatenate([[0], np.cumsum(fl)[:-1]])
+        idx = (np.repeat(abs_start - csum0, fl)
+               + np.arange(int(fl.sum()), dtype=np.int64))
+        fp = _poly_hash_flat(data[idx], fl)
+        ids = batch.column(self.id_col)
+        return pa.table({
+            self.id_col: ids.take(pa.array(np.repeat(
+                np.arange(n, dtype=np.int64), K))),
+            "frame_idx": pa.array(np.tile(j, n), pa.int64()),
+            "f_len": pa.array(fl, pa.int64()),
+            "f_fingerprint": pa.array(fp.view(np.int64), pa.int64()),
+        })
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: (id, media:binary) -> (id, n_bytes,
     fingerprint, feature).

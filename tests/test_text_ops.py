@@ -217,6 +217,26 @@ def test_stub_codec_deterministic():
         StubCodec(deterministic=False).decode(b"x")
 
 
+def test_frame_sampler_windows_and_fingerprints():
+    from linkgraph.stages.multimodal import FrameSampler
+    from linkgraph.text.ops import _poly_hash_flat
+
+    payloads = [b"", b"short", b"x" * 64, b"y" * 65, bytes(range(200))]
+    batch = pa.table({"id": pa.array(range(len(payloads)), pa.int64()),
+                      "media": pa.array(payloads, pa.binary())})
+    out = FrameSampler(n_frames=4, frame_len=64)(batch)
+    assert out.num_rows == 4 * len(payloads)
+    rows = out.to_pylist()
+    for r in rows:
+        p = payloads[r["id"]]
+        start = (r["frame_idx"] * max(len(p) - 64, 0)) // 3
+        frame = p[start:start + 64]
+        assert r["f_len"] == len(frame)
+        b = np.frombuffer(frame, np.uint8)
+        want = _poly_hash_flat(b, np.array([len(b)]))[0]
+        assert np.uint64(r["f_fingerprint"]) == want
+
+
 def test_media_feature_extractor_batch():
     tbl = pa.table({
         "id": pa.array([1, 2], pa.int64()),
