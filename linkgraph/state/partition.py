@@ -481,8 +481,12 @@ class GraphShard:
         Supersteps that aggregate messages by dst (PageRank sums, CC mins)
         reuse this instead of re-sorting the shard's edge list every
         iteration (the argsort was >80% of per-iteration time at scale).
-        ``perm`` is the stable argsort of indices, so reduce order — and
-        float sums — are bit-identical to the naive _grouped_sum path."""
+        ``rowperm`` maps each dst-sorted edge slot to its SOURCE ROW, so
+        per-iteration message values are ONE fused gather
+        (``contrib[rowperm]``) instead of repeat-then-permute (two
+        E-length passes).  The underlying permutation is the stable
+        argsort of indices, so reduce order — and float sums — are
+        bit-identical to the naive _grouped_sum path."""
         if getattr(self, "_msg_cache", None) is None:
             if self._edge_keep is not None:
                 kept = np.flatnonzero(self._edge_keep)
@@ -492,9 +496,11 @@ class GraphShard:
             k = self.indices[perm]
             uk, starts = np.unique(k, return_index=True)
             cuts = np.searchsorted(uk, self.bounds)
+            rowperm = np.repeat(np.arange(self.n_local, dtype=np.int64),
+                                np.diff(self.indptr))[perm]
             from ..common import collapse_hugepages
-            collapse_hugepages(perm, uk, starts)  # per-iteration gathers
-            self._msg_cache = (perm, uk, starts, cuts)
+            collapse_hugepages(rowperm, uk, starts)  # per-iteration gathers
+            self._msg_cache = (rowperm, uk, starts, cuts)
         return self._msg_cache
 
     @staticmethod

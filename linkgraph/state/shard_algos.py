@@ -72,8 +72,8 @@ class AlgoShard(GraphShard):
             self.pagerank_set_frag(frag_vals)
         rank = self.state["rank"]
         contrib = rank / np.maximum(self._outdeg, 1.0)
-        perm, uk, starts, cuts = self._msg_groups()
-        vals = np.repeat(contrib, np.diff(self.indptr))[perm]
+        rowperm, uk, starts, cuts = self._msg_groups()
+        vals = contrib[rowperm]
         sums = np.add.reduceat(vals, starts) if len(starts) \
             else np.empty(0, np.float64)
         dangling = float(rank[self._outdeg == 0].sum())
@@ -134,8 +134,8 @@ class AlgoShard(GraphShard):
         if len(self.indices) == 0:
             empty = np.empty(0, np.int64)
             return tuple((empty, empty) for _ in range(self.P))
-        perm, uk, starts, cuts = self._msg_groups()
-        v = np.repeat(comp, np.diff(self.indptr))[perm]
+        rowperm, uk, starts, cuts = self._msg_groups()
+        v = comp[rowperm]
         mins = np.minimum.reduceat(v, starts)
         out = []
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
