@@ -231,6 +231,7 @@ class GraphShard:
         keep = ~np.repeat(self.hub_mask, np.diff(self.indptr))
         self._edge_keep = None if keep.all() else keep
         self._msg_cache = None
+        self._lpa_cache = None
         if self._frag_pending:
             tbl = pa.concat_tables(self._frag_pending)
             self._frag_pending = []
@@ -503,6 +504,31 @@ class GraphShard:
             self._msg_cache = (rowperm, uk, starts, cuts)
         return self._msg_cache
 
+    def _lpa_groups(self):
+        """Static LPA edge view — (row, dst, w_kept_or_None), computed
+        once per graph version: non-self-loop kept edges, with ``row``
+        the local source row of each (so per-iteration label values are
+        one gather ``lab[row]``).  ``w`` stays None for unweighted
+        graphs (callers substitute a stride-0 broadcast of ones)."""
+        if getattr(self, "_lpa_cache", None) is None:
+            src_g = np.repeat(
+                np.arange(self.n_local, dtype=np.int64) + self.lo,
+                np.diff(self.indptr))
+            nonself = self.indices != src_g
+            if self._edge_keep is not None:
+                nonself &= self._edge_keep  # hub rows travel as fragments
+            row = (src_g - self.lo)[nonself]
+            dst = self.indices[nonself]
+            w = (None if (len(self.weights) and self.weights.strides[0] == 0)
+                 else self.weights[nonself])
+            from ..common import collapse_hugepages
+            if w is None:
+                collapse_hugepages(row, dst)
+            else:
+                collapse_hugepages(row, dst, w)
+            self._lpa_cache = (row, dst, w)
+        return self._lpa_cache
+
     @staticmethod
     def _int64_chunks(tables) -> "list[tuple[np.ndarray, np.ndarray]] | None":
         """(src, dst) per Arrow chunk as zero-copy int64 views into the
@@ -576,6 +602,7 @@ class GraphShard:
 
     def _reset_graph_caches(self):
         self._msg_cache = None
+        self._lpa_cache = None
         self._lv_bucket_cache = {}
         # graph mutation invalidates the hub split (the engine re-splits
         # explicitly if wanted); fall back to unsplit message paths

@@ -199,14 +199,10 @@ class AlgoShard(GraphShard):
         if frag_vals is not None:
             self.lpa_set_frag(frag_vals)
         lab = self.state["lpa"]
-        src_g = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo,
-                          np.diff(self.indptr))
-        nonself = self.indices != src_g
-        if self._edge_keep is not None:
-            nonself &= self._edge_keep  # hub rows travel as fragments
-        dst = self.indices[nonself]
-        w = self.weights[nonself]
-        l = np.repeat(lab, np.diff(self.indptr))[nonself]
+        row, dst, w = self._lpa_groups()
+        if w is None:   # unweighted elision: no E-length ones array
+            w = np.broadcast_to(np.float64(1.0), len(dst))
+        l = lab[row]
         ids, labs, sums = _grouped_sum2(dst, l, w, self.n_global)
         chunks = split_by_owner(ids, self.bounds, labs, sums)
         empty = (np.empty(0, np.int64), np.empty(0, np.int64),

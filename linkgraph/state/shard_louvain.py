@@ -847,6 +847,7 @@ class LouvainShard(AlgoShard):
             return False
         self.indptr, self.indices, self.weights, self.k = st
         self._msg_cache = None
+        self._lpa_cache = None
         self._lv_bucket_cache = {}
         self._all_col_pos = None
         remote = np.unique(self.indices[(self.indices < self.lo)
