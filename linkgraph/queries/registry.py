@@ -185,6 +185,56 @@ def q_doc_dedup_near(sf_dir: str):
                                threshold=0.5, pairs=_minhash_pairs(sf_dir))
 
 
+PACK_CAPACITY = 256
+
+
+def q_doc_pack(sf_dir: str):
+    """Sequence-packing metadata (concat-and-chunk): exclusive prefix
+    sum of token counts in doc_id order via the distributed range-
+    exchange scan (stages/scan.ordered_prefix_scan) -> window id +
+    offset per document."""
+    return tx.pack_docs(_docs(sf_dir, ["doc_id", "text"]),
+                        capacity=PACK_CAPACITY)
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test split by splitmix64(doc_id)
+    — stable under repartitioning, no shuffle."""
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        tx.train_split_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def q_mm_resize(sf_dir: str):
+    """Resize multimodal stage end-to-end (see stages.multimodal.Resizer):
+    binary in -> strided-downsample binary out through an actor pool;
+    output bytes pinned by length + rolling-hash fingerprint (the SQL-
+    checkable half; the resized binary column itself is projected away
+    like every payload before a shuffle)."""
+    import pyarrow as _pa
+
+    from ..stages.multimodal import Resizer
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_media(t: "_pa.Table") -> "_pa.Table":
+        return _pa.table({"id": t.column("doc_id"),
+                          "media": t.column("text").cast(_pa.binary())})
+
+    resized = (docs.map_batches(to_media, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .map_batches(Resizer, batch_format="pyarrow",
+                            concurrency=(1, 4), batch_size=128))
+
+    def project(t: "_pa.Table") -> "_pa.Table":
+        return _pa.table({"doc_id": t.column("id"),
+                          "out_bytes": t.column("out_bytes"),
+                          "out_fingerprint": t.column("out_fingerprint")})
+
+    return resized.map_batches(project, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 # ------------------------------------------------------- embedding queries
 
 def q_emb_ann(sf_dir: str):
@@ -429,7 +479,74 @@ _SIMHASH_PAIRS_SQL = f"""
     FROM sim s1 JOIN sim s2 ON s1.doc_id < s2.doc_id
     WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3"""
 
+# sequence packing: window SUM mirrors the distributed range-exchange
+# scan exactly (integer token counts, exclusive frame)
+_PACK_SQL = """
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT)
+                        AS n_tokens
+               FROM documents),
+    s AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_offset
+          FROM t)
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // {cap} AS bin_id,
+           start_offset % {cap} AS bin_pos
+    FROM s"""
+
+# train/val/test split: the identical splitmix64 finalizer chain the
+# Ray side runs (text/ops._splitmix64), in mod-2^64 HUGEINT SQL
+_SPLIT_SQL = f"""
+    WITH s0 AS (SELECT doc_id,
+                CAST((CAST(doc_id AS HUGEINT) + {_SM_GOLDEN}) % {_T64}
+                     AS UBIGINT) AS x
+                FROM documents),
+    s1 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM s0),
+    s2 AS (SELECT doc_id,
+                  {_mulmod_sql('x', _SM_M1, _SM_M1_LO)} AS x FROM s1),
+    s3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM s2),
+    s4 AS (SELECT doc_id,
+                  {_mulmod_sql('x', _SM_M2, _SM_M2_LO)} AS x FROM s3),
+    s5 AS (SELECT doc_id, xor(x, x >> 31) AS h FROM s4),
+    b AS (SELECT doc_id, CAST(h % 1000 AS BIGINT) AS bucket FROM s5)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 900 THEN 'train'
+                WHEN bucket < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b"""
+
+# resize stage: every F-th byte of the payload, Horner-folded — the
+# strided byte list is built straight from the hex encoding
+_RESIZE_F = 8
+_STRIDED_BYTES = (
+    "list_transform(range(0, CAST((n + {f} - 1) // {f} AS BIGINT)), "
+    "j -> CAST(16 * (strpos('0123456789ABCDEF', "
+    "substring(hx, CAST(2 * {f} * j + 1 AS BIGINT), 1)) - 1) "
+    "+ strpos('0123456789ABCDEF', "
+    "substring(hx, CAST(2 * {f} * j + 2 AS BIGINT), 1)) - 1 AS HUGEINT))"
+).format(f=_RESIZE_F)
+_RESIZE_SQL = f"""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n
+               FROM documents),
+    b AS (SELECT doc_id,
+                 (n + {_RESIZE_F - 1}) // {_RESIZE_F} AS out_bytes,
+                 CASE WHEN n = 0 THEN CAST(0 AS HUGEINT)
+                      ELSE list_reduce({_STRIDED_BYTES},
+                           (acc, b) -> (acc * 1099511628211 + b)
+                                       % {_T64})
+                 END AS fp
+          FROM h)
+    SELECT doc_id, out_bytes,
+           {_U64_TO_I64.format(x='fp')} AS out_fingerprint
+    FROM b"""
+
 TEXT_SQL: dict[str, str] = {
+    "doc_pack": _PACK_SQL.format(cap=PACK_CAPACITY),
+    "doc_split": _SPLIT_SQL,
+    "mm_resize": _RESIZE_SQL,
     "doc_minhash_pairs": _MINHASH_SQL,
     "doc_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "doc_dedup_near": _NEAR_DEDUP_SQL,
@@ -584,9 +701,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_token_jaccard": q_doc_token_jaccard,
     "doc_dedup_near": q_doc_dedup_near,
+    "doc_pack": q_doc_pack,
+    "doc_split": q_doc_split,
     # multimodal binary-column stage (north rule)
     "mm_media_features": q_mm_media_features,
     "mm_frames": q_mm_frames,
+    "mm_resize": q_mm_resize,
     # embeddings / similarity search (north rule)
     "emb_ann": q_emb_ann,
     "emb_ivf_ann": q_emb_ivf_ann,
@@ -604,6 +724,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rel_orders_by_segment": rel.q_orders_by_segment,
     "rel_lineitem_nation_rollup": rel.q_lineitem_nation_rollup,
     "rel_shuffle_join_orders": rel.q_shuffle_join_orders,
+    "rel_pricing_summary": rel.q_pricing_summary,
     # community outputs (S8) over the lineitem graph
     "graph_comm_sizes": q_graph_comm_sizes,
 }

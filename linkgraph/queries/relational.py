@@ -104,7 +104,86 @@ def q_shuffle_join_orders(sf_dir: str):
                 batch_format="pyarrow"))
 
 
+# pricing-summary cutoff: predicate pushed into the parquet read
+_Q1_CUTOFF = "1998-09-01"
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style pricing summary: filter at the read (row-group
+    pruning via parquet filter), map-side partial aggregation per block,
+    then a tiny 6-group final groupby — the canonical wide-table scan.
+
+    Money sums are floor-cent-quantized BEFORE summation (identical
+    float64 expression tree on the SQL side) so the int64 sums are
+    order-invariant and hash-exact."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    cutoff = datetime.datetime.fromisoformat(_Q1_CUTOFF)
+    from ..common import strip_meta
+    ds = strip_meta(rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= pa.scalar(cutoff))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.less_equal(t.column("l_shipdate"),
+                             pa.scalar(cutoff)).to_numpy(
+                                 zero_copy_only=False)
+        qty = t.column("l_quantity").to_numpy()[keep].astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy()[keep]
+        disc = t.column("l_discount").to_numpy()[keep]
+        base_c = np.floor(ep * 100.0 + 0.5).astype(np.int64)
+        disc_c = np.floor(ep * (1.0 - disc) * 100.0 + 0.5) \
+            .astype(np.int64)
+        flags = np.asarray(t.column("l_returnflag").to_pylist(),
+                           dtype=object)[keep]
+        stats = np.asarray(t.column("l_linestatus").to_pylist(),
+                           dtype=object)[keep]
+        key = np.char.add(flags.astype(str), stats.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        # exact int64 grouped sums (money at corpus scale exceeds the
+        # float53 mantissa bincount weights would route through)
+        sq = np.zeros(len(uk), np.int64)
+        sb = np.zeros(len(uk), np.int64)
+        sd = np.zeros(len(uk), np.int64)
+        np.add.at(sq, inv, qty)
+        np.add.at(sb, inv, base_c)
+        np.add.at(sd, inv, disc_c)
+        return pa.table({
+            "l_returnflag": pa.array([k[0] for k in uk], pa.string()),
+            "l_linestatus": pa.array([k[1] for k in uk], pa.string()),
+            "n_items": pa.array(cnt, pa.int64()),
+            "sum_qty": pa.array(sq, pa.int64()),
+            "sum_base_cents": pa.array(sb, pa.int64()),
+            "sum_disc_cents": pa.array(sd, pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("sum_base_cents", alias_name="sum_base_cents"),
+                       Sum("sum_disc_cents", alias_name="sum_disc_cents")))
+
+
 RELATIONAL_SQL: dict[str, str] = {
+    "rel_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS sum_base_cents,
+               SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT)) AS sum_disc_cents
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
     "rel_orders_by_segment": """
         SELECT c.c_mktsegment AS segment,
                CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -127,3 +127,56 @@ class MediaFeatureExtractor:
             "fingerprint": pa.array(fp.view(np.int64), pa.int64()),
             "feature": [f.tolist() for f in feats],
         })
+
+
+class Resizer:
+    """Actor-pool stage: (id, media:binary) -> (id, media:binary
+    resized, out_bytes, out_fingerprint) — the image-resize shape
+    (decode -> downscale -> re-encode) with the codec stubbed: the
+    'resized' payload is every ``factor``-th byte of the input
+    (a deterministic 1-D nearest-neighbor downsample), so the Ray-side
+    plumbing — binary in, binary out, small batches, actor pool — is
+    real and the output bytes are pinned by a SQL-checkable
+    fingerprint.  Swap :class:`StubCodec` semantics for PIL on a
+    cluster that has it.
+
+    All-vectorized: one strided flat gather over the zero-copy Arrow
+    binary buffers, output rebuilt as a single Arrow binary array from
+    the gathered flat bytes + new offsets (no per-row Python).
+    """
+
+    def __init__(self, id_col: str = "id", media_col: str = "media",
+                 factor: int = 8, deterministic: bool = True):
+        assert factor >= 1
+        self.id_col, self.media_col = id_col, media_col
+        self.F = int(factor)
+        if not deterministic:
+            raise NotImplementedError(
+                "real image resizing requires PIL; not in this env")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..text.ops import _poly_hash_flat, _str_bytes
+
+        data, lens = _str_bytes(batch.column(self.media_col))
+        lens = lens.astype(np.int64)
+        F = np.int64(self.F)
+        row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) \
+            .astype(np.int64)
+        ol = (lens + F - 1) // F                       # ceil(len / F)
+        total = int(ol.sum())
+        csum0 = np.concatenate([[0], np.cumsum(ol)[:-1]]).astype(np.int64)
+        # within-row sample index j -> source byte row_start + j * F
+        j = np.arange(total, dtype=np.int64) - np.repeat(csum0, ol)
+        idx = np.repeat(row_starts, ol) + j * F
+        out = data[idx]
+        offsets = np.concatenate([[0], np.cumsum(ol)]).astype(np.int32)
+        media_out = pa.BinaryArray.from_buffers(
+            pa.binary(), len(ol), [None, pa.py_buffer(offsets.tobytes()),
+                                   pa.py_buffer(out.tobytes())])
+        fp = _poly_hash_flat(out, ol)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "media": media_out,
+            "out_bytes": pa.array(ol, pa.int64()),
+            "out_fingerprint": pa.array(fp.view(np.int64), pa.int64()),
+        })

@@ -917,3 +917,62 @@ def near_dup_keepmap(docs, *, threshold: float = 0.5, max_iter: int = 32,
 
     return ids.map_batches(fill, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# --------------------------------------------- corpus packing / splitting
+
+def pack_docs(docs, capacity: int = 256):
+    """Sequence-packing metadata: concatenate the corpus in doc_id order
+    and cut it into fixed ``capacity``-token training windows.
+
+    Returns (doc_id, n_tokens, start_offset, bin_id, bin_pos) where
+    ``start_offset`` is the exclusive prefix sum of token counts in
+    doc_id order, ``bin_id = start_offset // capacity`` the window the
+    document STARTS in and ``bin_pos`` its token offset inside that
+    window (long documents straddle windows — the downstream tokenizer
+    slices by offset).
+
+    The wide step is :func:`stages.scan.ordered_prefix_scan` — a
+    range-exchange scan whose driver traffic is O(P) partial totals;
+    nothing row-sized leaves the workers.  SQL-equivalent:
+    ``SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``.
+    """
+    from ..stages.scan import ordered_prefix_scan
+
+    cap = np.int64(capacity)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        _, lens = _tokens(batch)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(lens, pa.int64())})
+
+    def bins(t: pa.Table) -> pa.Table:
+        off = t.column("start_offset").to_numpy()
+        return t.append_column(
+            "bin_id", pa.array(off // cap, pa.int64())).append_column(
+            "bin_pos", pa.array(off % cap, pa.int64()))
+
+    return ordered_prefix_scan(
+        docs.map_batches(counts, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "doc_id", "n_tokens", out_col="start_offset", post=bins)
+
+
+SPLIT_BUCKETS = 1000
+SPLIT_TRAIN, SPLIT_VAL = 900, 950   # 90 / 5 / 5
+
+
+def train_split_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic train/val/test split: splitmix64(doc_id) % 1000
+    against fixed thresholds — pure content-independent id hashing, so
+    the assignment is stable under any repartitioning/reordering and
+    needs no shuffle at all (embarrassingly parallel per batch)."""
+    ids = batch.column("doc_id").to_numpy()
+    bucket = (_splitmix64(ids.astype(_U64)) % _U64(SPLIT_BUCKETS)) \
+        .astype(np.int64)
+    split = np.where(bucket < SPLIT_TRAIN, "train",
+                     np.where(bucket < SPLIT_VAL, "val", "test"))
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "bucket": pa.array(bucket, pa.int64()),
+                     "split": pa.array(split, pa.string())})
