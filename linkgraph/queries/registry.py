@@ -186,6 +186,16 @@ def q_doc_dedup_near(sf_dir: str):
 
 
 PACK_CAPACITY = 256
+CURATE_MIN_SCORE = 0.5
+
+
+def q_doc_curation(sf_dir: str):
+    """Flagship curation pipeline: language filter + quality bar + exact
+    dedup among survivors, composed end-to-end (see text/ops.curate) —
+    one fused row-local pass, one grouped exchange on the 128-bit md5,
+    one hash join back."""
+    return tx.curate(_docs(sf_dir, ["doc_id", "text"]),
+                     lang="en", min_score=CURATE_MIN_SCORE)
 
 
 def q_doc_pack(sf_dir: str):
@@ -543,7 +553,26 @@ _RESIZE_SQL = f"""
            {_U64_TO_I64.format(x='fp')} AS out_fingerprint
     FROM b"""
 
+# curation pipeline: filter-then-dedup semantics, min-doc_id canonical
+# copy per exact-duplicate cluster among survivors
+_CURATION_SQL = f"""
+    WITH l AS ({{lang_sql}}), s AS ({{score_sql}}),
+    surv AS (
+      SELECT d.doc_id, md5(d.text) AS h, s.score
+      FROM documents d
+      JOIN l ON d.doc_id = l.doc_id
+      JOIN s ON d.doc_id = s.doc_id
+      WHERE l.pred_lang = 'en' AND s.score >= {CURATE_MIN_SCORE}),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM surv GROUP BY h)
+    SELECT k.doc_id, v.score, k.n_copies
+    FROM keep k JOIN surv v ON k.doc_id = v.doc_id"""
+
 TEXT_SQL: dict[str, str] = {
+    "doc_curation": _CURATION_SQL.format(lang_sql=_LANGID_SQL,
+                                         score_sql=_QUALITY_SCORE_SQL),
     "doc_pack": _PACK_SQL.format(cap=PACK_CAPACITY),
     "doc_split": _SPLIT_SQL,
     "mm_resize": _RESIZE_SQL,
@@ -703,6 +732,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_dedup_near": q_doc_dedup_near,
     "doc_pack": q_doc_pack,
     "doc_split": q_doc_split,
+    "doc_curation": q_doc_curation,
     # multimodal binary-column stage (north rule)
     "mm_media_features": q_mm_media_features,
     "mm_frames": q_mm_frames,

@@ -976,3 +976,64 @@ def train_split_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch.column("doc_id"),
                      "bucket": pa.array(bucket, pa.int64()),
                      "split": pa.array(split, pa.string())})
+
+
+# ------------------------------------------------------ curation pipeline
+
+def curation_signals_batch(batch: pa.Table) -> pa.Table:
+    """ONE fused per-row pass for the curation pipeline: (doc_id,
+    h_hi, h_lo, pred_lang, score) — full 128-bit md5 as two int64 key
+    columns (exact dedup identity, numeric so the grouped exchange can
+    shuffle it), language id and quality score.  Row-local: no state,
+    no shuffle, embarrassingly parallel."""
+    lang = langid_batch(batch)
+    score = quality_score_batch(batch)
+    texts = batch.column("text").to_pylist()
+    dig = np.frombuffer(
+        b"".join(hashlib.md5(t.encode("utf-8")).digest() for t in texts),
+        dtype=">u8").reshape(-1, 2) if texts else \
+        np.empty((0, 2), dtype=">u8")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "h_hi": pa.array(dig[:, 0].astype(np.uint64).view(np.int64),
+                         pa.int64()),
+        "h_lo": pa.array(dig[:, 1].astype(np.uint64).view(np.int64),
+                         pa.int64()),
+        "pred_lang": lang.column("pred_lang"),
+        "score": score.column("score"),
+    })
+
+
+def curate(docs, lang: str = "en", min_score: float = 0.5,
+           num_join_partitions: int = 8):
+    """Flagship training-data curation pipeline: keep documents that are
+    (a) in ``lang``, (b) above the quality bar, and (c) the canonical
+    (min doc_id) copy of their exact-duplicate cluster AMONG SURVIVORS.
+
+    Shape at 100 TB: the cheap row-local filters run first (one fused
+    pass, no shuffle), so only survivors enter the dedup exchange; the
+    dedup groups on the full 128-bit md5 (two int64 key columns through
+    the grouped exchange — no truncated-hash collisions at corpus
+    scale); the keep table joins back by a hash-shuffle Dataset.join.
+
+    Returns (doc_id, score, n_copies) sorted by the join partitioning.
+    """
+    sig = docs.map_batches(curation_signals_batch,
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t.column("pred_lang"), lang),
+                       pc.greater_equal(t.column("score"), min_score))
+        return t.filter(keep).select(["doc_id", "h_hi", "h_lo", "score"])
+
+    surv = sig.map_batches(survivors, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    from ..stages.exchange import grouped_exchange
+    keep = grouped_exchange(
+        surv, ["h_hi", "h_lo"],
+        [("min", "doc_id", "keep_id"), ("count", "doc_id", "n_copies")],
+        post=lambda t: t.select(["keep_id", "n_copies"]))
+    joined = surv.join(keep, join_type="inner",
+                       num_partitions=num_join_partitions,
+                       on=("doc_id",), right_on=("keep_id",))
+    return joined.select_columns(["doc_id", "score", "n_copies"])
