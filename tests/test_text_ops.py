@@ -310,3 +310,40 @@ class TestNearDupKeepmap:
         assert got[20] == got[21] == 20
         assert got[30] == 30 and got[31] == 31
         assert len(a) == 7
+
+
+class TestCuration:
+    def test_signals_fused_pass_matches_parts(self):
+        from linkgraph.text.ops import (curation_signals_batch,
+                                        langid_batch, md5_batch,
+                                        quality_score_batch)
+        t = docs_table(["the cat sat on the mat and then it left",
+                        "der die das und ist der die das",
+                        "", "the " * 80])
+        sig = curation_signals_batch(t)
+        assert sig.column("pred_lang").to_pylist() == \
+            langid_batch(t).column("pred_lang").to_pylist()
+        assert sig.column("score").to_pylist() == \
+            quality_score_batch(t).column("score").to_pylist()
+        # 128-bit md5 round-trips through the two int64 key columns
+        for i, h in enumerate(md5_batch(t).column("content_hash")
+                              .to_pylist()):
+            hi = sig.column("h_hi")[i].as_py() & ((1 << 64) - 1)
+            lo = sig.column("h_lo")[i].as_py() & ((1 << 64) - 1)
+            assert f"{hi:016x}{lo:016x}" == h
+
+    def test_curate_filter_then_dedup(self, ray_session):
+        import ray.data as rd
+        from linkgraph.text.ops import curate
+        # doc 0/1 duplicates (keep 0); doc 2 duplicate text but filtered
+        # out by lang -> does NOT claim canonical slot; doc 3 low quality
+        good = ("the cat and the dog walked to a park of green trees "
+                "while the sun set over a quiet hill far away " * 3)
+        other = "der hund und die katze " * 12
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([5, 9, 1, 7], pa.int64()),
+            "text": pa.array([good, good, other, "a b"], pa.string())}))
+        df = curate(docs, lang="en", min_score=0.2,
+                    num_join_partitions=2).to_pandas()
+        assert list(df.sort_values("doc_id")["doc_id"]) == [5]
+        assert int(df["n_copies"].iloc[0]) == 2
