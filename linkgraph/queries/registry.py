@@ -215,6 +215,16 @@ def q_doc_split(sf_dir: str):
         zero_copy_batch=True)
 
 
+SAMPLE_PER_SOURCE = 25
+
+
+def q_doc_sample(sf_dir: str):
+    """Stratified deterministic quota sample per source (data mixing):
+    hash-ranked, map-side pruned before the shuffle."""
+    return tx.stratified_sample(_docs(sf_dir, ["doc_id", "source"]),
+                                k=SAMPLE_PER_SOURCE)
+
+
 def q_mm_resize(sf_dir: str):
     """Resize multimodal stage end-to-end (see stages.multimodal.Resizer):
     binary in -> strided-downsample binary out through an actor pool;
@@ -506,26 +516,40 @@ _PACK_SQL = """
            start_offset % {cap} AS bin_pos
     FROM s"""
 
-# train/val/test split: the identical splitmix64 finalizer chain the
-# Ray side runs (text/ops._splitmix64), in mod-2^64 HUGEINT SQL
-_SPLIT_SQL = f"""
-    WITH s0 AS (SELECT doc_id,
-                CAST((CAST(doc_id AS HUGEINT) + {_SM_GOLDEN}) % {_T64}
-                     AS UBIGINT) AS x
-                FROM documents),
+# the identical splitmix64 finalizer chain the Ray side runs
+# (text/ops._splitmix64) on doc_id, in mod-2^64 HUGEINT SQL — shared by
+# the split and stratified-sample oracles
+_SPLITMIX_DOC_CTES = f"""
+    s0 AS (SELECT doc_id,
+           CAST((CAST(doc_id AS HUGEINT) + {_SM_GOLDEN}) % {_T64}
+                AS UBIGINT) AS x
+           FROM documents),
     s1 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM s0),
     s2 AS (SELECT doc_id,
                   {_mulmod_sql('x', _SM_M1, _SM_M1_LO)} AS x FROM s1),
     s3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM s2),
     s4 AS (SELECT doc_id,
                   {_mulmod_sql('x', _SM_M2, _SM_M2_LO)} AS x FROM s3),
-    s5 AS (SELECT doc_id, xor(x, x >> 31) AS h FROM s4),
+    s5 AS (SELECT doc_id, xor(x, x >> 31) AS h FROM s4)"""
+
+_SPLIT_SQL = f"""
+    WITH {_SPLITMIX_DOC_CTES},
     b AS (SELECT doc_id, CAST(h % 1000 AS BIGINT) AS bucket FROM s5)
     SELECT doc_id, bucket,
            CASE WHEN bucket < 900 THEN 'train'
                 WHEN bucket < 950 THEN 'val'
                 ELSE 'test' END AS split
     FROM b"""
+
+# stratified per-source quota sample: the SAMPLE_PER_SOURCE docs with
+# the smallest splitmix64(doc_id) per source (the hash is a 64-bit
+# bijection on unique ids -> no ties, deterministic everywhere)
+_SAMPLE_SQL = """
+    WITH {cte}
+    SELECT d.source, s5.doc_id
+    FROM s5 JOIN documents d ON s5.doc_id = d.doc_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY s5.h)
+            <= {k}"""
 
 # resize stage: every F-th byte of the payload, Horner-folded — the
 # strided byte list is built straight from the hex encoding
@@ -574,6 +598,8 @@ TEXT_SQL: dict[str, str] = {
     "doc_curation": _CURATION_SQL.format(lang_sql=_LANGID_SQL,
                                          score_sql=_QUALITY_SCORE_SQL),
     "doc_pack": _PACK_SQL.format(cap=PACK_CAPACITY),
+    "doc_sample": _SAMPLE_SQL.format(cte=_SPLITMIX_DOC_CTES,
+                                     k=SAMPLE_PER_SOURCE),
     "doc_split": _SPLIT_SQL,
     "mm_resize": _RESIZE_SQL,
     "doc_minhash_pairs": _MINHASH_SQL,
@@ -733,6 +759,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_pack": q_doc_pack,
     "doc_split": q_doc_split,
     "doc_curation": q_doc_curation,
+    "doc_sample": q_doc_sample,
     # multimodal binary-column stage (north rule)
     "mm_media_features": q_mm_media_features,
     "mm_frames": q_mm_frames,

@@ -1037,3 +1037,46 @@ def curate(docs, lang: str = "en", min_score: float = 0.5,
                        num_partitions=num_join_partitions,
                        on=("doc_id",), right_on=("keep_id",))
     return joined.select_columns(["doc_id", "score", "n_copies"])
+
+
+def stratified_sample(docs, k: int = 25):
+    """Deterministic per-source quota sample ("data mixing"): the k
+    docs with the smallest splitmix64(doc_id) per source.
+
+    Hash-ranked, so the sample is a pure function of (doc_id, source) —
+    stable under any repartitioning, resumable, no RNG state.  The
+    map-side prune keeps at most k rows per source PER BLOCK before the
+    shuffle, so the wide step moves O(k * sources * blocks) rows, never
+    the corpus; the hash is a 64-bit bijection on unique ids, so there
+    are no rank ties at any scale."""
+    kk = int(k)
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        h = _splitmix64(ids.astype(_U64))
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        order = np.lexsort((h, src.astype(str)))
+        s_sorted = src[order]
+        new = np.concatenate([[True], s_sorted[1:] != s_sorted[:-1]]) \
+            if len(order) else np.empty(0, bool)
+        starts = np.flatnonzero(new)
+        grp = np.cumsum(new) - 1
+        pos = np.arange(len(order)) - starts[grp] if len(order) else \
+            np.empty(0, np.int64)
+        keep = order[pos < kk]
+        return pa.table({
+            "source": pa.array(list(src[keep]), pa.string()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "rk": pa.array(h[keep].view(np.int64), pa.int64()),
+        })
+
+    pruned = docs.select_columns(["doc_id", "source"]).map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["rk"].to_numpy().astype(np.int64).view(np.uint64)
+        g = g.iloc[np.argsort(u, kind="stable")].head(kk)
+        return g[["source", "doc_id"]]
+
+    return pruned.groupby("source").map_groups(final,
+                                               batch_format="pandas")

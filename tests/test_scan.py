@@ -122,3 +122,33 @@ class TestResizer:
     def test_nondeterministic_codec_refused(self):
         with pytest.raises(NotImplementedError):
             Resizer(deterministic=False)
+
+
+class TestStratifiedSample:
+    def test_quota_and_determinism(self, ray_session):
+        import ray.data as rd
+        from linkgraph.text.ops import _splitmix64, stratified_sample
+        n = 300
+        ids = np.arange(n, dtype=np.int64)
+        srcs = np.array(["s%d" % (i % 3) for i in range(n)], object)
+        t = pa.table({"doc_id": ids,
+                      "source": pa.array(list(srcs), pa.string())})
+        # many small blocks -> the map-side prune must still yield the
+        # global per-source top-k by hash
+        ds = rd.from_arrow(t).repartition(11)
+        df = stratified_sample(ds, k=7).to_pandas()
+        assert len(df) == 21
+        h = _splitmix64(ids.astype(np.uint64))
+        for s in ("s0", "s1", "s2"):
+            mask = srcs == s
+            want = set(ids[mask][np.argsort(h[mask])][:7].tolist())
+            got = set(df[df["source"] == s]["doc_id"].tolist())
+            assert got == want, s
+
+    def test_small_groups_kept_whole(self, ray_session):
+        import ray.data as rd
+        from linkgraph.text.ops import stratified_sample
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "source": pa.array(["a", "a", "b"], pa.string())})
+        df = stratified_sample(rd.from_arrow(t), k=10).to_pandas()
+        assert sorted(df["doc_id"]) == [1, 2, 3]
