@@ -107,6 +107,37 @@ def cmd_dynamic(args):
     print(json.dumps(records))
 
 
+def cmd_curate(args):
+    """Training-data curation job: curate -> split -> pack, partitioned
+    parquet outputs (each directory independently recomputable)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import strip_meta
+    from .text.ops import curate, pack_docs, train_split_batch
+
+    docs = strip_meta(rd.read_parquet(args.docs))
+    kept = curate(docs, lang=args.lang,
+                  min_score=args.min_score).materialize()
+    n_docs, n_kept = docs.count(), kept.count()
+    if args.out:
+        kept.write_parquet(f"{args.out}/curated")
+        docs.map_batches(train_split_batch, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .write_parquet(f"{args.out}/split")
+        # pack only the curated survivors: join the keep ids back to the
+        # text, then the range-exchange prefix scan
+        ids = kept.map_batches(
+            lambda t: pa.table({"keep_id": t.column("doc_id")}),
+            batch_format="pyarrow")
+        surv = docs.select_columns(["doc_id", "text"]).join(
+            ids, join_type="inner", num_partitions=8,
+            on=("doc_id",), right_on=("keep_id",))
+        pack_docs(surv, capacity=args.capacity) \
+            .write_parquet(f"{args.out}/pack")
+    print(json.dumps({"docs": n_docs, "curated": n_kept}))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="linkgraph")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -154,6 +185,14 @@ def main(argv=None):
     p.add_argument("--mode", choices=("delta", "full", "static"),
                    default="delta")
     p.set_defaults(fn=cmd_dynamic)
+
+    p = sub.add_parser("curate")
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--lang", default="en")
+    p.add_argument("--min-score", type=float, default=0.5)
+    p.add_argument("--capacity", type=int, default=256)
+    p.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     _init(args.num_cpus)

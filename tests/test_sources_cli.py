@@ -54,3 +54,30 @@ def test_cli_pagerank_job(tmp_path):
     rank = pq.read_table(str(tmp_path / "rank"))
     assert rank.num_rows == 200
     assert abs(sum(rank.column("rank").to_pylist()) - 1.0) < 1e-6
+
+
+def test_cli_curate_job(tmp_path):
+    """Drive the curation job end-to-end in a fresh process: curated /
+    split / pack parquet outputs over the sf0.001 documents table."""
+    out = subprocess.run(
+        [sys.executable, "-m", "linkgraph.cli", "--num-cpus", "4",
+         "curate", "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--out", str(tmp_path / "cur"), "--min-score", "0.5"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-1500:]
+    res = json.loads([l for l in out.stdout.splitlines()
+                      if l.startswith("{")][-1])
+    assert res["docs"] == 500 and 0 < res["curated"] < 500
+    cur = pq.read_table(str(tmp_path / "cur" / "curated"))
+    assert cur.num_rows == res["curated"]
+    spl = pq.read_table(str(tmp_path / "cur" / "split"))
+    assert spl.num_rows == 500
+    pack = pq.read_table(str(tmp_path / "cur" / "pack")).to_pandas() \
+        .sort_values("doc_id")
+    assert len(pack) == res["curated"]
+    # offsets are a valid exclusive prefix sum over the curated docs
+    import numpy as np
+    off = pack["start_offset"].to_numpy()
+    tok = pack["n_tokens"].to_numpy()
+    assert off[0] == 0
+    assert (np.diff(off) == tok[:-1]).all()
