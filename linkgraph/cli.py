@@ -113,7 +113,7 @@ def cmd_curate(args):
     import pyarrow as pa
     import ray.data as rd
 
-    from .common import strip_meta
+    from .common import strip_meta, write_committed
     from .text.ops import curate, pack_docs, train_split_batch
 
     docs = strip_meta(rd.read_parquet(args.docs))
@@ -121,20 +121,27 @@ def cmd_curate(args):
                   min_score=args.min_score).materialize()
     n_docs, n_kept = docs.count(), kept.count()
     if args.out:
-        kept.write_parquet(f"{args.out}/curated")
-        docs.map_batches(train_split_batch, batch_format="pyarrow",
-                         zero_copy_batch=True) \
-            .write_parquet(f"{args.out}/split")
-        # pack only the curated survivors: join the keep ids back to the
-        # text, then the range-exchange prefix scan
-        ids = kept.map_batches(
-            lambda t: pa.table({"keep_id": t.column("doc_id")}),
-            batch_format="pyarrow")
-        surv = docs.select_columns(["doc_id", "text"]).join(
-            ids, join_type="inner", num_partitions=8,
-            on=("doc_id",), right_on=("keep_id",))
-        pack_docs(surv, capacity=args.capacity) \
-            .write_parquet(f"{args.out}/pack")
+        # each directory is _SUCCESS-gated: a rerun after a mid-job
+        # failure skips the committed outputs (resumable, like ingest)
+        write_committed(lambda: kept, f"{args.out}/curated")
+        write_committed(
+            lambda: docs.map_batches(train_split_batch,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True),
+            f"{args.out}/split")
+
+        def _pack():
+            # pack only the curated survivors: join the keep ids back
+            # to the text, then the range-exchange prefix scan
+            ids = kept.map_batches(
+                lambda t: pa.table({"keep_id": t.column("doc_id")}),
+                batch_format="pyarrow")
+            surv = docs.select_columns(["doc_id", "text"]).join(
+                ids, join_type="inner", num_partitions=8,
+                on=("doc_id",), right_on=("keep_id",))
+            return pack_docs(surv, capacity=args.capacity)
+
+        write_committed(_pack, f"{args.out}/pack")
     print(json.dumps({"docs": n_docs, "curated": n_kept}))
 
 

@@ -258,3 +258,22 @@ def strip_meta(ds):
     """
     return ds.map_batches(lambda t: t.replace_schema_metadata(None),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_committed(make_ds, out_dir: str) -> bool:
+    """Resumable parquet write: skip if ``out_dir/_SUCCESS`` exists,
+    clear partial output from a failed run, write, then commit the
+    marker.  ``make_ds`` is a thunk so a skipped write costs nothing
+    (the dataset is never built).  Returns True if written."""
+    import os
+    import shutil
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return False
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    make_ds().write_parquet(out_dir)
+    with open(marker, "w") as f:
+        f.write("")
+    return True

@@ -81,3 +81,26 @@ def test_cli_curate_job(tmp_path):
     tok = pack["n_tokens"].to_numpy()
     assert off[0] == 0
     assert (np.diff(off) == tok[:-1]).all()
+
+
+def test_write_committed_resume(tmp_path, ray_session):
+    """_SUCCESS-gated writes skip committed dirs and clear partial ones."""
+    import pyarrow as pa
+    import ray.data as rd
+    from linkgraph.common import write_committed
+
+    d = str(tmp_path / "out")
+    calls = []
+
+    def make():
+        calls.append(1)
+        return rd.from_arrow(pa.table({"x": [1, 2, 3]}))
+
+    assert write_committed(make, d) is True
+    assert write_committed(make, d) is False          # skip: committed
+    assert len(calls) == 1                            # thunk not rebuilt
+    # partial dir (no marker) is cleared and rewritten
+    import os
+    os.remove(os.path.join(d, "_SUCCESS"))
+    assert write_committed(make, d) is True
+    assert pq.read_table(d).num_rows == 3
