@@ -169,10 +169,17 @@ class Resizer:
         j = np.arange(total, dtype=np.int64) - np.repeat(csum0, ol)
         idx = np.repeat(row_starts, ol) + j * F
         out = data[idx]
-        offsets = np.concatenate([[0], np.cumsum(ol)]).astype(np.int32)
-        media_out = pa.BinaryArray.from_buffers(
-            pa.binary(), len(ol), [None, pa.py_buffer(offsets.tobytes()),
-                                   pa.py_buffer(out.tobytes())])
+        offs64 = np.concatenate([[0], np.cumsum(ol)]).astype(np.int64)
+        if offs64[-1] <= np.iinfo(np.int32).max:
+            media_out = pa.Array.from_buffers(
+                pa.binary(), len(ol),
+                [None, pa.py_buffer(offs64.astype(np.int32).tobytes()),
+                 pa.py_buffer(out.tobytes())])
+        else:  # >2 GB of resized bytes in one batch -> 64-bit offsets
+            media_out = pa.Array.from_buffers(
+                pa.large_binary(), len(ol),
+                [None, pa.py_buffer(offs64.tobytes()),
+                 pa.py_buffer(out.tobytes())])
         fp = _poly_hash_flat(out, ol)
         return pa.table({
             self.id_col: batch.column(self.id_col),
