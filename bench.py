@@ -197,7 +197,7 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
 
     t0 = time.time()
     eng = GraphEngine.from_dataset(sym, n_nodes=n_nodes, n_parts=P,
-                                   name="stress")
+                                   name="stress", warmup="louvain")
     build_secs = time.time() - t0
     n_sym_edges = sum(s["n_edges"] for s in eng.stats)
 
@@ -274,7 +274,7 @@ def run_pages_pipeline(num_cpus: int, n_pages: int) -> dict:
     t1 = time.time()
     eng = GraphEngine.from_dataset(out["sym_edges"], n_nodes=n_nodes,
                                    n_parts=max(2, num_cpus // 2),
-                                   name="bench")
+                                   name="bench", warmup="louvain")
     build_secs = time.time() - t1
     n_edges = sum(s["n_edges"] for s in eng.stats)
 

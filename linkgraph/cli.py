@@ -32,13 +32,13 @@ def _init(num_cpus: int | None):
     rd.DataContext.get_current().enable_progress_bars = False
 
 
-def _build_engine(args):
+def _build_engine(args, warmup: str = "base"):
     import ray.data as rd
     from .state.engine import GraphEngine
     edges = rd.read_parquet(args.edges)
     eng = GraphEngine.from_dataset(
         edges, n_nodes=args.n_nodes,
-        n_parts=args.n_parts, name=args.job_name)
+        n_parts=args.n_parts, name=args.job_name, warmup=warmup)
     eng.louvain_driver_threshold = getattr(args, "driver_threshold", 0)
     return eng
 
@@ -66,7 +66,7 @@ def cmd_pagerank(args):
 
 def cmd_louvain(args):
     import ray.data as rd
-    eng = _build_engine(args)
+    eng = _build_engine(args, warmup="louvain")
     if args.quality == 0:
         res = eng.louvain(hierarchy_dir=args.hierarchy_dir)
     else:
@@ -85,7 +85,7 @@ def cmd_louvain(args):
 def cmd_dynamic(args):
     import numpy as np
     import pyarrow.parquet as pq
-    eng = _build_engine(args)
+    eng = _build_engine(args, warmup="louvain")
     eng.louvain()
     deltas = pq.read_table(args.deltas).to_pandas() \
         .sort_values(["ts", "op", "src", "dst"])

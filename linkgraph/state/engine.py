@@ -251,7 +251,8 @@ class GraphEngine:
     @classmethod
     def from_dataset(cls, edges_ds, *, n_nodes: int, n_parts: int = 4,
                      name: str = "graph",
-                     split_hubs: bool = True) -> "GraphEngine":
+                     split_hubs: bool = True,
+                     warmup: str = "base") -> "GraphEngine":
         """Build from a Ray Data edge Dataset (src,dst[,w]) without moving
         rows through the driver: a COARSE per-block degree histogram
         (4096 buckets — O(1) per block regardless of n_nodes) drives the
@@ -306,9 +307,16 @@ class GraphEngine:
             return m
 
         if os.environ.get("LINKGRAPH_PREWARM", "1") != "0":
+            # workload-aware budget: a Louvain-bound engine prefaults the
+            # full level-0 scratch here so _ensure_scratch's population
+            # also overlaps the route wave instead of serializing before
+            # round 0 (measured 65 s of the 32-CPU stress preamble)
+            from .partition import GraphShard
+            wb = GraphShard.WARMUP_BYTES_PER_EDGE if warmup == "louvain" \
+                else None
             for p, a in enumerate(eng.actors):
                 est = _mass(eng.bounds[p + 1]) - _mass(eng.bounds[p])
-                a.prewarm_scratch.remote(int(est))
+                a.prewarm_scratch.remote(int(est), wb)
         pending = []
         for blk in block_refs:
             parts = _route_block.options(num_returns=eng.P).remote(

@@ -366,18 +366,26 @@ class GraphShard:
         self._warmed_bytes = nbytes
         return self._warmup_scratch_impl(nbytes)
 
-    def prewarm_scratch(self, n_edges_est: int) -> int:
-        """Prefault the BASE scratch budget from an edge-count ESTIMATE,
+    def prewarm_scratch(self, n_edges_est: int,
+                        bytes_per_edge: "int | None" = None) -> int:
+        """Prefault the scratch budget from an edge-count ESTIMATE,
         before any edges arrive.  from_dataset fires this as the actor's
         first task so population overlaps the route+ingest wave (the
         routing histogram gives each shard's exact row count, so the
         estimate is tight).  finalize's warmup_scratch then no-ops (or
         populates only the shortfall), moving the dominant build-phase
         cost off the finalize critical path.  Same incremental-budget
-        semantics as warmup_scratch."""
+        semantics as warmup_scratch.
+
+        ``bytes_per_edge`` selects the workload budget: default BASE
+        (message-path algorithms); Louvain-bound engines pass the full
+        WARMUP_BYTES_PER_EDGE so the level-0 preamble's population also
+        overlaps the route wave (engine.from_dataset(warmup="louvain"))."""
         import os as _os
         _env = _os.environ.get("LINKGRAPH_WARMUP_BYTES_PER_EDGE")
-        bpe = int(_env) if _env is not None else self.BASE_WARMUP_BYTES_PER_EDGE
+        bpe = int(_env) if _env is not None else \
+            (int(bytes_per_edge) if bytes_per_edge is not None
+             else self.BASE_WARMUP_BYTES_PER_EDGE)
         nbytes = min(max(0, int(n_edges_est)) * bpe, self.WARMUP_CAP_BYTES)
         if nbytes <= getattr(self, "_warmed_bytes", 0):
             return 0

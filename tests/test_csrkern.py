@@ -171,3 +171,25 @@ def test_warmup_lazy_and_incremental():
     sh._build_csr(src2, dst2, None)
     assert sh.warmup_scratch(sh.WARMUP_BYTES_PER_EDGE) \
         == 20_000 * sh.WARMUP_BYTES_PER_EDGE
+
+
+def test_prewarm_louvain_budget_covers_ensure_scratch():
+    """A Louvain-bound prewarm (from_dataset(warmup='louvain')) covers
+    the level-0 top-up: _ensure_scratch's warmup_scratch is a no-op when
+    the route-wave estimate was tight, and pays only the shortfall when
+    it undershot."""
+    sh = _mk_shard([0, 100, 200])
+    src, dst = _rand_edges(5, 10_000, 0, 100, 200)
+    sh._warmed_bytes = 0
+    # exact estimate at the full Louvain budget
+    assert sh.prewarm_scratch(10_000, sh.WARMUP_BYTES_PER_EDGE) \
+        == 10_000 * sh.WARMUP_BYTES_PER_EDGE
+    sh._build_csr(src, dst, None)
+    assert sh.warmup_scratch(sh.WARMUP_BYTES_PER_EDGE) == 0
+    # undershot estimate: top-up pays only the delta
+    sh2 = _mk_shard([0, 100, 200])
+    sh2._warmed_bytes = 0
+    sh2.prewarm_scratch(8_000, sh2.WARMUP_BYTES_PER_EDGE)
+    sh2._build_csr(src, dst, None)
+    assert sh2.warmup_scratch(sh2.WARMUP_BYTES_PER_EDGE) \
+        == 10_000 * sh2.WARMUP_BYTES_PER_EDGE
