@@ -216,6 +216,31 @@ def q_doc_split(sf_dir: str):
 
 
 SAMPLE_PER_SOURCE = 25
+TOP_QUALITY_K = 100
+
+
+def q_doc_top_quality(sf_dir: str):
+    """Global top-k by quality score (the 'select the best documents'
+    reduction): per-block partial top-k inside map_batches, then one
+    tiny driver merge of P*k rows — never a global sort.  Tie-break
+    doc_id asc (scores are floor-quantized, ties are real)."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from ..common import gather_table
+
+    def topk(t: "_pa.Table") -> "_pa.Table":
+        s = t.column("score").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        order = _np.lexsort((d, -s))[:TOP_QUALITY_K]
+        return t.take(_pa.array(order))
+
+    scored = (_docs(sf_dir, ["doc_id", "text"])
+              .map_batches(tx.quality_score_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .map_batches(topk, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    return topk(gather_table(scored).combine_chunks())
 
 
 def q_doc_sample(sf_dir: str):
@@ -600,6 +625,10 @@ TEXT_SQL: dict[str, str] = {
     "doc_pack": _PACK_SQL.format(cap=PACK_CAPACITY),
     "doc_sample": _SAMPLE_SQL.format(cte=_SPLITMIX_DOC_CTES,
                                      k=SAMPLE_PER_SOURCE),
+    "doc_top_quality": f"""
+        WITH s AS ({_QUALITY_SCORE_SQL})
+        SELECT doc_id, score FROM s
+        ORDER BY score DESC, doc_id LIMIT {TOP_QUALITY_K}""",
     "doc_split": _SPLIT_SQL,
     "mm_resize": _RESIZE_SQL,
     "doc_minhash_pairs": _MINHASH_SQL,
@@ -760,6 +789,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_split": q_doc_split,
     "doc_curation": q_doc_curation,
     "doc_sample": q_doc_sample,
+    "doc_top_quality": q_doc_top_quality,
     # multimodal binary-column stage (north rule)
     "mm_media_features": q_mm_media_features,
     "mm_frames": q_mm_frames,
@@ -782,6 +812,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rel_lineitem_nation_rollup": rel.q_lineitem_nation_rollup,
     "rel_shuffle_join_orders": rel.q_shuffle_join_orders,
     "rel_pricing_summary": rel.q_pricing_summary,
+    "rel_top_revenue_orders": rel.q_top_revenue_orders,
     # community outputs (S8) over the lineitem graph
     "graph_comm_sizes": q_graph_comm_sizes,
 }

@@ -106,6 +106,9 @@ def q_shuffle_join_orders(sf_dir: str):
 
 # pricing-summary cutoff: predicate pushed into the parquet read
 _Q1_CUTOFF = "1998-09-01"
+# Q3-shape knobs (shared by the query and its SQL oracle)
+_Q3_SEGMENT, _Q3_DATE = "BUILDING", "1998-01-01"
+Q3_TOPK = 10
 
 
 def q_pricing_summary(sf_dir: str):
@@ -173,6 +176,19 @@ def q_pricing_summary(sf_dir: str):
 
 
 RELATIONAL_SQL: dict[str, str] = {
+    "rel_top_revenue_orders": f"""
+        SELECT l.l_orderkey,
+               SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                              * 100 + 0.5) AS BIGINT)) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+          AND o.o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+        GROUP BY l.l_orderkey
+        ORDER BY revenue_cents DESC, l.l_orderkey
+        LIMIT {Q3_TOPK}""",
     "rel_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -204,3 +220,69 @@ RELATIONAL_SQL: dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey""",
 }
+
+
+def q_top_revenue_orders(sf_dir: str):
+    """TPC-H-Q3-shape: top unshipped orders by revenue for one segment.
+
+    Scale shape: both dimension filters broadcast (segment customers and
+    date-filtered orders are small AFTER their predicates — read with
+    column pruning, filtered before ray.put); the fact-table scan
+    pre-aggregates revenue per l_orderkey inside grouped_exchange, and
+    the top-k is a per-partition prune + tiny driver merge (never a
+    global sort).  Money floor-cent-quantized like rel_pricing_summary."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.exchange import grouped_exchange
+
+    cutoff = datetime.datetime.fromisoformat(_Q3_DATE)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    ck = cust.filter(pc.equal(cust.column("c_mktsegment"), _Q3_SEGMENT)) \
+        .column("c_custkey").to_numpy()
+    ck = np.sort(ck)
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey",
+                                    "o_orderdate"])
+    om = orders.filter(pc.less(orders.column("o_orderdate"),
+                               pa.scalar(cutoff)))
+    ok = om.column("o_custkey").to_numpy()
+    pos = np.searchsorted(ck, ok)
+    hit = (pos < len(ck))
+    hit[hit] = ck[pos[hit]] == ok[hit]
+    okeys = np.sort(om.column("o_orderkey").to_numpy()[hit])
+    side = ray.put(okeys)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        keys = ray.get(side)
+        keep = pc.greater(t.column("l_shipdate"),
+                          pa.scalar(cutoff)).to_numpy(zero_copy_only=False)
+        lo = t.column("l_orderkey").to_numpy()
+        p = np.searchsorted(keys, lo)
+        pc_ = np.clip(p, 0, max(0, len(keys) - 1))
+        keep &= (keys[pc_] == lo) if len(keys) else False
+        ep = t.column("l_extendedprice").to_numpy()[keep]
+        disc = t.column("l_discount").to_numpy()[keep]
+        rev = np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(lo[keep], pa.int64()),
+            "revenue_cents": pa.array(rev, pa.int64())})
+
+    def topk(t: pa.Table) -> pa.Table:
+        rev = t.column("revenue_cents").to_numpy()
+        key = t.column("l_orderkey").to_numpy()
+        order = np.lexsort((key, -rev))[:Q3_TOPK]
+        return t.take(pa.array(order))
+
+    per_order = grouped_exchange(
+        li, ["l_orderkey"], [("sum", "revenue_cents", "revenue_cents")],
+        pre=pre, post=topk)
+    from ..common import gather_table
+    return topk(gather_table(per_order).combine_chunks())
