@@ -369,6 +369,13 @@ FROM r WHERE iter = {PR_ITERS}"""
 
 GRAPH_SQL: dict[str, str] = {
     "graph_pagerank": _PR_SQL,
+    "graph_top_pagerank": f"""
+        WITH p AS ({_PR_SQL})
+        SELECT node, rank_q8 FROM p
+        ORDER BY rank_q8 DESC, node LIMIT 20""",
+    "graph_degree_hist": _BASE + """
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree""",
     "graph_connected_components": _CC_SQL,
     "graph_label_propagation": _LPA_SQL,
     "graph_edges": _BASE + "SELECT src, dst, w FROM edges",
@@ -476,6 +483,32 @@ def q_pagerank(sf_dir: str):
     q8 = np.floor(tbl.column("rank").to_numpy() * 1e8).astype(np.int64)
     return pa.table({"node": tbl.column("node"),
                      "rank_q8": pa.array(q8, pa.int64())})
+
+
+TOP_PR_K = 20
+
+
+def q_top_pagerank(sf_dir: str):
+    """O5 north rule ("top PageRank pages"): top-k nodes by the
+    value-checked fixed-iteration PageRank, deterministic tie-break
+    (rank_q8 desc, node asc).  Reuses the cached engine; the top-k is a
+    driver-side slice of the n_nodes-row rank table (tiny here; at
+    corpus scale the same per-block-prune + merge as doc_top_quality
+    applies)."""
+    tbl = q_pagerank(sf_dir)
+    q8 = tbl.column("rank_q8").to_numpy()
+    node = tbl.column("node").to_numpy()
+    order = np.lexsort((node, -q8))[:TOP_PR_K]
+    return tbl.take(pa.array(order))
+
+
+def q_degree_hist(sf_dir: str):
+    """Degree-distribution histogram over the symmetric graph — the
+    classic skew diagnostic, one grouped exchange on the integer
+    degree."""
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(degrees(sf_dir), ["degree"],
+                            [("count", "degree", "n_nodes")])
 
 
 def q_connected_components(sf_dir: str):

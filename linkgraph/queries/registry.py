@@ -764,9 +764,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_nodes_dense": g.q_nodes_dense,
     "graph_add_selfloops": g.q_add_selfloops,
     "graph_top_degree": g.q_top_degree,
+    "graph_degree_hist": g.q_degree_hist,
     "graph_triangles": g.q_triangles,
     # engine algorithms (SURVEY.md §2.8, §2.11)
     "graph_pagerank": g.q_pagerank,
+    "graph_top_pagerank": g.q_top_pagerank,
     "graph_connected_components": g.q_connected_components,
     "graph_label_propagation": g.q_label_propagation,
     "graph_louvain": g.q_louvain,
