@@ -331,6 +331,9 @@ SELECT node, label FROM lab WHERE iter = 20"""
 # (verified exact at sf0.001/0.01/0.1).
 PR_ITERS = 15
 PR_DAMPING = 0.85
+HITS_ITERS = 12
+KCORE_K = 5
+KCORE_ITERS = 30
 
 _PR_SQL = f"""
 WITH RECURSIVE pr_edges AS (
@@ -367,8 +370,73 @@ WITH RECURSIVE pr_edges AS (
 SELECT node, CAST(FLOOR(rank * 100000000) AS BIGINT) AS rank_q8
 FROM r WHERE iter = {PR_ITERS}"""
 
+# HITS oracle: fixed-iteration recursive CTE carrying (hub, auth) per
+# node.  Zero-weight self-edges keep every vertex slot present through
+# the two grouped joins (the _PR_SQL trick); L1 normalizers are window
+# sums over the full node set.  Engine parity: identical trajectory,
+# floor-quantized at 1e-8 (float paths agree to ~1e-15).
+_HITS_SQL = f"""
+WITH RECURSIVE h_edges AS (
+  SELECT DISTINCT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst
+  FROM lineitem
+), h_msg AS (
+  SELECT src, dst, 1.0 AS w FROM h_edges
+  UNION ALL
+  SELECT CAST(range AS BIGINT), CAST(range AS BIGINT), 0.0
+  FROM range({NMOD})
+), r(iter, node, hub, auth) AS (
+    SELECT 0, CAST(range AS BIGINT), 1.0 / {NMOD}, 1.0 / {NMOD}
+    FROM range({NMOD})
+  UNION ALL
+    SELECT it, node, hub, auth FROM (
+      WITH t AS (
+        SELECT r.iter + 1 AS it, m.dst AS node, SUM(r.hub * m.w) AS authraw
+        FROM r JOIN h_msg m ON m.src = r.node
+        WHERE r.iter < {HITS_ITERS}
+        GROUP BY r.iter, m.dst
+      ), a AS (
+        SELECT it, node, authraw / SUM(authraw) OVER () AS auth FROM t
+      ), h AS (
+        SELECT a.it AS it, m2.src AS node, SUM(a.auth * m2.w) AS hubraw
+        FROM a JOIN h_msg m2 ON m2.dst = a.node
+        GROUP BY a.it, m2.src
+      )
+      SELECT h.it, h.node,
+             h.hubraw / SUM(h.hubraw) OVER () AS hub, a2.auth
+      FROM h JOIN a a2 ON a2.node = h.node
+    )
+)
+SELECT node, CAST(FLOOR(auth * 100000000) AS BIGINT) AS auth_q8,
+       CAST(FLOOR(hub * 100000000) AS BIGINT) AS hub_q8
+FROM r WHERE iter = {HITS_ITERS}"""
+
+# k-core oracle: fixed-round peeling.  The working table per recursion
+# step is the alive set of the previous round; a node survives iff >= k
+# of its non-self symmetric neighbors are alive.  Integer-exact.
+_KCORE_SQL = f"""
+WITH RECURSIVE kc_base AS (
+  SELECT DISTINCT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst
+  FROM lineitem
+), kc_sym AS (
+  SELECT src, dst FROM kc_base UNION SELECT dst, src FROM kc_base
+), kc_ns AS (
+  SELECT src, dst FROM kc_sym WHERE src <> dst
+), r(iter, node) AS (
+    SELECT 0, src FROM (SELECT DISTINCT src FROM kc_ns)
+  UNION ALL
+    SELECT r.iter + 1, r.node
+    FROM r
+    WHERE r.iter < {KCORE_ITERS} AND r.node IN (
+      SELECT e.src FROM kc_ns e
+      JOIN r r2 ON r2.node = e.dst
+      GROUP BY e.src HAVING COUNT(*) >= {KCORE_K})
+)
+SELECT node FROM r WHERE iter = {KCORE_ITERS}"""
+
 GRAPH_SQL: dict[str, str] = {
     "graph_pagerank": _PR_SQL,
+    "graph_hits": _HITS_SQL,
+    "graph_kcore": _KCORE_SQL,
     "graph_top_pagerank": f"""
         WITH p AS ({_PR_SQL})
         SELECT node, rank_q8 FROM p
@@ -486,6 +554,41 @@ def q_pagerank(sf_dir: str):
 
 
 TOP_PR_K = 20
+
+
+def q_hits(sf_dir: str):
+    """Kleinberg HITS hubs/authorities on the directed deduped edge
+    graph — the classic link-analysis companion to PageRank (north-rule
+    §2.11 family).  Fixed {HITS_ITERS} iterations with L1 normalization
+    per half-step so the recursive-CTE SQL oracle (_HITS_SQL) replays
+    the exact trajectory; scores floor-quantized to 1e-8 BIGINT units
+    (the two float paths agree to ~1e-15 — same argument as the
+    PageRank gate)."""
+    eng = _build_engine(sf_dir, kind="dir")
+    eng.hits(max_iter=HITS_ITERS)
+    tbl = eng.hits_result()
+    aq = np.floor(tbl.column("auth").to_numpy() * 1e8).astype(np.int64)
+    hq = np.floor(tbl.column("hub").to_numpy() * 1e8).astype(np.int64)
+    return pa.table({"node": tbl.column("node"),
+                     "auth_q8": pa.array(aq, pa.int64()),
+                     "hub_q8": pa.array(hq, pa.int64())})
+
+
+def q_kcore(sf_dir: str):
+    """k-core membership (k={KCORE_K}) on the symmetric deduped graph:
+    iteratively peel vertices with fewer than k alive non-self
+    neighbors.  Integer-exact; the engine stops at the peeling fixpoint
+    (identity thereafter), the SQL oracle always runs {KCORE_ITERS}
+    rounds — both capped at the same count, so results are identical.
+    The reference has no k-core, but the peel reuses the engine's CC
+    message pattern (ghost-serve wave + local masked segmented count);
+    a standard skew-safe degree-based decomposition primitive for link
+    graphs."""
+    eng = _build_engine(sf_dir, kind="sym")
+    eng.kcore(KCORE_K, max_iter=KCORE_ITERS)
+    tbl = eng.kcore_result()
+    order = np.argsort(tbl.column("node").to_numpy())
+    return tbl.take(pa.array(order))
 
 
 def q_top_pagerank(sf_dir: str):

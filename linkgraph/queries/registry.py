@@ -769,6 +769,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # engine algorithms (SURVEY.md §2.8, §2.11)
     "graph_pagerank": g.q_pagerank,
     "graph_top_pagerank": g.q_top_pagerank,
+    "graph_hits": g.q_hits,
+    "graph_kcore": g.q_kcore,
     "graph_connected_components": g.q_connected_components,
     "graph_label_propagation": g.q_label_propagation,
     "graph_louvain": g.q_louvain,

@@ -554,6 +554,74 @@ class GraphEngine:
         return pa.concat_tables(
             ray.get([a.pagerank_result.remote() for a in self.actors]))
 
+    # ------------------------------------------------------------- HITS
+
+    def hits(self, max_iter: int = 12) -> dict:
+        """Kleinberg HITS (L1-normalized per half-step) on the directed
+        CSR.  Fixed iteration count so the recursive-CTE SQL oracle
+        replays the identical trajectory (see queries/graphs._HITS_SQL).
+        Per iteration: one dst-grouped message exchange (auth), one
+        ghost-serve wave (hub), two driver-reduced scalars (the L1
+        normalizers)."""
+        ray.get([a.hits_init.remote() for a in self.actors])
+        n_edges = sum(s["n_edges"] for s in self.stats)
+        t0 = time.time()
+        for it in range(max_iter):
+            if self.has_frags:
+                vals = self._fetch_frag("hub")
+                outs = [a.hits_auth_partials.options(num_returns=self.P)
+                        .remote(vals[i]) for i, a in enumerate(self.actors)]
+            else:
+                outs = [a.hits_auth_partials.options(num_returns=self.P)
+                        .remote() for a in self.actors]
+            sums = ray.get([
+                a.hits_auth_apply.remote([outs[i][j] for i in range(self.P)])
+                for j, a in enumerate(self.actors)])
+            ray.get([a.hits_scale.remote("auth", float(sum(sums)))
+                     for a in self.actors])
+            gvals = self._fetch_ghost("auth")
+            hsums = ray.get([a.hits_hub_update.remote(gvals[i])
+                             for i, a in enumerate(self.actors)])
+            ray.get([a.hits_scale.remote("hub", float(sum(hsums)))
+                     for a in self.actors])
+        secs = time.time() - t0
+        self.metrics.append({
+            "job": self.name, "algo": "hits", "superstep": max_iter,
+            "secs": secs,
+            "edges_per_sec": 2 * n_edges * max_iter / max(1e-9, secs)})
+        return {"iterations": max_iter, "secs": secs}
+
+    def hits_result(self) -> pa.Table:
+        return pa.concat_tables(
+            ray.get([a.hits_result.remote() for a in self.actors]))
+
+    # ----------------------------------------------------------- k-core
+
+    def kcore(self, k: int, max_iter: int = 50) -> dict:
+        """k-core membership by iterative peeling on the symmetric CSR.
+        Stops at fixpoint (further rounds are identity, so an early stop
+        is value-identical to running all ``max_iter`` rounds — the SQL
+        oracle always runs the full count)."""
+        alive0 = ray.get([a.kcore_init.remote(k) for a in self.actors])
+        t0 = time.time()
+        rounds = 0
+        for _ in range(max_iter):
+            gvals = self._fetch_ghost("kcore_alive")
+            dropped = ray.get([a.kcore_round.remote(gvals[i])
+                               for i, a in enumerate(self.actors)])
+            rounds += 1
+            if sum(dropped) == 0:
+                break
+        secs = time.time() - t0
+        self.metrics.append({
+            "job": self.name, "algo": "kcore", "superstep": rounds,
+            "k": k, "secs": secs, "n_init": int(sum(alive0))})
+        return {"rounds": rounds, "secs": secs}
+
+    def kcore_result(self) -> pa.Table:
+        return pa.concat_tables(
+            ray.get([a.kcore_result.remote() for a in self.actors]))
+
     # ------------------------------------------------- connected components
 
     # supersteps per driver barrier for the convergence-checked algorithms

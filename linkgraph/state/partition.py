@@ -612,6 +612,10 @@ class GraphShard:
         self._msg_cache = None
         self._lpa_cache = None
         self._lv_bucket_cache = {}
+        # static ghost-order / edge-position caches (HITS, k-core)
+        self._ghost_order_cache = None
+        self._hits_pos = None
+        self._kcore_pos = None
         # graph mutation invalidates the hub split (the engine re-splits
         # explicitly if wanted); fall back to unsplit message paths
         self.hub_mask = np.zeros(self.n_local, dtype=bool)

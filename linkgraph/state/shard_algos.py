@@ -120,6 +120,178 @@ class AlgoShard(GraphShard):
             "rank": self.state["rank"],
         })
 
+    # ================= HITS hubs/authorities (directed CSR) =============
+    #
+    # Kleinberg's HITS with L1 normalization per half-step, the classic
+    # link-analysis companion to PageRank (north-rule §2.11 family).
+    # One iteration = two passes over the directed edges:
+    #   auth_j = Σ_{(i,j)} hub_i   (same pre-aggregated dst-grouped
+    #            message exchange as PageRank — the combiner bounds
+    #            traffic to O(unique boundary dsts))
+    #   hub_i  = Σ_{(i,j)} auth_j  (a LOCAL reduceat over the shard's
+    #            full out-CSR using served ghost auth values — messages
+    #            flow owner(dst)→owner(src) as one ghost-serve wave)
+    # Both passes then divide by the global L1 sum (driver-reduced
+    # scalar).  Hub-split graphs reuse the PageRank fragment path for
+    # the auth pass; the hub pass needs no fragments because the owner
+    # CSR retains hub rows (fragments are duplicates, not moves).
+
+    def hits_init(self):
+        v = np.full(self.n_local, 1.0 / self.n_global)
+        self.state["hub"] = v.copy()
+        self.state["auth"] = v.copy()
+        self._hits_pos = None     # static: out-edge dst -> sorted-id slot
+        self._hits_frag_agg = None
+
+    def hits_set_frag(self, vals):
+        """Local aggregate of fragment hub contributions (fragments live
+        with owner(dst) — mirrors pagerank_set_frag)."""
+        hub_u = self._frag_src_values(vals)
+        if len(self.frag_src_u) == 0:
+            self._hits_frag_agg = None
+            return
+        vals_e = np.repeat(hub_u, self.frag_counts)
+        fperm, fuk, fstarts = self._frag_groups
+        sums = np.add.reduceat(vals_e[fperm], fstarts) if len(fstarts) \
+            else np.empty(0)
+        agg = np.zeros(self.n_local)
+        agg[fuk - self.lo] = sums
+        self._hits_frag_agg = agg
+
+    def hits_auth_partials(self, frag_vals=None):
+        """Per-owner (dst_ids, partial hub sums) messages (num_returns=P)
+        — PageRank's exchange shape without the out-degree division."""
+        if frag_vals is not None:
+            self.hits_set_frag(frag_vals)
+        rowperm, uk, starts, cuts = self._msg_groups()
+        vals = self.state["hub"][rowperm]
+        sums = np.add.reduceat(vals, starts) if len(starts) \
+            else np.empty(0, np.float64)
+        out = []
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        for p in range(self.P):
+            chunk = (uk[cuts[p]:cuts[p + 1]], sums[cuts[p]:cuts[p + 1]])
+            if p == self.pid:
+                self._hits_self = chunk     # self-message stays in-actor
+                out.append(empty)
+            else:
+                out.append(chunk)
+        return tuple(out)
+
+    def hits_auth_apply(self, msgs) -> float:
+        """Install raw (unnormalized) auth; returns the local L1 mass so
+        the driver can reduce the global normalizer."""
+        msgs = _resolve_refs(msgs)
+        msgs = list(msgs)
+        msgs[self.pid] = self._hits_self
+        agg = np.zeros(self.n_local)
+        for ids, sums in msgs:
+            if len(ids):
+                agg[ids - self.lo] += sums
+        if self._hits_frag_agg is not None:
+            agg += self._hits_frag_agg
+        self.state["auth"] = agg
+        return float(agg.sum())
+
+    def hits_scale(self, name: str, s: float):
+        if s > 0.0:
+            self.state[name] = self.state[name] / s
+
+    def _ghost_sorted_values(self, name: str, ghost_vals):
+        """(sorted_ids, values) over local + ghost vertices; the sort
+        permutation is static (ghost sets are static per graph version)
+        and cached, so per-iteration cost is one concat + one gather."""
+        ghost_vals = [ray.get(v) if isinstance(v, ray.ObjectRef) else v
+                      for v in ghost_vals]
+        cache = getattr(self, "_ghost_order_cache", None)
+        if cache is None:
+            ids = [np.arange(self.lo, self.hi, dtype=np.int64)]
+            for g_ids in self.ghosts:
+                if len(g_ids):
+                    ids.append(g_ids)
+            all_ids = np.concatenate(ids)
+            order = np.argsort(all_ids, kind="stable")
+            cache = self._ghost_order_cache = (all_ids[order], order)
+        sorted_ids, order = cache
+        vals = [self.state[name]]
+        for g_ids, g_v in zip(self.ghosts, ghost_vals):
+            if len(g_ids):
+                vals.append(np.asarray(g_v))
+        return sorted_ids, np.concatenate(vals)[order]
+
+    def hits_hub_update(self, ghost_auth) -> float:
+        """hub_i = Σ over the shard's out-edges of auth[dst] — one gather
+        + one segmented sum over the full CSR; returns local L1 mass."""
+        ids, av_all = self._ghost_sorted_values("auth", ghost_auth)
+        if self._hits_pos is None:
+            self._hits_pos = np.searchsorted(ids, self.indices)
+            from ..common import collapse_hugepages
+            collapse_hugepages(self._hits_pos)
+        av = av_all[self._hits_pos]
+        deg = np.diff(self.indptr)
+        if len(av):
+            sums = np.add.reduceat(np.concatenate([av, [0.0]]),
+                                   self.indptr[:-1])
+            hub = np.where(deg > 0, sums, 0.0)
+        else:
+            hub = np.zeros(self.n_local)
+        self.state["hub"] = hub
+        return float(hub.sum())
+
+    def hits_result(self) -> pa.Table:
+        return pa.table({
+            "node": np.arange(self.lo, self.hi, dtype=np.int64),
+            "auth": self.state["auth"],
+            "hub": self.state["hub"],
+        })
+
+    # ================= k-core peeling (symmetric CSR) ====================
+    #
+    # Iterative peel: drop vertices with < k alive non-self neighbors
+    # until fixpoint.  Each round is ONE ghost-serve wave (alive flags of
+    # remote neighbors) + a local masked segmented count — the same
+    # message pattern as CC without the min-propagation.
+
+    def kcore_init(self, k: int) -> int:
+        self._kcore_k = int(k)
+        # static: positions of out-edge dsts in the sorted ghost-id space
+        # and the non-self edge mask (self-loops never count toward core
+        # degree — matches the SQL oracle's src <> dst filter)
+        rows = np.repeat(np.arange(self.n_local, dtype=np.int64),
+                         np.diff(self.indptr))
+        self._kcore_nonself = self.indices != (rows + self.lo)
+        nonself_deg = np.add.reduceat(
+            np.concatenate([self._kcore_nonself.astype(np.int64), [0]]),
+            self.indptr[:-1]) if len(self.indices) \
+            else np.zeros(self.n_local, np.int64)
+        nonself_deg = np.where(np.diff(self.indptr) > 0, nonself_deg, 0)
+        self.state["kcore_alive"] = (nonself_deg > 0).astype(np.int64)
+        return int(self.state["kcore_alive"].sum())
+
+    def kcore_round(self, ghost_alive) -> int:
+        """One peel round; returns the number of locally dropped nodes."""
+        ids, alive_all = self._ghost_sorted_values("kcore_alive",
+                                                   ghost_alive)
+        if getattr(self, "_kcore_pos", None) is None:
+            self._kcore_pos = np.searchsorted(ids, self.indices)
+        av = alive_all[self._kcore_pos] * self._kcore_nonself
+        deg = np.diff(self.indptr)
+        if len(av):
+            cnt = np.add.reduceat(np.concatenate([av, [0]]),
+                                  self.indptr[:-1])
+            cnt = np.where(deg > 0, cnt, 0)
+        else:
+            cnt = np.zeros(self.n_local, np.int64)
+        alive = self.state["kcore_alive"]
+        new_alive = alive * (cnt >= self._kcore_k)
+        dropped = int(alive.sum() - new_alive.sum())
+        self.state["kcore_alive"] = new_alive
+        return dropped
+
+    def kcore_result(self) -> pa.Table:
+        members = np.flatnonzero(self.state["kcore_alive"]) + self.lo
+        return pa.table({"node": members.astype(np.int64)})
+
     # ================= Connected components (symmetric CSR) =============
 
     def cc_init(self):

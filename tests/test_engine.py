@@ -223,3 +223,100 @@ class TestHubSplitLouvain:
         assert np.allclose(pr, want_pr, atol=1e-9)
         eng_split.shutdown()
         eng_plain.shutdown()
+
+
+def hits_oracle(n, src, dst, iters):
+    """NumPy HITS with L1 normalization per half-step (distinct edges)."""
+    import pandas as pd
+    e = pd.DataFrame({"s": src, "d": dst}).drop_duplicates()
+    s, d = e["s"].to_numpy(), e["d"].to_numpy()
+    hub = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        auth = np.bincount(d, weights=hub[s], minlength=n)
+        auth /= auth.sum()
+        hub = np.bincount(s, weights=auth[d], minlength=n)
+        hub /= hub.sum()
+    return auth, hub
+
+
+class TestHITSEngine:
+    @pytest.mark.parametrize("n_parts", [2, 4])
+    def test_matches_oracle(self, engine_mod, n_parts):
+        n = 300
+        src, dst = directed_er(n, 0.02, 7)
+        eng = engine_mod.from_arrays(src, dst, n=n, n_parts=n_parts,
+                                     name=f"hits{n_parts}")
+        eng.hits(max_iter=12)
+        tbl = eng.hits_result().to_pandas().sort_values("node")
+        auth, hub = hits_oracle(n, src, dst, 12)
+        assert np.allclose(tbl["auth"].to_numpy(), auth, atol=1e-12)
+        assert np.allclose(tbl["hub"].to_numpy(), hub, atol=1e-12)
+        assert abs(tbl["auth"].sum() - 1.0) < 1e-9
+        assert abs(tbl["hub"].sum() - 1.0) < 1e-9
+        eng.shutdown()
+
+    def test_hub_split_matches_unsplit(self, engine_mod, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        s, d = TestHubSplitLouvain.hub_graph()
+        n = 1500
+        ds = rd.from_arrow(pa.table({"src": s, "dst": d})) \
+            .repartition(8).materialize()
+        eng_split = engine_mod.from_dataset(ds, n_nodes=n, n_parts=3,
+                                            name="hits_hub_on",
+                                            split_hubs=True)
+        assert eng_split.has_frags
+        eng_plain = engine_mod.from_dataset(ds, n_nodes=n, n_parts=3,
+                                            name="hits_hub_off",
+                                            split_hubs=False)
+        eng_split.hits(max_iter=8)
+        eng_plain.hits(max_iter=8)
+        ts = eng_split.hits_result().to_pandas().sort_values("node")
+        tp = eng_plain.hits_result().to_pandas().sort_values("node")
+        assert np.allclose(ts["auth"].to_numpy(), tp["auth"].to_numpy(),
+                           atol=1e-13)
+        assert np.allclose(ts["hub"].to_numpy(), tp["hub"].to_numpy(),
+                           atol=1e-13)
+        eng_split.shutdown()
+        eng_plain.shutdown()
+
+
+def kcore_oracle(n, src, dst, k, iters=100):
+    """NumPy peel on the symmetric edge list (self-loops excluded)."""
+    ns = src != dst
+    s, d = src[ns], dst[ns]
+    deg = np.bincount(s, minlength=n)
+    alive = deg > 0
+    for _ in range(iters):
+        cnt = np.bincount(s, weights=alive[d].astype(float), minlength=n)
+        new = alive & (cnt >= k)
+        if (new == alive).all():
+            break
+        alive = new
+    return np.flatnonzero(alive)
+
+
+class TestKCoreEngine:
+    @pytest.mark.parametrize("k", [2, 3, 5])
+    def test_matches_oracle(self, engine_mod, k):
+        n = 400
+        src, dst, w = er_graph(n, 0.015, 11)
+        eng = engine_mod.from_arrays(src, dst, w, n=n, n_parts=3,
+                                     name=f"kcore{k}")
+        eng.kcore(k)
+        got = eng.kcore_result().to_pandas()["node"].to_numpy()
+        want = kcore_oracle(n, src, dst, k)
+        assert sorted(got.tolist()) == want.tolist()
+        eng.shutdown()
+
+    def test_self_loops_excluded(self, engine_mod):
+        # triangle + a self-loop on an otherwise degree-1 node: the
+        # self-loop must not keep node 3 alive at k=2
+        src = np.array([0, 1, 1, 2, 2, 0, 0, 3, 3], dtype=np.int64)
+        dst = np.array([1, 0, 2, 1, 0, 2, 3, 0, 3], dtype=np.int64)
+        eng = engine_mod.from_arrays(src, dst, n=4, n_parts=2,
+                                     name="kcore_self")
+        eng.kcore(2)
+        got = sorted(eng.kcore_result().to_pandas()["node"].tolist())
+        assert got == [0, 1, 2]
+        eng.shutdown()
