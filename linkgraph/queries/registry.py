@@ -619,7 +619,76 @@ _CURATION_SQL = f"""
     SELECT k.doc_id, v.score, k.n_copies
     FROM keep k JOIN surv v ON k.doc_id = v.doc_id"""
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals (top-token count, duplicate
+    bigrams) — integer-exact per doc, one vectorized pass."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.repetition_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=512)
+
+
+def q_doc_contamination(sf_dir: str):
+    """Benchmark-contamination check: per doc, how many of its distinct
+    3-word shingles appear in the deterministic benchmark subset
+    (doc_id % {tx.CONTAM_MOD} == 0).  The small benchmark shingle set is
+    built once (per-block hash+unique tasks) and broadcast via ray.put;
+    the corpus side streams — no shuffle."""
+    import ray as _ray
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = tx.benchmark_shingles(docs, tx.DEFAULT_SHINGLE_K)
+    bench_ref = _ray.put(bench)
+    return docs.map_batches(
+        tx.contamination_batch, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=512,
+        fn_kwargs={"bench_ref": bench_ref, "k": tx.DEFAULT_SHINGLE_K})
+
+
+# repetition oracle: per-(doc, token) counts; bigrams via 1-based list
+# slicing (range(1, len) is empty for single-token docs).  Integer-exact.
+_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+g AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM w GROUP BY doc_id, tok),
+t AS (
+  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_count
+  FROM g GROUP BY doc_id),
+b AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(text, ' '))),
+                        i -> string_split(text, ' ')[i] || ' ' ||
+                             string_split(text, ' ')[i+1]) AS bg
+  FROM documents)
+SELECT t.doc_id, t.n_tokens, t.top_count,
+       CAST(len(b.bg) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(b.bg)) AS BIGINT) AS n_distinct_bigrams
+FROM t JOIN b ON b.doc_id = t.doc_id"""
+
+# contamination oracle: exact string shingles (same 3-word CTE shape as
+# the MinHash oracle), benchmark set = distinct shingles of the
+# doc_id % CONTAM_MOD == 0 subset, membership via LEFT JOIN.
+_CONTAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END)) AS s
+  FROM w),
+bset AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {tx.CONTAM_MOD} = 0)
+SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contam
+FROM sh LEFT JOIN bset b ON b.s = sh.s
+GROUP BY sh.doc_id"""
+
 TEXT_SQL: dict[str, str] = {
+    "doc_repetition": _REPETITION_SQL,
+    "doc_contamination": _CONTAM_SQL,
     "doc_curation": _CURATION_SQL.format(lang_sql=_LANGID_SQL,
                                          score_sql=_QUALITY_SCORE_SQL),
     "doc_pack": _PACK_SQL.format(cap=PACK_CAPACITY),
@@ -788,6 +857,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_token_jaccard": q_doc_token_jaccard,
+    "doc_repetition": q_doc_repetition,
+    "doc_contamination": q_doc_contamination,
     "doc_dedup_near": q_doc_dedup_near,
     "doc_pack": q_doc_pack,
     "doc_split": q_doc_split,

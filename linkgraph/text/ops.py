@@ -155,6 +155,132 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
                      "score": np.floor(score * 1e6) / 1e6})
 
 
+# ------------------------------------------------------- repetition signals
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, top_count, n_bigrams, n_distinct_bigrams) —
+    Gopher-style repetition signals, integer-exact (SQL-checked):
+    top-token fraction = top_count / n_tokens, duplicate-bigram fraction
+    = 1 - n_distinct_bigrams / n_bigrams (both derived downstream; the
+    gate checks the exact integers).
+
+    Fully vectorized: tokens become Arrow dictionary codes; per-(row,
+    token) counts come from ONE sort + run-length pass; bigrams are
+    adjacent code pairs composited into a single int64 key (no Python
+    loops, no per-doc dicts)."""
+    toks, lens = _tokens(batch)
+    flat = _flat_tokens(toks)
+    n = len(lens)
+    codes = flat.dictionary_encode().indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    ncodes = np.int64(int(codes.max(initial=-1)) + 2)
+    top = np.zeros(n, np.int64)
+    if len(codes):
+        sp = np.sort(rows * ncodes + codes)
+        newg = np.empty(len(sp), dtype=bool)
+        newg[0] = True
+        newg[1:] = sp[1:] != sp[:-1]
+        starts = np.flatnonzero(newg)
+        cnts = np.diff(np.concatenate([starts, [len(sp)]]))
+        grow = sp[starts] // ncodes
+        rnew = np.empty(len(grow), dtype=bool)
+        rnew[0] = True
+        rnew[1:] = grow[1:] != grow[:-1]
+        rstarts = np.flatnonzero(rnew)
+        top[grow[rstarts]] = np.maximum.reduceat(cnts, rstarts)
+    # bigrams: adjacent positions within a row (drop each row's last slot)
+    n_bi = np.maximum(lens - 1, 0)
+    nd_bi = np.zeros(n, np.int64)
+    if len(codes) > 1 and n_bi.sum() > 0:
+        valid = np.ones(len(codes) - 1, dtype=bool)
+        ends = _row_starts(lens) + lens - 1       # last slot per row
+        ends = ends[lens > 0]
+        valid[ends[ends < len(valid)]] = False
+        b1 = codes[:-1][valid]
+        b2 = codes[1:][valid]
+        brow = rows[:-1][valid]
+        # composite (row, c1, c2) key; ncodes^2 * n_rows must fit int64 —
+        # holds for any sane batch (guarded by map_batches batch_size)
+        key = (brow * ncodes + b1) * ncodes + b2
+        uk = np.unique(key)
+        nd_bi = np.bincount((uk // ncodes) // ncodes,
+                            minlength=n).astype(np.int64)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(lens, pa.int64()),
+        "top_count": pa.array(top, pa.int64()),
+        "n_bigrams": pa.array(n_bi, pa.int64()),
+        "n_distinct_bigrams": pa.array(nd_bi, pa.int64()),
+    })
+
+
+# ------------------------------------------------------ contamination check
+
+CONTAM_MOD = 17  # deterministic "benchmark" subset: doc_id % 17 == 0
+
+
+def benchmark_shingles(docs, k: int, mod: int = CONTAM_MOD) -> np.ndarray:
+    """Sorted distinct shingle hashes of the benchmark subset.
+
+    The benchmark side of a contamination check is an eval suite —
+    inherently tiny next to the corpus — so its distinct-shingle set is
+    gathered and broadcast (ray.put) like the url fingerprint index;
+    the CORPUS side streams.  Per-block tasks hash + unique locally so
+    only deduped uint64 arrays reach the driver."""
+    import ray as _ray
+
+    def block_hashes(t: pa.Table) -> pa.Table:
+        sel = t.column("doc_id").to_numpy() % mod == 0
+        texts = t.filter(pa.array(sel)).column("text").to_pylist()
+        flat, _lens = _batch_shingle_hashes(texts, k)
+        return pa.table({"h": np.unique(flat).view(np.int64)})
+
+    bench = docs.map_batches(block_hashes, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    parts = [_ray.get(r).column("h").to_numpy().view(_U64)
+             for r in bench.to_arrow_refs()]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, _U64)
+
+
+def contamination_batch(batch: pa.Table, bench_ref, k: int) -> pa.Table:
+    """(doc_id, n_shingles, n_contam) — per doc: distinct k-word
+    shingles and how many appear in the benchmark set (membership via
+    searchsorted on the broadcast sorted hash array).  64-bit shingle
+    hashes stand in for the strings (collision odds ~1e-8 at sf-scale;
+    the SQL oracle joins the exact strings)."""
+    import ray as _ray
+    bench = _ray.get(bench_ref) if isinstance(bench_ref, _ray.ObjectRef) \
+        else bench_ref
+    texts = batch.column("text").to_pylist()
+    flat, lens = _batch_shingle_hashes(texts, k)
+    rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    # per-row distinct shingles (one lexsort over the batch)
+    order = np.lexsort((flat, rows))
+    h_s, r_s = flat[order], rows[order]
+    if len(h_s):
+        first = np.empty(len(h_s), dtype=bool)
+        first[0] = True
+        first[1:] = (h_s[1:] != h_s[:-1]) | (r_s[1:] != r_s[:-1])
+        h_u, r_u = h_s[first], r_s[first]
+    else:
+        h_u, r_u = h_s, r_s
+    n_sh = np.bincount(r_u, minlength=len(lens)).astype(np.int64)
+    if len(bench) and len(h_u):
+        pos = np.searchsorted(bench, h_u)
+        pos[pos == len(bench)] = 0
+        hit = (bench[pos] == h_u).astype(np.int64)
+        n_con = np.bincount(r_u, weights=hit,
+                            minlength=len(lens)).astype(np.int64)
+    else:
+        n_con = np.zeros(len(lens), np.int64)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_shingles": pa.array(n_sh, pa.int64()),
+        "n_contam": pa.array(n_con, pa.int64()),
+    })
+
+
 # ------------------------------------------------------------- exact dedup
 
 def md5_batch(batch: pa.Table) -> pa.Table:

@@ -347,3 +347,48 @@ class TestCuration:
                     num_join_partitions=2).to_pandas()
         assert list(df.sort_values("doc_id")["doc_id"]) == [5]
         assert int(df["n_copies"].iloc[0]) == 2
+
+
+def test_repetition_matches_naive():
+    from collections import Counter
+
+    from linkgraph.text.ops import repetition_batch
+    texts = ["a b a b a", "x", "", "q w e r t y", "z z z z",
+             "a a b b a a", "one two one two", "x  y x  y"]
+    out = repetition_batch(docs_table(texts)).to_pandas()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        bigrams = [f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)]
+        row = out.iloc[i]
+        assert row["n_tokens"] == len(toks)
+        assert row["top_count"] == max(Counter(toks).values())
+        assert row["n_bigrams"] == len(bigrams)
+        assert row["n_distinct_bigrams"] == len(set(bigrams))
+
+
+def test_contamination_matches_naive():
+    from linkgraph.text.ops import (_batch_shingle_hashes,
+                                    contamination_batch)
+    texts = ["the cat sat on the mat", "the cat sat quietly",
+             "dogs bark loudly at night", "the cat sat on the mat today",
+             "short", "on the mat"]
+    k = 3
+
+    def shingles(t):
+        ws = t.split(" ")
+        if len(ws) < k:
+            return {t}
+        return {" ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)}
+
+    # benchmark = docs 0 and 3 (pretend mod selected them)
+    bench_texts = [texts[0], texts[3]]
+    bench_set = set().union(*(shingles(t) for t in bench_texts))
+    flat, _ = _batch_shingle_hashes(sorted(bench_set), 10**9)
+    bench_hashes = np.unique(flat)
+
+    out = contamination_batch(docs_table(texts), bench_hashes,
+                              k).to_pandas()
+    for i, t in enumerate(texts):
+        sh = shingles(t)
+        assert out.iloc[i]["n_shingles"] == len(sh)
+        assert out.iloc[i]["n_contam"] == len(sh & bench_set)
