@@ -334,6 +334,10 @@ PR_DAMPING = 0.85
 HITS_ITERS = 12
 KCORE_K = 5
 KCORE_ITERS = 30
+PPR_MOD = 101                       # seed set: node % PPR_MOD == 0
+_PPR_NS = (NMOD - 1) // PPR_MOD + 1  # |seeds|
+# teleport vector as a SQL expression (uniform over the seed set)
+_PPR_P = f"(CASE WHEN node % {PPR_MOD} = 0 THEN 1.0 / {_PPR_NS} ELSE 0.0 END)"
 
 _PR_SQL = f"""
 WITH RECURSIVE pr_edges AS (
@@ -360,6 +364,45 @@ WITH RECURSIVE pr_edges AS (
                                     FROM r r2
                                     JOIN pr_dang dg ON dg.node = r2.node
                                     WHERE r2.iter = it - 1) / {NMOD})
+    FROM (
+      SELECT r.iter + 1 AS it, m.dst AS node, SUM(r.rank * m.w) AS agg
+      FROM r JOIN pr_msg m ON m.src = r.node
+      WHERE r.iter < {PR_ITERS}
+      GROUP BY r.iter, m.dst
+    )
+)
+SELECT node, CAST(FLOOR(rank * 100000000) AS BIGINT) AS rank_q8
+FROM r WHERE iter = {PR_ITERS}"""
+
+# personalized-PageRank oracle: _PR_SQL with the uniform teleport
+# replaced by the seed-set vector (base rank, restart term, dangling
+# redistribution).  Same zero-self-edge + fixed-iteration machinery.
+_PPR_SQL = f"""
+WITH RECURSIVE pr_edges AS (
+  SELECT DISTINCT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst
+  FROM lineitem
+), pr_outd AS (
+  SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS od
+  FROM pr_edges GROUP BY src
+), pr_msg AS (
+  SELECT e.src, e.dst, 1.0 / o.od AS w
+  FROM pr_edges e JOIN pr_outd o ON o.node = e.src
+  UNION ALL
+  SELECT CAST(range AS BIGINT), CAST(range AS BIGINT), 0.0
+  FROM range({NMOD})
+), pr_dang AS (
+  SELECT CAST(range AS BIGINT) AS node FROM range({NMOD})
+  WHERE CAST(range AS BIGINT) NOT IN (SELECT src FROM pr_edges)
+), r(iter, node, rank) AS (
+    SELECT 0, node, {_PPR_P}
+    FROM (SELECT CAST(range AS BIGINT) AS node FROM range({NMOD}))
+  UNION ALL
+    SELECT it, node,
+           (1.0 - {PR_DAMPING}) * {_PPR_P}
+           + {PR_DAMPING} * (agg + (SELECT COALESCE(SUM(r2.rank), 0.0)
+                                    FROM r r2
+                                    JOIN pr_dang dg ON dg.node = r2.node
+                                    WHERE r2.iter = it - 1) * {_PPR_P})
     FROM (
       SELECT r.iter + 1 AS it, m.dst AS node, SUM(r.rank * m.w) AS agg
       FROM r JOIN pr_msg m ON m.src = r.node
@@ -435,6 +478,7 @@ SELECT node FROM r WHERE iter = {KCORE_ITERS}"""
 
 GRAPH_SQL: dict[str, str] = {
     "graph_pagerank": _PR_SQL,
+    "graph_ppr": _PPR_SQL,
     "graph_hits": _HITS_SQL,
     "graph_kcore": _KCORE_SQL,
     "graph_top_pagerank": f"""
@@ -554,6 +598,21 @@ def q_pagerank(sf_dir: str):
 
 
 TOP_PR_K = 20
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank: teleport restricted to the deterministic
+    seed set {v : v % PPR_MOD == 0} (dangling mass redistributes to the
+    seeds too).  Same fixed-iteration + floor-quantization contract as
+    the PageRank gate; the seed mask is derived shard-locally from the
+    id range — no broadcast."""
+    eng = _build_engine(sf_dir, kind="dir")
+    eng.pagerank(damping=PR_DAMPING, tol=0.0, max_iter=PR_ITERS,
+                 ppr_mod=PPR_MOD)
+    tbl = eng.pagerank_result()
+    q8 = np.floor(tbl.column("rank").to_numpy() * 1e8).astype(np.int64)
+    return pa.table({"node": tbl.column("node"),
+                     "rank_q8": pa.array(q8, pa.int64())})
 
 
 def q_hits(sf_dir: str):

@@ -838,6 +838,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # engine algorithms (SURVEY.md §2.8, §2.11)
     "graph_pagerank": g.q_pagerank,
     "graph_top_pagerank": g.q_top_pagerank,
+    "graph_ppr": g.q_ppr,
     "graph_hits": g.q_hits,
     "graph_kcore": g.q_kcore,
     "graph_connected_components": g.q_connected_components,

@@ -481,11 +481,17 @@ class GraphEngine:
     def pagerank(self, damping: float = 0.85, tol: float = 1e-10,
                  max_iter: int = 200, checkpoint_every: int = 0,
                  ckpt_dir: str | None = None,
-                 start_iter: int = 0) -> dict:
+                 start_iter: int = 0, ppr_mod: int | None = None) -> dict:
         """Distributed power iteration; returns {iterations, delta, secs,
-        edges_per_sec}."""
+        edges_per_sec}.  ``ppr_mod`` runs personalized PageRank over the
+        deterministic seed set {v : v % ppr_mod == 0} (resume from
+        checkpoint is not supported for PPR — the teleport vector is
+        re-derived only at init)."""
         if start_iter == 0:
-            ray.get([a.pagerank_init.remote(damping) for a in self.actors])
+            ray.get([a.pagerank_init.remote(damping, ppr_mod)
+                     for a in self.actors])
+        elif ppr_mod:
+            raise ValueError("PPR resume from checkpoint is unsupported")
         n_edges = sum(s["n_edges"] for s in self.stats)
         t0 = time.time()
         if tol <= 0 and not (checkpoint_every and ckpt_dir):

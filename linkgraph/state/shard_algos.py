@@ -34,8 +34,19 @@ class AlgoShard(GraphShard):
 
     # ================= PageRank (directed CSR) ==========================
 
-    def pagerank_init(self, damping: float):
-        self.state["rank"] = np.full(self.n_local, 1.0 / self.n_global)
+    def pagerank_init(self, damping: float, ppr_mod: int | None = None):
+        """``ppr_mod`` switches to personalized PageRank: the teleport
+        vector is uniform over the deterministic seed set
+        {v : v % ppr_mod == 0} (computable shard-locally — no broadcast)
+        and dangling mass also redistributes to the seeds."""
+        if ppr_mod:
+            ns = (self.n_global - 1) // ppr_mod + 1
+            ids = np.arange(self.lo, self.hi, dtype=np.int64)
+            self._pr_pvec = np.where(ids % ppr_mod == 0, 1.0 / ns, 0.0)
+            self.state["rank"] = self._pr_pvec.copy()
+        else:
+            self._pr_pvec = None
+            self.state["rank"] = np.full(self.n_local, 1.0 / self.n_global)
         self._pr_damping = damping
         # out-degree comes from the full CSR (hub rows included — the
         # fragment copies are duplicates, not extra edges)
@@ -108,7 +119,11 @@ class AlgoShard(GraphShard):
             agg += self._frag_agg
         n = self.n_global
         d = self._pr_damping
-        new = (1.0 - d) / n + d * (agg + dangling_total / n)
+        if getattr(self, "_pr_pvec", None) is not None:
+            pv = self._pr_pvec
+            new = (1.0 - d) * pv + d * (agg + dangling_total * pv)
+        else:
+            new = (1.0 - d) / n + d * (agg + dangling_total / n)
         delta = float(np.abs(new - self.state["rank"]).sum())
         self.state["rank"] = new
         self.state["pr_contrib"] = new / np.maximum(self._outdeg, 1.0)

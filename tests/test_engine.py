@@ -320,3 +320,28 @@ class TestKCoreEngine:
         got = sorted(eng.kcore_result().to_pandas()["node"].tolist())
         assert got == [0, 1, 2]
         eng.shutdown()
+
+
+class TestPersonalizedPageRank:
+    def test_matches_numpy(self, engine_mod):
+        n, mod, d, iters = 300, 7, 0.85, 15
+        src, dst = directed_er(n, 0.02, 13)
+        eng = engine_mod.from_arrays(src, dst, n=n, n_parts=3, name="ppr")
+        eng.pagerank(damping=d, tol=0.0, max_iter=iters, ppr_mod=mod)
+        got = eng.pagerank_result().to_pandas().sort_values("node")
+        import pandas as pd
+        e = pd.DataFrame({"s": src, "d": dst}).drop_duplicates()
+        s, dd = e["s"].to_numpy(), e["d"].to_numpy()
+        od = np.bincount(s, minlength=n).astype(float)
+        ns = (n - 1) // mod + 1
+        p = np.where(np.arange(n) % mod == 0, 1.0 / ns, 0.0)
+        r = p.copy()
+        for _ in range(iters):
+            contrib = r / np.maximum(od, 1.0)
+            agg = np.bincount(dd, weights=contrib[s], minlength=n)
+            dang = r[od == 0].sum()
+            r = (1.0 - d) * p + d * (agg + dang * p)
+        assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
+        # mass conserved; non-seed sources unreachable from seeds get 0
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+        eng.shutdown()
