@@ -476,7 +476,33 @@ WITH RECURSIVE kc_base AS (
 )
 SELECT node FROM r WHERE iter = {KCORE_ITERS}"""
 
+
+# edge-embeddedness oracle: common-neighbor count per canonical edge via
+# an intersection join (each triangle found once per edge; the sym table
+# is deduped and self-loops are filtered, so COUNT(*) is exact).
+_SUPPORT_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst FROM lineitem
+), e0 AS (
+  SELECT DISTINCT src, dst FROM base
+), ns AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+  ) WHERE src <> dst
+), ce AS (
+  SELECT src AS u, dst AS v FROM ns WHERE src < dst
+), inter AS (
+  SELECT c.u, c.v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ce c
+  JOIN ns a ON a.src = c.u
+  JOIN ns b ON b.src = c.v AND b.dst = a.dst
+  GROUP BY c.u, c.v
+)
+SELECT ce.u, ce.v, COALESCE(i.n, 0) AS support
+FROM ce LEFT JOIN inter i ON i.u = ce.u AND i.v = ce.v"""
+
 GRAPH_SQL: dict[str, str] = {
+    "graph_edge_support": _SUPPORT_SQL,
     "graph_pagerank": _PR_SQL,
     "graph_ppr": _PPR_SQL,
     "graph_hits": _HITS_SQL,
@@ -648,6 +674,18 @@ def q_kcore(sf_dir: str):
     tbl = eng.kcore_result()
     order = np.argsort(tbl.column("node").to_numpy())
     return tbl.take(pa.array(order))
+
+
+
+def q_edge_support(sf_dir: str):
+    """Edge embeddedness: for every non-self undirected edge (u < v),
+    the number of common neighbors |N(u) ∩ N(v)| (= triangles through
+    the edge) — the classic structural signal for community strength /
+    spam-link detection.  One oriented wedge scan on the engine (the
+    triangles() machinery) + one (v, w) contribution exchange;
+    integer-exact vs the SQL intersection-join oracle."""
+    eng = _build_engine(sf_dir, kind="sym")
+    return eng.edge_support()
 
 
 def q_top_pagerank(sf_dir: str):

@@ -727,6 +727,36 @@ class GraphEngine:
         self._tri_count_cache = (ver, total)
         return total
 
+    def edge_support(self) -> pa.Table:
+        """Per-edge triangle support (edge embeddedness): (u, v, support)
+        with u < v for every non-self undirected edge.  Same oriented
+        wedge scan as triangles(); closed wedges scatter onto all three
+        edges, with the remote (v, w) contributions exchanged once."""
+        ray.get([a.tri_publish_degree.remote() for a in self.actors])
+        deg_vals = self._fetch_ghost("deg")
+        head_reqs = [a.tri_orient.options(num_returns=self.P)
+                     .remote(deg_vals[i])
+                     for i, a in enumerate(self.actors)]
+        if self.P == 1:
+            head_reqs = [[r] for r in head_reqs]
+        adj_outs = [self.actors[j].tri_serve_adjacency_many
+                    .options(num_returns=self.P)
+                    .remote([head_reqs[i][j] for i in range(self.P)])
+                    for j in range(self.P)]
+        if self.P == 1:
+            adj_outs = [[o] for o in adj_outs]
+        adj = [[adj_outs[j][i] for j in range(self.P)]
+               for i in range(self.P)]
+        msgs = [a.tri_support_local.options(num_returns=self.P)
+                .remote(adj[i]) for i, a in enumerate(self.actors)]
+        if self.P == 1:
+            msgs = [[m] for m in msgs]
+        ray.get([a.tri_support_apply.remote(
+            [msgs[i][j] for i in range(self.P)])
+            for j, a in enumerate(self.actors)])
+        return pa.concat_tables(
+            ray.get([a.tri_support_result.remote() for a in self.actors]))
+
     # --------------------------------------------------------------- Louvain
 
     def _rebuild_comm_aggs(self):

@@ -495,10 +495,10 @@ class AlgoShard(GraphShard):
         reqs = _resolve_refs(list(reqs))
         return tuple(self.tri_serve_adjacency(r) for r in reqs)
 
-    def tri_count_local(self, ghost_adj) -> int:
-        """Count wedges (u -> v -> w), u local, closing as local (u -> w)."""
+    def _tri_merged_adj(self, ghost_adj):
+        """Merge local + fetched ghost oriented adjacencies into one
+        lookup: (sorted_ids, sorted_pos, counts, offs, flat)."""
         ghost_adj = _resolve_refs(ghost_adj)
-        # oriented adjacency lookup covering local + ghost heads
         local_heads = np.arange(self.lo, self.hi, dtype=np.int64)
         l_counts, l_concat = self.tri_serve_adjacency(local_heads)
         all_ids = [local_heads]
@@ -515,8 +515,12 @@ class AlgoShard(GraphShard):
         flat = (np.concatenate(all_concat)
                 if sum(len(c) for c in all_concat) else np.empty(0, np.int64))
         order = np.argsort(ids, kind="stable")
-        sorted_ids = ids[order]
-        sorted_pos = order  # position into counts/offs arrays
+        return ids[order], order, counts, offs, flat
+
+    def tri_count_local(self, ghost_adj) -> int:
+        """Count wedges (u -> v -> w), u local, closing as local (u -> w)."""
+        sorted_ids, sorted_pos, counts, offs, flat = \
+            self._tri_merged_adj(ghost_adj)
 
         u, v = self._tri_src, self._tri_dst
         if len(u) == 0:
@@ -557,3 +561,100 @@ class AlgoShard(GraphShard):
                 n_closed += int((local_keys[i] == q).sum())
             e_start = e_end
         return n_closed
+
+    def tri_support_local(self, ghost_adj):
+        """Per-edge triangle support (edge embeddedness = |N(u) ∩ N(v)|
+        for each undirected edge): the tri_count wedge scan, but every
+        closed wedge (u→v, v→w, u→w) scatters +1 onto all three edges.
+        The two u-edges are local bincounts; the (v,w) contributions are
+        aggregated and returned per owner(v) (num_returns=P) for
+        tri_support_apply."""
+        sorted_ids, sorted_pos, counts, offs, flat = \
+            self._tri_merged_adj(ghost_adj)
+        u, v = self._tri_src, self._tri_dst
+        use_pairs = not composite_fits(self.n_global, self.n_global)
+        local_keys = (_pair_view(u, v) if use_pairs
+                      else u * np.int64(self.n_global) + v)
+        self._tri_keys = local_keys
+        self._tri_use_pairs = use_pairs
+        sup = np.zeros(len(u), np.int64)
+        rv_parts, rw_parts = [], []
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+                 np.empty(0, np.int64))
+        if len(u):
+            pos = sorted_pos[np.searchsorted(sorted_ids, v)]
+            v_counts = counts[pos]
+            CHUNK = 4_000_000
+            cum = np.concatenate([[0], np.cumsum(v_counts)])
+            e_start = 0
+            while e_start < len(u):
+                e_end = int(np.searchsorted(cum, cum[e_start] + CHUNK,
+                                            side="left"))
+                e_end = min(max(e_end, e_start + 1), len(u))
+                vc = v_counts[e_start:e_end]
+                nw = int(vc.sum())
+                if nw:
+                    w_off = np.concatenate([[0], np.cumsum(vc)])
+                    take = (np.arange(nw, dtype=np.int64)
+                            - np.repeat(w_off[:-1], vc)
+                            + np.repeat(offs[pos[e_start:e_end]], vc))
+                    wedge_w = flat[take]
+                    wedge_u = np.repeat(u[e_start:e_end], vc)
+                    q = (_pair_view(wedge_u, wedge_w) if use_pairs
+                         else wedge_u * np.int64(self.n_global) + wedge_w)
+                    i = np.searchsorted(local_keys, q)
+                    i = np.minimum(i, len(local_keys) - 1)
+                    closed = local_keys[i] == q
+                    if closed.any():
+                        # edge (u,v): wedge's source edge index
+                        eidx = np.repeat(
+                            np.arange(e_start, e_end, dtype=np.int64), vc)
+                        sup += np.bincount(eidx[closed], minlength=len(u))
+                        # edge (u,w): the closing local edge
+                        sup += np.bincount(i[closed], minlength=len(u))
+                        # edge (v,w): owned by owner(v)
+                        rv_parts.append(
+                            np.repeat(v[e_start:e_end], vc)[closed])
+                        rw_parts.append(wedge_w[closed])
+                e_start = e_end
+        self._tri_sup = sup
+        if not rv_parts:
+            return tuple(empty for _ in range(self.P)) if self.P > 1 \
+                else empty
+        rv = np.concatenate(rv_parts)
+        rw = np.concatenate(rw_parts)
+        # aggregate duplicate (v,w) contributions before the exchange
+        okey = np.lexsort((rw, rv))
+        rv, rw = rv[okey], rw[okey]
+        newg = np.empty(len(rv), dtype=bool)
+        newg[0] = True
+        newg[1:] = (rv[1:] != rv[:-1]) | (rw[1:] != rw[:-1])
+        starts = np.flatnonzero(newg)
+        cnts = np.diff(np.concatenate([starts, [len(rv)]]))
+        out = split_by_owner(rv[starts], self.bounds, rw[starts], cnts)
+        return tuple(out) if self.P > 1 else out[0]
+
+    def tri_support_apply(self, msgs):
+        """Add incoming (v, w, count) contributions onto local oriented
+        edges (every such edge exists here: it was served from this
+        shard's adjacency)."""
+        msgs = _resolve_refs(msgs)
+        for vv, ww, cc in msgs:
+            vv = np.asarray(vv, dtype=np.int64)
+            if len(vv) == 0:
+                continue
+            ww = np.asarray(ww, dtype=np.int64)
+            keys = (_pair_view(vv, ww) if self._tri_use_pairs
+                    else vv * np.int64(self.n_global) + ww)
+            pos = np.searchsorted(self._tri_keys, keys)
+            self._tri_sup[pos] += np.asarray(cc, dtype=np.int64)
+
+    def tri_support_result(self) -> pa.Table:
+        """(u, v, support) with u < v — the oriented edges restored to
+        canonical undirected order."""
+        u, v = self._tri_src, self._tri_dst
+        return pa.table({
+            "u": np.minimum(u, v),
+            "v": np.maximum(u, v),
+            "support": self._tri_sup.astype(np.int64),
+        })

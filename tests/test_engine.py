@@ -345,3 +345,26 @@ class TestPersonalizedPageRank:
         # mass conserved; non-seed sources unreachable from seeds get 0
         assert abs(got["rank"].sum() - 1.0) < 1e-9
         eng.shutdown()
+
+
+class TestEdgeSupport:
+    @pytest.mark.parametrize("n_parts", [2, 3])
+    def test_matches_naive(self, engine_mod, n_parts):
+        n = 250
+        src, dst, w = er_graph(n, 0.03, 17)
+        eng = engine_mod.from_arrays(src, dst, w, n=n, n_parts=n_parts,
+                                     name=f"sup{n_parts}")
+        got = eng.edge_support().to_pandas() \
+            .sort_values(["u", "v"]).reset_index(drop=True)
+        # naive: adjacency sets, common-neighbor count per canonical edge
+        adj = {i: set() for i in range(n)}
+        for s, d in zip(src, dst):
+            if s != d:
+                adj[s].add(d)
+        pairs = sorted({(min(s, d), max(s, d))
+                        for s, d in zip(src, dst) if s != d})
+        want = [(u, v, len(adj[u] & adj[v])) for u, v in pairs]
+        assert list(map(tuple, got.to_records(index=False))) == want
+        # each triangle contributes +1 to exactly three edges
+        assert got["support"].sum() == 3 * eng.triangles()
+        eng.shutdown()
