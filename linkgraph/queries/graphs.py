@@ -501,8 +501,56 @@ WITH base AS (
 SELECT ce.u, ce.v, COALESCE(i.n, 0) AS support
 FROM ce LEFT JOIN inter i ON i.u = ce.u AND i.v = ce.v"""
 
+# per-node triangle participation + simple degree: scatter the edge
+# supports onto both endpoints (each triangle contributes +1 to both of
+# a node's incident triangle edges, so SUM(n)/2 per node is exact).
+_NODE_TRI_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst FROM lineitem
+), e0 AS (
+  SELECT DISTINCT src, dst FROM base
+), ns AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+  ) WHERE src <> dst
+), ce AS (
+  SELECT src AS u, dst AS v FROM ns WHERE src < dst
+), inter AS (
+  SELECT c.u, c.v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ce c
+  JOIN ns a ON a.src = c.u
+  JOIN ns b ON b.src = c.v AND b.dst = a.dst
+  GROUP BY c.u, c.v
+), pern AS (
+  SELECT node, CAST(SUM(n) // 2 AS BIGINT) AS tri FROM (
+    SELECT u AS node, n FROM inter UNION ALL SELECT v AS node, n FROM inter
+  ) GROUP BY node
+), degs AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM ns GROUP BY src
+)
+SELECT g.node, COALESCE(p.tri, CAST(0 AS BIGINT)) AS tri,
+       COALESCE(d.deg, CAST(0 AS BIGINT)) AS deg
+FROM (SELECT CAST(range AS BIGINT) AS node FROM range({NMOD})) g
+LEFT JOIN pern p ON p.node = g.node
+LEFT JOIN degs d ON d.node = g.node"""
+
+
+# link reciprocity: non-self directed edges whose reverse also exists.
+_RECIP_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst FROM lineitem
+), e0 AS (
+  SELECT DISTINCT src, dst FROM base WHERE src <> dst
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e0 a
+        JOIN e0 b ON a.src = b.dst AND a.dst = b.src) AS n_recip"""
+
+
 GRAPH_SQL: dict[str, str] = {
     "graph_edge_support": _SUPPORT_SQL,
+    "graph_node_triangles": _NODE_TRI_SQL,
+    "graph_reciprocity": _RECIP_SQL,
     "graph_pagerank": _PR_SQL,
     "graph_ppr": _PPR_SQL,
     "graph_hits": _HITS_SQL,
@@ -686,6 +734,43 @@ def q_edge_support(sf_dir: str):
     integer-exact vs the SQL intersection-join oracle."""
     eng = _build_engine(sf_dir, kind="sym")
     return eng.edge_support()
+
+
+def q_node_triangles(sf_dir: str):
+    """Per-node triangle participation (node, tri, deg) — the local
+    clustering coefficient's inputs, integer-exact so the gate needs no
+    quantization.  Reuses the cached per-edge supports (edge_support's
+    wedge scan runs once per graph version) plus one aggregated
+    (node, count) owner exchange."""
+    eng = _build_engine(sf_dir, kind="sym")
+    tbl = eng.node_triangles()
+    order = np.argsort(tbl.column("node").to_numpy())
+    return tbl.take(pa.array(order))
+
+
+def q_reciprocity(sf_dir: str):
+    """Link reciprocity on the directed deduped edge table: how many
+    non-self directed edges have their reverse present — the classic
+    web-graph link-exchange / spam-farm signal.  Join-free: canonical
+    (min,max)-key grouped count (the check_symmetry machinery); a
+    deduped off-diagonal group of size 2 is exactly a reciprocal pair.
+    One exchange, integer-exact."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": np.minimum(s, d), "v": np.maximum(s, d)})
+
+    from ..stages.exchange import grouped_exchange
+    grouped = grouped_exchange(dedup_edges(sf_dir), ["u", "v"],
+                               [("count", "", "c")], pre=canon)
+    grouped = grouped.materialize()
+    n_edges = int(grouped.sum("c"))
+    n_recip = 2 * int(grouped.filter(expr="c == 2").count())
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_recip": pa.array([n_recip], pa.int64())})
 
 
 def q_top_pagerank(sf_dir: str):

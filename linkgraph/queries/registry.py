@@ -842,6 +842,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_hits": g.q_hits,
     "graph_kcore": g.q_kcore,
     "graph_edge_support": g.q_edge_support,
+    "graph_node_triangles": g.q_node_triangles,
+    "graph_reciprocity": g.q_reciprocity,
     "graph_connected_components": g.q_connected_components,
     "graph_label_propagation": g.q_label_propagation,
     "graph_louvain": g.q_louvain,

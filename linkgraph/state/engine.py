@@ -731,7 +731,15 @@ class GraphEngine:
         """Per-edge triangle support (edge embeddedness): (u, v, support)
         with u < v for every non-self undirected edge.  Same oriented
         wedge scan as triangles(); closed wedges scatter onto all three
-        edges, with the remote (v, w) contributions exchanged once."""
+        edges, with the remote (v, w) contributions exchanged once.
+        Shard-resident supports are memoized per graph version (pure
+        function of the edge set) so node_triangles / repeat calls skip
+        the wedge scan."""
+        ver = getattr(self, "_graph_version", 0)
+        if getattr(self, "_sup_version", None) == ver:
+            return pa.concat_tables(
+                ray.get([a.tri_support_result.remote()
+                         for a in self.actors]))
         ray.get([a.tri_publish_degree.remote() for a in self.actors])
         deg_vals = self._fetch_ghost("deg")
         head_reqs = [a.tri_orient.options(num_returns=self.P)
@@ -754,8 +762,30 @@ class GraphEngine:
         ray.get([a.tri_support_apply.remote(
             [msgs[i][j] for i in range(self.P)])
             for j, a in enumerate(self.actors)])
+        self._sup_version = ver
         return pa.concat_tables(
             ray.get([a.tri_support_result.remote() for a in self.actors]))
+
+    def node_triangles(self) -> pa.Table:
+        """Per-node triangle participation + simple degree
+        (node, tri, deg) — the local-clustering-coefficient inputs.
+        tri(x) = (sum of supports of edges incident to x) / 2: each
+        triangle through x adds +1 support to both of its x-incident
+        edges.  Reuses the shard-resident per-edge supports from
+        edge_support(); one extra aggregated (v, count) owner
+        exchange."""
+        ver = getattr(self, "_graph_version", 0)
+        if getattr(self, "_sup_version", None) != ver:
+            self.edge_support()
+        msgs = [a.tri_node_local.options(num_returns=self.P).remote()
+                for a in self.actors]
+        if self.P == 1:
+            msgs = [[m] for m in msgs]
+        ray.get([a.tri_node_apply.remote(
+            [msgs[i][j] for i in range(self.P)])
+            for j, a in enumerate(self.actors)])
+        return pa.concat_tables(
+            ray.get([a.tri_node_result.remote() for a in self.actors]))
 
     # --------------------------------------------------------------- Louvain
 

@@ -649,6 +649,49 @@ class AlgoShard(GraphShard):
             pos = np.searchsorted(self._tri_keys, keys)
             self._tri_sup[pos] += np.asarray(cc, dtype=np.int64)
 
+    def tri_node_local(self):
+        """Scatter the per-edge supports onto endpoint nodes (the local
+        clustering numerator): sum of incident-edge supports = 2 ×
+        (triangles through the node).  The u endpoints are local (one
+        bincount); v contributions are aggregated per owner and
+        returned (num_returns=P) for tri_node_apply."""
+        u, v = self._tri_src, self._tri_dst
+        sup = self._tri_sup
+        self._tri_node = (
+            np.bincount(u - self.lo, weights=sup,
+                        minlength=self.n_local).astype(np.int64)
+            if len(u) else np.zeros(self.n_local, np.int64))
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if len(v) == 0:
+            out = [empty] * self.P
+        else:
+            order = np.argsort(v, kind="stable")
+            vs, ss = v[order], sup[order]
+            newg = np.empty(len(vs), dtype=bool)
+            newg[0] = True
+            newg[1:] = vs[1:] != vs[:-1]
+            starts = np.flatnonzero(newg)
+            out = split_by_owner(vs[starts], self.bounds,
+                                 np.add.reduceat(ss, starts))
+        return tuple(out) if self.P > 1 else out[0]
+
+    def tri_node_apply(self, msgs):
+        msgs = _resolve_refs(msgs)
+        for vv, ss in msgs:
+            vv = np.asarray(vv, dtype=np.int64)
+            if len(vv):
+                self._tri_node[vv - self.lo] += np.asarray(ss, np.int64)
+
+    def tri_node_result(self) -> pa.Table:
+        """(node, tri, deg): triangles through the node and its simple
+        (non-self, distinct-neighbor) degree — clustering coefficient
+        = 2*tri / (deg*(deg-1)) is derivable row-locally."""
+        return pa.table({
+            "node": np.arange(self.lo, self.hi, dtype=np.int64),
+            "tri": self._tri_node // 2,
+            "deg": self.state["deg"],
+        })
+
     def tri_support_result(self) -> pa.Table:
         """(u, v, support) with u < v — the oriented edges restored to
         canonical undirected order."""

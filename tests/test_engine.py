@@ -368,3 +368,25 @@ class TestEdgeSupport:
         # each triangle contributes +1 to exactly three edges
         assert got["support"].sum() == 3 * eng.triangles()
         eng.shutdown()
+
+    @pytest.mark.parametrize("n_parts", [2, 3])
+    def test_node_triangles_matches_naive(self, engine_mod, n_parts):
+        n = 250
+        src, dst, w = er_graph(n, 0.03, 23)
+        eng = engine_mod.from_arrays(src, dst, w, n=n, n_parts=n_parts,
+                                     name=f"ntri{n_parts}")
+        got = eng.node_triangles().to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        adj = {i: set() for i in range(n)}
+        for s, d in zip(src, dst):
+            if s != d:
+                adj[s].add(d)
+                adj[d].add(s)
+        want_tri = [sum(len(adj[u] & adj[v]) for v in adj[u]) // 2
+                    for u in range(n)]
+        assert list(got["node"]) == list(range(n))
+        assert list(got["tri"]) == want_tri
+        assert list(got["deg"]) == [len(adj[u]) for u in range(n)]
+        # every triangle counted at exactly three nodes
+        assert got["tri"].sum() == 3 * eng.triangles()
+        eng.shutdown()
