@@ -535,6 +535,32 @@ LEFT JOIN pern p ON p.node = g.node
 LEFT JOIN degs d ON d.node = g.node"""
 
 
+BFS_ITERS = 64
+
+# multi-source BFS hop distance from the deterministic seed set
+# {v : v % PPR_MOD == 0} (TrustRank-style seed proximity).  Iteration-
+# bounded UNION recursion (terminates on cyclic graphs); MIN(dist) per
+# node == synchronous min-relaxation after BFS_ITERS rounds, which the
+# engine's fixpoint early-stop reproduces exactly (same argument as the
+# k-core gate).  Unreached -> -1 on both sides.
+_BFS_SQL = f"""
+WITH RECURSIVE b_base AS (
+  SELECT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst FROM lineitem
+), b_sym AS (
+  SELECT src, dst FROM b_base UNION SELECT dst, src FROM b_base
+), r(node, dist) AS (
+    SELECT CAST(range AS BIGINT), CAST(0 AS BIGINT) FROM range({NMOD})
+    WHERE range % {PPR_MOD} = 0
+    UNION
+    SELECT e.dst, r.dist + 1 FROM r JOIN b_sym e ON e.src = r.node
+    WHERE r.dist < {BFS_ITERS}
+)
+SELECT g.node, COALESCE(m.dist, CAST(-1 AS BIGINT)) AS dist
+FROM (SELECT CAST(range AS BIGINT) AS node FROM range({NMOD})) g
+LEFT JOIN (SELECT node, MIN(dist) AS dist FROM r GROUP BY node) m
+ON m.node = g.node"""
+
+
 # link reciprocity: non-self directed edges whose reverse also exists.
 _RECIP_SQL = f"""
 WITH base AS (
@@ -551,6 +577,7 @@ GRAPH_SQL: dict[str, str] = {
     "graph_edge_support": _SUPPORT_SQL,
     "graph_node_triangles": _NODE_TRI_SQL,
     "graph_reciprocity": _RECIP_SQL,
+    "graph_seed_bfs": _BFS_SQL,
     "graph_pagerank": _PR_SQL,
     "graph_ppr": _PPR_SQL,
     "graph_hits": _HITS_SQL,
@@ -744,6 +771,21 @@ def q_node_triangles(sf_dir: str):
     (node, count) owner exchange."""
     eng = _build_engine(sf_dir, kind="sym")
     tbl = eng.node_triangles()
+    order = np.argsort(tbl.column("node").to_numpy())
+    return tbl.take(pa.array(order))
+
+
+def q_seed_bfs(sf_dir: str):
+    """Hop distance from the deterministic seed set
+    {v : v % PPR_MOD == 0} by synchronous multi-source BFS on the
+    symmetric CSR (TrustRank-style seed proximity — distance from
+    trusted pages is the classic link-spam demotion signal).  One
+    ghost-serve wave + local segmented min per round, fixpoint
+    early-stop; integer-exact vs the iteration-bounded recursive-CTE
+    oracle.  Unreached nodes -> -1."""
+    eng = _build_engine(sf_dir, kind="sym")
+    eng.bfs(PPR_MOD, max_iter=BFS_ITERS)
+    tbl = eng.bfs_result()
     order = np.argsort(tbl.column("node").to_numpy())
     return tbl.take(pa.array(order))
 

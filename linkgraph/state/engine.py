@@ -628,6 +628,36 @@ class GraphEngine:
         return pa.concat_tables(
             ray.get([a.kcore_result.remote() for a in self.actors]))
 
+    # ---------------------------------------------------- BFS seed distance
+
+    def bfs(self, seed_mod: int, max_iter: int = 64) -> dict:
+        """Multi-source BFS hop distance from {v : v % seed_mod == 0} on
+        the symmetric CSR.  Early-stops at the fixpoint (min-relaxation
+        is monotone + idempotent, so <=max_iter engine rounds ==
+        exactly-max_iter oracle rounds); distances that would exceed
+        max_iter stay unreachable on both sides."""
+        n_seed = ray.get([a.bfs_init.remote(seed_mod)
+                          for a in self.actors])
+        t0 = time.time()
+        rounds = 0
+        for _ in range(max_iter):
+            gvals = self._fetch_ghost("bfs_dist")
+            changed = ray.get([a.bfs_round.remote(gvals[i])
+                               for i, a in enumerate(self.actors)])
+            rounds += 1
+            if sum(changed) == 0:
+                break
+        secs = time.time() - t0
+        self.metrics.append({
+            "job": self.name, "algo": "bfs", "superstep": rounds,
+            "seed_mod": seed_mod, "secs": secs,
+            "n_seeds": int(sum(n_seed))})
+        return {"rounds": rounds, "secs": secs}
+
+    def bfs_result(self) -> pa.Table:
+        return pa.concat_tables(
+            ray.get([a.bfs_result.remote() for a in self.actors]))
+
     # ------------------------------------------------- connected components
 
     # supersteps per driver barrier for the convergence-checked algorithms

@@ -307,6 +307,49 @@ class AlgoShard(GraphShard):
         members = np.flatnonzero(self.state["kcore_alive"]) + self.lo
         return pa.table({"node": members.astype(np.int64)})
 
+    # ================= Multi-source BFS distance (symmetric CSR) ========
+    #
+    # Hop distance from a deterministic seed set (TrustRank-style seed
+    # proximity): synchronous min-relaxation, one ghost-serve wave of
+    # neighbor distances + a local segmented min per round — the k-core
+    # message pattern with min instead of count.
+
+    BFS_INF = np.int64(1) << 62
+
+    def bfs_init(self, seed_mod: int) -> int:
+        ids = np.arange(self.lo, self.hi, dtype=np.int64)
+        dist = np.full(self.n_local, self.BFS_INF, dtype=np.int64)
+        dist[ids % seed_mod == 0] = 0
+        self.state["bfs_dist"] = dist
+        self._bfs_pos = None
+        return int((dist == 0).sum())
+
+    def bfs_round(self, ghost_dist) -> int:
+        """One synchronous relaxation; returns #locally changed nodes."""
+        ids, dist_all = self._ghost_sorted_values("bfs_dist", ghost_dist)
+        if self._bfs_pos is None:
+            self._bfs_pos = np.searchsorted(ids, self.indices)
+        dv = dist_all[self._bfs_pos]
+        deg = np.diff(self.indptr)
+        if len(dv):
+            mins = np.minimum.reduceat(
+                np.concatenate([dv, [self.BFS_INF]]), self.indptr[:-1])
+            cand = np.where(deg > 0, mins, self.BFS_INF) + 1
+        else:
+            cand = np.full(self.n_local, self.BFS_INF, dtype=np.int64)
+        old = self.state["bfs_dist"]
+        new = np.minimum(old, cand)
+        changed = int((new != old).sum())
+        self.state["bfs_dist"] = new
+        return changed
+
+    def bfs_result(self) -> pa.Table:
+        dist = self.state["bfs_dist"]
+        return pa.table({
+            "node": np.arange(self.lo, self.hi, dtype=np.int64),
+            "dist": np.where(dist >= self.BFS_INF, np.int64(-1), dist),
+        })
+
     # ================= Connected components (symmetric CSR) =============
 
     def cc_init(self):

@@ -390,3 +390,34 @@ class TestEdgeSupport:
         # every triangle counted at exactly three nodes
         assert got["tri"].sum() == 3 * eng.triangles()
         eng.shutdown()
+
+
+class TestSeedBFS:
+    @pytest.mark.parametrize("n_parts", [2, 3])
+    def test_matches_naive(self, engine_mod, n_parts):
+        n = 300
+        src, dst, w = er_graph(n, 0.008, 31)   # sparse: some unreachable
+        eng = engine_mod.from_arrays(src, dst, w, n=n, n_parts=n_parts,
+                                     name=f"bfs{n_parts}")
+        seed_mod = 97
+        eng.bfs(seed_mod, max_iter=64)
+        got = eng.bfs_result().to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        # naive BFS from all seeds at once
+        from collections import deque
+        adj = {i: set() for i in range(n)}
+        for s, d in zip(src, dst):
+            adj[s].add(d)
+            adj[d].add(s)
+        dist = {i: 0 for i in range(0, n, seed_mod)}
+        dq = deque(dist)
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        want = [dist.get(i, -1) for i in range(n)]
+        assert list(got["dist"]) == want
+        assert (got["dist"] == -1).any()   # fixture really exercises -1
+        eng.shutdown()
