@@ -561,6 +561,43 @@ LEFT JOIN (SELECT node, MIN(dist) AS dist FROM r GROUP BY node) m
 ON m.node = g.node"""
 
 
+# k=3 (edges in triangle-connected cores): the largest k whose truss is
+# non-empty at the driver's sf0.01 gate scale — k=4 peels to 0 rows
+# there (support histogram maxes at 3), which would make the gate
+# vacuous.  At sf0.1 the 3-truss holds >300k edges.
+TRUSS_K = 3
+TRUSS_ITERS = 8
+
+
+def _truss_sql(k: int, iters: int) -> str:
+    """Unrolled synchronous k-truss peel: t_{i+1} = edges of t_i whose
+    support within t_i is >= k-2 (support via an intersection join on
+    t_i's symmetric closure).  Unrolling sidesteps the single-recursive-
+    reference limit; both sides cap at the same round count, and the
+    engine's fixpoint early-stop is value-identical (monotone peel)."""
+    parts = [f"""WITH t_base AS (
+  SELECT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst FROM lineitem
+), e0 AS (
+  SELECT DISTINCT src, dst FROM t_base
+), t0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM (
+    SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+  ) WHERE src < dst
+)"""]
+    for i in range(iters):
+        parts.append(f""", s{i} AS MATERIALIZED (
+  SELECT u, v FROM t{i} UNION ALL SELECT v AS u, u AS v FROM t{i}
+), t{i + 1} AS MATERIALIZED (
+  SELECT c.u, c.v FROM t{i} c
+  JOIN s{i} a ON a.u = c.u
+  JOIN s{i} b ON b.u = c.v AND b.v = a.v
+  GROUP BY c.u, c.v
+  HAVING COUNT(*) >= {k - 2}
+)""")
+    parts.append(f"\nSELECT u, v FROM t{iters}")
+    return "".join(parts)
+
+
 # link reciprocity: non-self directed edges whose reverse also exists.
 _RECIP_SQL = f"""
 WITH base AS (
@@ -578,6 +615,7 @@ GRAPH_SQL: dict[str, str] = {
     "graph_node_triangles": _NODE_TRI_SQL,
     "graph_reciprocity": _RECIP_SQL,
     "graph_seed_bfs": _BFS_SQL,
+    "graph_ktruss": _truss_sql(TRUSS_K, TRUSS_ITERS),
     "graph_pagerank": _PR_SQL,
     "graph_ppr": _PPR_SQL,
     "graph_hits": _HITS_SQL,
@@ -772,6 +810,23 @@ def q_node_triangles(sf_dir: str):
     eng = _build_engine(sf_dir, kind="sym")
     tbl = eng.node_triangles()
     order = np.argsort(tbl.column("node").to_numpy())
+    return tbl.take(pa.array(order))
+
+
+def q_ktruss(sf_dir: str):
+    """k-truss ({TRUSS_K}-truss) edge membership — the standard
+    cohesive-subgraph / spam-farm-core operator: iteratively peel edges
+    supported by fewer than k-2 triangles, supports recomputed on the
+    surviving subgraph each round.  Distributed peel reuses the
+    edge_support wedge scan with an alive mask on both the scanning and
+    serving side; integer-exact vs the unrolled intersection-join SQL
+    (both sides capped at {TRUSS_ITERS} rounds; the engine's fixpoint
+    early-stop is value-identical)."""
+    eng = _build_engine(sf_dir, kind="sym")
+    eng.ktruss(TRUSS_K, max_iter=TRUSS_ITERS)
+    tbl = eng.ktruss_result()
+    order = np.lexsort((tbl.column("v").to_numpy(),
+                        tbl.column("u").to_numpy()))
     return tbl.take(pa.array(order))
 
 

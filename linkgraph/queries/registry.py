@@ -845,6 +845,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_node_triangles": g.q_node_triangles,
     "graph_reciprocity": g.q_reciprocity,
     "graph_seed_bfs": g.q_seed_bfs,
+    "graph_ktruss": g.q_ktruss,
     "graph_connected_components": g.q_connected_components,
     "graph_label_propagation": g.q_label_propagation,
     "graph_louvain": g.q_louvain,

@@ -796,6 +796,56 @@ class GraphEngine:
         return pa.concat_tables(
             ray.get([a.tri_support_result.remote() for a in self.actors]))
 
+    def ktruss(self, k: int, max_iter: int = 6) -> dict:
+        """k-truss edge peeling on the symmetric CSR: per round,
+        recompute per-edge supports over the alive subset (the
+        edge_support wedge scan, alive-masked on both the scanning and
+        the serving side) and drop edges with support < k-2.  The peel
+        is monotone, so a fixpoint early-stop matches the oracle's
+        fixed-round unrolled SQL exactly; both sides cap at the same
+        max_iter (mid-peel membership after N identical rounds is
+        identical too)."""
+        ray.get([a.tri_publish_degree.remote() for a in self.actors])
+        deg_vals = self._fetch_ghost("deg")
+        head_reqs = [a.tri_orient.options(num_returns=self.P)
+                     .remote(deg_vals[i])
+                     for i, a in enumerate(self.actors)]
+        if self.P == 1:
+            head_reqs = [[r] for r in head_reqs]
+        n0 = sum(ray.get([a.truss_init.remote() for a in self.actors]))
+        t0 = time.time()
+        rounds = 0
+        for _ in range(max_iter):
+            adj_outs = [self.actors[j].truss_serve_adjacency_many
+                        .options(num_returns=self.P)
+                        .remote([head_reqs[i][j] for i in range(self.P)])
+                        for j in range(self.P)]
+            if self.P == 1:
+                adj_outs = [[o] for o in adj_outs]
+            adj = [[adj_outs[j][i] for j in range(self.P)]
+                   for i in range(self.P)]
+            msgs = [a.truss_support_local.options(num_returns=self.P)
+                    .remote(adj[i]) for i, a in enumerate(self.actors)]
+            if self.P == 1:
+                msgs = [[m] for m in msgs]
+            ray.get([a.truss_apply.remote(
+                [msgs[i][j] for i in range(self.P)])
+                for j, a in enumerate(self.actors)])
+            dropped = ray.get([a.truss_peel.remote(k)
+                               for a in self.actors])
+            rounds += 1
+            if sum(dropped) == 0:
+                break
+        secs = time.time() - t0
+        self.metrics.append({
+            "job": self.name, "algo": "ktruss", "superstep": rounds,
+            "k": k, "secs": secs, "n_edges0": int(n0)})
+        return {"rounds": rounds, "secs": secs}
+
+    def ktruss_result(self) -> pa.Table:
+        return pa.concat_tables(
+            ray.get([a.truss_result.remote() for a in self.actors]))
+
     def node_triangles(self) -> pa.Table:
         """Per-node triangle participation + simple degree
         (node, tri, deg) — the local-clustering-coefficient inputs.

@@ -521,29 +521,37 @@ class AlgoShard(GraphShard):
         self._tri_ghosts = [g for g, in split_by_owner(remote, self.bounds)]
         return tuple(self._tri_ghosts)
 
-    def tri_serve_adjacency(self, ids: np.ndarray):
+    def tri_serve_adjacency(self, ids: np.ndarray, mask=None):
         """Oriented out-neighborhoods of requested local heads:
-        (counts, concatenated_dsts)."""
+        (counts, concatenated_dsts).  With ``mask`` (bool per oriented
+        local edge) only alive edges are served — the k-truss peel
+        path."""
         from ..oracle.louvain import _ranges_concat
         ids = np.asarray(ids, dtype=np.int64)
         lo_pos = np.searchsorted(self._tri_src, ids, side="left")
         hi_pos = np.searchsorted(self._tri_src, ids, side="right")
         counts = hi_pos - lo_pos
-        out = (self._tri_dst[_ranges_concat(lo_pos, counts)]
-               if len(ids) else np.empty(0, np.int64))
-        return counts, out
+        if not len(ids):
+            return counts, np.empty(0, np.int64)
+        take = _ranges_concat(lo_pos, counts)
+        if mask is None:
+            return counts, self._tri_dst[take]
+        keep = mask[take]
+        seg = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        counts = np.bincount(seg[keep], minlength=len(ids)).astype(np.int64)
+        return counts, self._tri_dst[take[keep]]
 
     def tri_serve_adjacency_many(self, reqs) -> tuple:
         """Batched adjacency serve for all requesters (num_returns=P)."""
         reqs = _resolve_refs(list(reqs))
         return tuple(self.tri_serve_adjacency(r) for r in reqs)
 
-    def _tri_merged_adj(self, ghost_adj):
+    def _tri_merged_adj(self, ghost_adj, mask=None):
         """Merge local + fetched ghost oriented adjacencies into one
         lookup: (sorted_ids, sorted_pos, counts, offs, flat)."""
         ghost_adj = _resolve_refs(ghost_adj)
         local_heads = np.arange(self.lo, self.hi, dtype=np.int64)
-        l_counts, l_concat = self.tri_serve_adjacency(local_heads)
+        l_counts, l_concat = self.tri_serve_adjacency(local_heads, mask)
         all_ids = [local_heads]
         all_counts = [l_counts]
         all_concat = [l_concat]
@@ -612,13 +620,23 @@ class AlgoShard(GraphShard):
         The two u-edges are local bincounts; the (v,w) contributions are
         aggregated and returned per owner(v) (num_returns=P) for
         tri_support_apply."""
+        parts, keys, sup = self._support_scan(ghost_adj, None)
+        self._tri_keys, self._tri_sup = keys, sup
+        return parts
+
+    def _support_scan(self, ghost_adj, mask):
+        """Wedge-scatter support computation over the (optionally
+        masked) oriented edge set.  Returns (per-owner (v, w, count)
+        parts, sorted edge keys, support array) — both aligned with the
+        mask-selected edge subset."""
         sorted_ids, sorted_pos, counts, offs, flat = \
-            self._tri_merged_adj(ghost_adj)
+            self._tri_merged_adj(ghost_adj, mask)
         u, v = self._tri_src, self._tri_dst
+        if mask is not None:
+            u, v = u[mask], v[mask]
         use_pairs = not composite_fits(self.n_global, self.n_global)
         local_keys = (_pair_view(u, v) if use_pairs
                       else u * np.int64(self.n_global) + v)
-        self._tri_keys = local_keys
         self._tri_use_pairs = use_pairs
         sup = np.zeros(len(u), np.int64)
         rv_parts, rw_parts = [], []
@@ -660,10 +678,10 @@ class AlgoShard(GraphShard):
                             np.repeat(v[e_start:e_end], vc)[closed])
                         rw_parts.append(wedge_w[closed])
                 e_start = e_end
-        self._tri_sup = sup
         if not rv_parts:
-            return tuple(empty for _ in range(self.P)) if self.P > 1 \
-                else empty
+            parts = (tuple(empty for _ in range(self.P)) if self.P > 1
+                     else empty)
+            return parts, local_keys, sup
         rv = np.concatenate(rv_parts)
         rw = np.concatenate(rw_parts)
         # aggregate duplicate (v,w) contributions before the exchange
@@ -675,7 +693,8 @@ class AlgoShard(GraphShard):
         starts = np.flatnonzero(newg)
         cnts = np.diff(np.concatenate([starts, [len(rv)]]))
         out = split_by_owner(rv[starts], self.bounds, rw[starts], cnts)
-        return tuple(out) if self.P > 1 else out[0]
+        parts = tuple(out) if self.P > 1 else out[0]
+        return parts, local_keys, sup
 
     def tri_support_apply(self, msgs):
         """Add incoming (v, w, count) contributions onto local oriented
@@ -744,3 +763,51 @@ class AlgoShard(GraphShard):
             "v": np.maximum(u, v),
             "support": self._tri_sup.astype(np.int64),
         })
+
+    # ================= k-truss peeling (oriented sub-CSR) ================
+    #
+    # Synchronous edge peel: per round, recompute supports over the
+    # alive edge subset (the _support_scan wedge scatter with the alive
+    # mask applied on BOTH the scanning and the serving side), then drop
+    # edges with support < k-2.  Monotone, so a fixpoint early-stop is
+    # value-identical to running the oracle's fixed round count.
+
+    def truss_init(self) -> int:
+        self._truss_alive = np.ones(len(self._tri_src), dtype=bool)
+        return int(len(self._tri_src))
+
+    def truss_serve_adjacency_many(self, reqs) -> tuple:
+        """Alive-filtered batched adjacency serve (num_returns=P)."""
+        reqs = _resolve_refs(list(reqs))
+        return tuple(self.tri_serve_adjacency(r, self._truss_alive)
+                     for r in reqs)
+
+    def truss_support_local(self, ghost_adj):
+        parts, keys, sup = self._support_scan(ghost_adj,
+                                              self._truss_alive)
+        self._truss_keys, self._truss_sup = keys, sup
+        return parts
+
+    def truss_apply(self, msgs):
+        msgs = _resolve_refs(msgs)
+        for vv, ww, cc in msgs:
+            vv = np.asarray(vv, dtype=np.int64)
+            if len(vv) == 0:
+                continue
+            ww = np.asarray(ww, dtype=np.int64)
+            keys = (_pair_view(vv, ww) if self._tri_use_pairs
+                    else vv * np.int64(self.n_global) + ww)
+            pos = np.searchsorted(self._truss_keys, keys)
+            self._truss_sup[pos] += np.asarray(cc, dtype=np.int64)
+
+    def truss_peel(self, k: int) -> int:
+        """Drop alive edges with support < k-2; returns #dropped."""
+        alive_idx = np.flatnonzero(self._truss_alive)
+        drop = self._truss_sup < (k - 2)
+        self._truss_alive[alive_idx[drop]] = False
+        return int(drop.sum())
+
+    def truss_result(self) -> pa.Table:
+        u = self._tri_src[self._truss_alive]
+        v = self._tri_dst[self._truss_alive]
+        return pa.table({"u": np.minimum(u, v), "v": np.maximum(u, v)})

@@ -392,6 +392,35 @@ class TestEdgeSupport:
         eng.shutdown()
 
 
+class TestKTruss:
+    @pytest.mark.parametrize("n_parts", [2, 3])
+    def test_matches_naive(self, engine_mod, n_parts):
+        n = 120
+        src, dst, w = er_graph(n, 0.08, 41)   # dense enough for 4-truss
+        eng = engine_mod.from_arrays(src, dst, w, n=n, n_parts=n_parts,
+                                     name=f"tr{n_parts}")
+        k, iters = 4, 8
+        eng.ktruss(k, max_iter=iters)
+        got = sorted(map(tuple, eng.ktruss_result().to_pandas()
+                         .to_records(index=False)))
+        # naive synchronous peel, same round cap
+        edges = {(min(s, d), max(s, d))
+                 for s, d in zip(src, dst) if s != d}
+        for _ in range(iters):
+            adj = {}
+            for u, v in edges:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            nxt = {(u, v) for u, v in edges
+                   if len(adj[u] & adj[v]) >= k - 2}
+            if nxt == edges:
+                break
+            edges = nxt
+        assert got == sorted(edges)
+        assert len(got) > 0   # fixture keeps a non-trivial truss
+        eng.shutdown()
+
+
 class TestSeedBFS:
     @pytest.mark.parametrize("n_parts", [2, 3])
     def test_matches_naive(self, engine_mod, n_parts):
