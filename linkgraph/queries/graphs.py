@@ -598,6 +598,29 @@ def _truss_sql(k: int, iters: int) -> str:
     return "".join(parts)
 
 
+# degree-assortativity sufficient statistics over the directed view of
+# the non-self symmetric edge list (deg = simple non-self degree).
+_ASSORT_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst FROM lineitem
+), e0 AS (
+  SELECT DISTINCT src, dst FROM base
+), ns AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+  ) WHERE src <> dst
+), degs AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM ns GROUP BY src
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       CAST(SUM(du.deg) AS BIGINT) AS s_deg,
+       CAST(SUM(du.deg * du.deg) AS BIGINT) AS s_degsq,
+       CAST(SUM(du.deg * dv.deg) AS BIGINT) AS s_prod
+FROM ns
+JOIN degs du ON du.node = ns.src
+JOIN degs dv ON dv.node = ns.dst"""
+
+
 # link reciprocity: non-self directed edges whose reverse also exists.
 _RECIP_SQL = f"""
 WITH base AS (
@@ -616,6 +639,7 @@ GRAPH_SQL: dict[str, str] = {
     "graph_reciprocity": _RECIP_SQL,
     "graph_seed_bfs": _BFS_SQL,
     "graph_ktruss": _truss_sql(TRUSS_K, TRUSS_ITERS),
+    "graph_assortativity": _ASSORT_SQL,
     "graph_pagerank": _PR_SQL,
     "graph_ppr": _PPR_SQL,
     "graph_hits": _HITS_SQL,
@@ -828,6 +852,23 @@ def q_ktruss(sf_dir: str):
     order = np.lexsort((tbl.column("v").to_numpy(),
                         tbl.column("u").to_numpy()))
     return tbl.take(pa.array(order))
+
+
+def q_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient statistics (m, Σdeg, Σdeg²,
+    Σdeg·deg_nbr) over the non-self symmetric edge list — the classic
+    web-graph degree-mixing diagnostic (Pearson r derivable row-locally
+    from the four integers, kept as exact BIGINTs so the gate needs no
+    float quantization).  One ghost-degree exchange + shard-local
+    integer sums; O(P) scalars to the driver."""
+    eng = _build_engine(sf_dir, kind="sym")
+    m, s_deg, s_degsq, s_prod = eng.assortativity_stats()
+    return pa.table({
+        "m": pa.array([m], pa.int64()),
+        "s_deg": pa.array([s_deg], pa.int64()),
+        "s_degsq": pa.array([s_degsq], pa.int64()),
+        "s_prod": pa.array([s_prod], pa.int64()),
+    })
 
 
 def q_seed_bfs(sf_dir: str):

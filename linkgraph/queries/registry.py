@@ -846,6 +846,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_reciprocity": g.q_reciprocity,
     "graph_seed_bfs": g.q_seed_bfs,
     "graph_ktruss": g.q_ktruss,
+    "graph_assortativity": g.q_assortativity,
     "graph_connected_components": g.q_connected_components,
     "graph_label_propagation": g.q_label_propagation,
     "graph_louvain": g.q_louvain,

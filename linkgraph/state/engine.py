@@ -628,6 +628,19 @@ class GraphEngine:
         return pa.concat_tables(
             ray.get([a.kcore_result.remote() for a in self.actors]))
 
+    # ------------------------------------------------- degree assortativity
+
+    def assortativity_stats(self) -> tuple[int, int, int, int]:
+        """Global integer sufficient statistics (m, Σdeg_u, Σdeg_u²,
+        Σdeg_u·deg_v) over the directed view of the non-self sym edge
+        list; Pearson r = (m·S_prod − S_deg²) / (m·S_degsq − S_deg²)
+        is derivable driver-side from these four scalars."""
+        ray.get([a.tri_publish_degree.remote() for a in self.actors])
+        deg_vals = self._fetch_ghost("deg")
+        parts = ray.get([a.assort_local.remote(deg_vals[i])
+                         for i, a in enumerate(self.actors)])
+        return tuple(int(sum(p[j] for p in parts)) for j in range(4))
+
     # ---------------------------------------------------- BFS seed distance
 
     def bfs(self, seed_mod: int, max_iter: int = 64) -> dict:

@@ -307,6 +307,24 @@ class AlgoShard(GraphShard):
         members = np.flatnonzero(self.state["kcore_alive"]) + self.lo
         return pa.table({"node": members.astype(np.int64)})
 
+    # ================= Degree assortativity (symmetric CSR) =============
+
+    def assort_local(self, ghost_deg):
+        """Integer sufficient statistics for the degree-assortativity
+        coefficient over local non-self sym edges: (m, Σdeg_u,
+        Σdeg_u², Σdeg_u·deg_v).  Requires tri_publish_degree state;
+        neighbor degrees come from one ghost-degree fetch (the
+        tri_orient exchange)."""
+        ids, degs = self._full_values("deg", _resolve_refs(ghost_deg))
+        src = np.repeat(np.arange(self.n_local, dtype=np.int64) + self.lo,
+                        np.diff(self.indptr))
+        dst = self.indices
+        nonself = src != dst
+        du = self.state["deg"][src[nonself] - self.lo]
+        dv = self._lookup(ids, degs, dst[nonself])
+        return (int(nonself.sum()), int(du.sum()),
+                int((du * du).sum()), int((du * dv).sum()))
+
     # ================= Multi-source BFS distance (symmetric CSR) ========
     #
     # Hop distance from a deterministic seed set (TrustRank-style seed

@@ -392,6 +392,27 @@ class TestEdgeSupport:
         eng.shutdown()
 
 
+class TestAssortativity:
+    def test_matches_naive(self, engine_mod):
+        n = 200
+        src, dst, w = er_graph(n, 0.04, 53)
+        eng = engine_mod.from_arrays(src, dst, w, n=n, n_parts=3,
+                                     name="assort")
+        m, s_deg, s_degsq, s_prod = eng.assortativity_stats()
+        adj = {i: set() for i in range(n)}
+        for s, d in zip(src, dst):
+            if s != d:
+                adj[s].add(d)
+                adj[d].add(s)
+        pairs = [(u, v) for u in range(n) for v in adj[u]]
+        deg = {u: len(adj[u]) for u in range(n)}
+        assert m == len(pairs)
+        assert s_deg == sum(deg[u] for u, _ in pairs)
+        assert s_degsq == sum(deg[u] ** 2 for u, _ in pairs)
+        assert s_prod == sum(deg[u] * deg[v] for u, v in pairs)
+        eng.shutdown()
+
+
 class TestKTruss:
     @pytest.mark.parametrize("n_parts", [2, 3])
     def test_matches_naive(self, engine_mod, n_parts):
