@@ -207,7 +207,128 @@ def q_topk_per_user(sf_dir: str):
     return ev.groupby("user_id").map_groups(topk, batch_format="pandas")
 
 
+def q_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user registers per event_type — the
+    [north-rule] "novel sketch" surface: one ``map_batches`` pass emits
+    dense per-block partial registers (<= groups x 256 rows per block,
+    independent of block size), one tiny groupby-max merges them.  Raw
+    user ids never shuffle; the register table is integer-exact
+    (splitmix64), value-checked by the mod-2^64 DuckDB mirror below.
+    The cardinality estimator over these registers is
+    functions/sketch.hll_estimate (accuracy-tested in
+    tests/test_sketch.py)."""
+    from ..functions.sketch import hll_partial_registers
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uids = t.column("user_id").to_numpy()
+        regs = hll_partial_registers(uids, codes, len(enc.dictionary))
+        gi, bi = np.nonzero(regs)
+        return pa.table({
+            "event_type": enc.dictionary.take(pa.array(gi, pa.int64())),
+            "bucket": bi.astype(np.int64),
+            "max_rho": regs[gi, bi],
+        })
+
+    return (ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "bucket"])
+            .aggregate(Max("max_rho", alias_name="max_rho")))
+
+
+def q_cms_users(sf_dir: str):
+    """Count-min frequency-sketch registers over the event stream's
+    user ids: per-block dense (4 x 1024) bincount registers + one
+    groupby-sum merge — same mergeable-sketch shape as the HLL gate.
+    Point lookups (min over depths, always >= truth) are
+    functions/sketch.cms_query; the register table is value-checked
+    exactly (each depth uses a disjoint 16-bit slice of one splitmix64
+    hash, mirrored in SQL)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import cms_partial_registers
+    ev = _events(sf_dir, ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uids = t.column("user_id").to_numpy()
+        regs = cms_partial_registers(uids)
+        di, wi = np.nonzero(regs)
+        return pa.table({"depth": di.astype(np.int64),
+                         "bucket": wi.astype(np.int64),
+                         "cnt": regs[di, wi].astype(np.int64)})
+
+    return (ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["depth", "bucket"])
+            .aggregate(Sum("cnt", alias_name="cnt")))
+
+
+# ---- mod-2^64 splitmix64 SQL mirror over events.user_id (the sketch
+# oracles value-check the REGISTER TABLES bit-for-bit; same HUGEINT
+# wraparound machinery as the doc fingerprint/split oracles in
+# queries/registry.py) ----
+_T64 = "18446744073709551616::HUGEINT"        # 2^64
+_B32 = "4294967296::HUGEINT"                  # 2^32
+_SM_GOLDEN = "11400714819323198485::HUGEINT"  # 0x9E3779B97F4A7C15
+_SM_M1, _SM_M1_LO = "13787848793156543929::HUGEINT", "484763065::HUGEINT"
+_SM_M2, _SM_M2_LO = "10723151780598845931::HUGEINT", "321982955::HUGEINT"
+
+
+def _mulmod_sql(x: str, m: str, m_lo: str) -> str:
+    return (f"CAST(((CAST({x} & 4294967295 AS HUGEINT) * {m}) % {_T64} "
+            f"+ ((CAST({x} >> 32 AS HUGEINT) * {m_lo}) % {_B32}) * {_B32})"
+            f" % {_T64} AS UBIGINT)")
+
+
+def _splitmix_ctes(table: str, key: str, carry: str = "") -> str:
+    """CTE chain computing h = splitmix64(key) (== text/ops._splitmix64
+    bit-for-bit), carrying ``carry`` columns alongside."""
+    c = (carry + ", ") if carry else ""
+    return f"""
+    s0 AS (SELECT {c}CAST((CAST({key} AS HUGEINT) + {_SM_GOLDEN})
+                          % {_T64} AS UBIGINT) AS x FROM {table}),
+    s1 AS (SELECT {c}xor(x, x >> 30) AS x FROM s0),
+    s2 AS (SELECT {c}{_mulmod_sql('x', _SM_M1, _SM_M1_LO)} AS x FROM s1),
+    s3 AS (SELECT {c}xor(x, x >> 27) AS x FROM s2),
+    s4 AS (SELECT {c}{_mulmod_sql('x', _SM_M2, _SM_M2_LO)} AS x FROM s3),
+    s5 AS (SELECT {c}xor(x, x >> 31) AS h FROM s4)"""
+
+
+# HLL: bucket = top-8 hash bits; rho = 1-based first-set-bit position
+# of the low-56-bit suffix (57 when zero).  bin() of a positive BIGINT
+# is minimal-width, so length(bin(x)) == bit_length(x) exactly (no
+# float log2).  2^56 - 1 = 72057594037927935.
+_HLL_SQL = f"""
+    WITH {_splitmix_ctes('events', 'user_id', 'event_type')},
+    r AS (SELECT event_type,
+                 CAST(h >> 56 AS BIGINT) AS bucket,
+                 CAST(h & 72057594037927935::UBIGINT AS BIGINT) AS suffix
+          FROM s5)
+    SELECT event_type, bucket,
+           CAST(MAX(CASE WHEN suffix = 0 THEN 57
+                         ELSE 57 - length(bin(suffix)) END) AS BIGINT)
+               AS max_rho
+    FROM r GROUP BY event_type, bucket"""
+
+# CMS: depth i keys on the i-th 16-bit slice of the same hash, mod 1024
+_CMS_SQL = f"""
+    WITH {_splitmix_ctes('events', 'user_id')},
+    e AS (SELECT i, CAST(((h >> CAST(16 * i AS BIGINT)) & 65535) % 1024
+                         AS BIGINT) AS bucket
+          FROM s5, range(4) t(i))
+    SELECT CAST(i AS BIGINT) AS depth, bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM e GROUP BY i, bucket"""
+
+
 EVENTS_SQL: dict[str, str] = {
+    "ev_hll_users": _HLL_SQL,
+    "ev_cms_users": _CMS_SQL,
     "ev_hour_window": """
         SELECT user_id, date_trunc('hour', ts) AS hour,
                CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -889,6 +889,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ev_sliding_window": ev.q_sliding_window,
     "ev_asof_last_order": ev.q_asof_last_order,
     "ev_pairs_1h": ev.q_pairs_1h,
+    # mergeable sketches (north rule: "a novel sketch")
+    "ev_hll_users": ev.q_hll_users,
+    "ev_cms_users": ev.q_cms_users,
     # general relational joins/aggregates (J7 machinery on other keys)
     "rel_orders_by_segment": rel.q_orders_by_segment,
     "rel_lineitem_nation_rollup": rel.q_lineitem_nation_rollup,
