@@ -318,13 +318,29 @@ class GraphEngine:
                 est = _mass(eng.bounds[p + 1]) - _mass(eng.bounds[p])
                 a.prewarm_scratch.remote(int(est), wb)
         pending = []
-        for blk in block_refs:
-            parts = _route_block.options(num_returns=eng.P).remote(
-                blk, bounds_ref)
-            if eng.P == 1:
-                parts = [parts]
-            for a, pref in zip(eng.actors, parts):
-                pending.append(a.ingest_edges.remote(pref))
+        if os.environ.get("LINKGRAPH_ROUTE_MODE", "owner") == "split":
+            # legacy split-copy route: one stateless task per block
+            # materializes P sliced copies into fresh plasma objects.
+            # Kept for A/B — the cold plasma page-writes it does were the
+            # anti-scaling term of the build (run-7/8: route_ingest 44 s
+            # @P=4 -> 61-71 s @P=16 on identical input)
+            for blk in block_refs:
+                parts = _route_block.options(num_returns=eng.P).remote(
+                    blk, bounds_ref)
+                if eng.P == 1:
+                    parts = [parts]
+                for a, pref in zip(eng.actors, parts):
+                    pending.append(a.ingest_edges.remote(pref))
+        else:
+            # owner-side routing (default): every shard scans each block
+            # zero-copy and keeps only its own src range — the filtered
+            # rows are written ONCE, into the shard's prewarmed recycled
+            # heap, and no routed copy ever hits cold plasma pages.  The
+            # extra P-fold sequential src scan is mmap-read-bound (cheap);
+            # the written bytes are identical and now scale with P.
+            for blk in block_refs:
+                for a in eng.actors:
+                    pending.append(a.ingest_block_range.remote(blk))
         ray.get(pending)
         _t3 = time.time()
         eng.finalize()

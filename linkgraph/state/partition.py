@@ -198,6 +198,27 @@ class GraphShard:
             self._pending.append(tbl)
         return sum(t.num_rows for t in self._pending)
 
+    def ingest_block_range(self, tbl: pa.Table | None) -> int:
+        """Owner-side routing: keep this shard's rows (lo <= src < hi)
+        of a WHOLE edge block.  Replaces the _route_block split-copy:
+        the block ref is shipped to every shard zero-copy; each shard
+        scans src sequentially (cheap mmap read) and writes ONLY its own
+        rows — into its recycled, prewarmed heap instead of fresh cold
+        plasma pages, which is the non-scaling cost on this host
+        (BASELINE.md per-write study).  Row order within the block is
+        preserved, so the CSR is bit-identical to the split path's
+        (its stable argsort also kept arrival order per owner)."""
+        if tbl is None or tbl.num_rows == 0:
+            return 0
+        import pyarrow.compute as pc
+        src = tbl.column("src")
+        mask = pc.and_(pc.greater_equal(src, self.lo),
+                       pc.less(src, self.hi))
+        sub = tbl.filter(mask)
+        if sub.num_rows:
+            self._pending.append(sub)
+        return sub.num_rows
+
     # -- high-degree vertex splitting (north-rule skew mitigation) ----------
     #
     # Edges whose src is a HUB (global degree above the engine's split

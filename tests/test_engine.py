@@ -471,3 +471,33 @@ class TestSeedBFS:
         assert list(got["dist"]) == want
         assert (got["dist"] == -1).any()   # fixture really exercises -1
         eng.shutdown()
+
+
+class TestRouteModes:
+    """Owner-side block routing (the default) is bit-identical to the
+    legacy split-copy route wave (engine.from_dataset modes)."""
+
+    def test_owner_route_bit_identical_to_split(self, engine_mod,
+                                                ray_session, monkeypatch):
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        rng = np.random.RandomState(5)
+        n = 4000
+        s = rng.randint(0, n, 60000).astype(np.int64)
+        d = rng.randint(0, n, 60000).astype(np.int64)
+        keep = s != d
+        w = (rng.randint(1, 4, keep.sum())).astype(np.float64)
+        ds = rd.from_arrow(pa.table({"src": s[keep], "dst": d[keep],
+                                     "w": w})).repartition(7).materialize()
+
+        tbls = {}
+        for mode in ("split", "owner"):
+            monkeypatch.setenv("LINKGRAPH_ROUTE_MODE", mode)
+            eng = engine_mod.from_dataset(ds, n_nodes=n, n_parts=3,
+                                          name=f"rt_{mode}")
+            tbls[mode] = pa.concat_tables(
+                ray.get([a.edge_arrays.remote() for a in eng.actors]))
+            eng.shutdown()
+        assert tbls["owner"].equals(tbls["split"])
