@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min
 
@@ -207,6 +208,67 @@ def q_topk_per_user(sf_dir: str):
     return ev.groupby("user_id").map_groups(topk, batch_format="pandas")
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@ray.remote
+def _funnel_reduce(steps: tuple, *parts) -> pa.Table:
+    """Per-user ordered-funnel stage over one hash partition: step k's
+    first completion is the MIN ts among its events strictly AFTER step
+    k-1's first completion.  All-numpy segmented mins (unique-coded
+    users, masked minimum.at per step) — no per-user Python."""
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "stage": pa.array([], pa.int64())})
+    tbls = [p for p in parts if p is not None and p.num_rows]
+    if not tbls:
+        return empty
+    tbl = pa.concat_tables(tbls)
+    u = tbl.column("user_id").to_numpy()
+    ts = tbl.column("ts").to_numpy().view(np.int64)
+    users, codes = np.unique(u, return_inverse=True)
+    inf = np.iinfo(np.int64).max
+    prev_t = np.full(len(users), np.iinfo(np.int64).min, np.int64)
+    stage = np.zeros(len(users), np.int64)
+    for step in steps:
+        m = pc.equal(tbl.column("event_type"),
+                     step).to_numpy(zero_copy_only=False)
+        m &= ts > prev_t[codes]          # prev_t=inf blocks dead chains
+        t_k = np.full(len(users), inf, np.int64)
+        np.minimum.at(t_k, codes[m], ts[m])
+        stage += (t_k < inf).astype(np.int64)
+        prev_t = t_k
+    keep = stage >= 1
+    return pa.table({"user_id": users[keep], "stage": stage[keep]})
+
+
+def q_funnel(sf_dir: str):
+    """Ordered conversion funnel (view -> click -> purchase): per user,
+    how many steps were completed IN ORDER (strictly increasing ts;
+    step k anchored at step k-1's first completion — the standard
+    product-analytics funnel).  One hash exchange on user_id, then a
+    vectorized per-partition reduce; rows cross the wire once.  Output
+    (user_id, stage>=1) is integer-exact, value-checked by the chained
+    conditional-min SQL below."""
+    import ray
+
+    from ..stages.joins import _nrows, _split_by_key
+    ev = (_events(sf_dir, ["user_id", "ts", "event_type"])
+          .materialize())
+    blocks = ev.to_arrow_refs()
+    from ..stages.exchange import default_partitions
+    P = default_partitions()
+    split = [_split_by_key.options(num_returns=P).remote(b, "user_id", P)
+             for b in blocks]
+    if P == 1:
+        split = [[r] for r in split]
+    outs = [_funnel_reduce.remote(FUNNEL_STEPS,
+                                  *[s[p] for s in split])
+            for p in range(P)]
+    counts = ray.get([_nrows.remote(r) for r in outs])
+    kept = [r for r, n in zip(outs, counts) if n]
+    return rd.from_arrow_refs(kept if kept else outs[:1])
+
+
 def q_hll_users(sf_dir: str):
     """HyperLogLog distinct-user registers per event_type — the
     [north-rule] "novel sketch" surface: one ``map_batches`` pass emits
@@ -326,7 +388,29 @@ _CMS_SQL = f"""
     FROM e GROUP BY i, bucket"""
 
 
+# ordered funnel: step k's first completion = min ts strictly after
+# step k-1's (chained conditional mins — the q_funnel semantics exactly)
+_FUNNEL_SQL = f"""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+           GROUP BY e.user_id)
+    SELECT s1.user_id,
+           CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS stage
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s2.user_id = s3.user_id"""
+
+
 EVENTS_SQL: dict[str, str] = {
+    "ev_funnel": _FUNNEL_SQL,
     "ev_hll_users": _HLL_SQL,
     "ev_cms_users": _CMS_SQL,
     "ev_hour_window": """

@@ -889,6 +889,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ev_sliding_window": ev.q_sliding_window,
     "ev_asof_last_order": ev.q_asof_last_order,
     "ev_pairs_1h": ev.q_pairs_1h,
+    "ev_funnel": ev.q_funnel,
     # mergeable sketches (north rule: "a novel sketch")
     "ev_hll_users": ev.q_hll_users,
     "ev_cms_users": ev.q_cms_users,

@@ -141,3 +141,51 @@ def test_hll_gate_blocks_invariant(tmp_path):
     pd.testing.assert_frame_equal(
         cms.astype({"depth": np.int64, "bucket": np.int64,
                     "cnt": np.int64}), want2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_matches_bruteforce(tmp_path):
+    """q_funnel == per-user brute-force chained conditional mins."""
+    import pyarrow.parquet as pq
+
+    from linkgraph.queries.events import FUNNEL_STEPS, q_funnel
+
+    rng = np.random.RandomState(9)
+    n = 4000
+    types = np.array(["view", "click", "purchase", "error"])
+    tbl = pa.table({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pa.array(rng.randint(0, 10_000_000, n).astype(np.int64),
+                       pa.timestamp("us")),
+        "user_id": rng.randint(0, 300, n).astype(np.int64),
+        "event_type": pa.array(types[rng.randint(0, 4, n)]),
+        "value": rng.rand(n),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, f"{tmp_path}/events.parquet", row_group_size=777)
+
+    got = q_funnel(str(tmp_path)).to_pandas().sort_values(
+        "user_id").reset_index(drop=True)
+
+    uid = tbl.column("user_id").to_numpy()
+    ts = tbl.column("ts").to_numpy().view(np.int64)
+    et = tbl.column("event_type").to_pandas().to_numpy()
+    rows = []
+    for u in np.unique(uid):
+        m = uid == u
+        prev, stage = -np.inf, 0
+        for step in FUNNEL_STEPS:
+            c = ts[m & (et == step)]
+            c = c[c > prev]
+            if len(c) == 0:
+                break
+            prev = c.min()
+            stage += 1
+        if stage:
+            rows.append((int(u), stage))
+    import pandas as pd
+    want = pd.DataFrame(rows, columns=["user_id", "stage"])
+    pd.testing.assert_frame_equal(
+        got.astype({"user_id": np.int64, "stage": np.int64}), want)
+    # ties in ts between consecutive steps must NOT count (strict >)
+    assert (got["stage"] >= 1).all() and (got["stage"] <= 3).all()
