@@ -124,10 +124,15 @@ def run_sf_bench(sf_dir: str, num_cpus: int) -> dict:
 # against per-shard kernel time, or the two-parallelism efficiency
 # measures the fixed cost, not the engine (BASELINE.md Amdahl notes).
 # With the shmmap allocator shim, builds at these sizes are I/O-cheap.
-PR_EDGES = 400_000_000     # directed PageRank stress graph
-PR_NODES = 5_000_000
-LV_EDGES = 120_000_000     # Louvain/dynamic graph (symmetrized -> 240M)
-LV_NODES = 1_000_000
+# Env-overridable: each kernel generation made the engine faster, and
+# a fixed size eventually stops being compute-dominant (run-7/9 notes)
+# — the two-parallelism ratio then measures fixed exchange cadence.
+PR_EDGES = int(os.environ.get("LINKGRAPH_BENCH_PR_EDGES",
+                              400_000_000))   # directed PageRank stress
+PR_NODES = int(os.environ.get("LINKGRAPH_BENCH_PR_NODES", 5_000_000))
+LV_EDGES = int(os.environ.get("LINKGRAPH_BENCH_LV_EDGES",
+                              120_000_000))   # Louvain graph (sym -> 2x)
+LV_NODES = int(os.environ.get("LINKGRAPH_BENCH_LV_NODES", 1_000_000))
 
 
 def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
