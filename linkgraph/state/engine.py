@@ -74,6 +74,23 @@ def _route_block(tbl: pa.Table, bounds: np.ndarray):
 
 
 @ray.remote
+def _route_index_block(tbl: pa.Table, bounds: np.ndarray):
+    """Index-vector routing (num_returns=P): per-owner ROW-INDEX arrays
+    into this block, int32, ascending within each owner (stable argsort
+    keeps arrival order — same row order as the split/owner modes, so
+    the CSR stays bit-identical).  Writes 4 B/row to plasma instead of
+    the split route's full 16+ B/row sliced copies; the data itself is
+    gathered owner-side (ingest_block_take), E/P rows per shard."""
+    src = tbl.column("src").to_numpy()
+    own = np.searchsorted(bounds, src, side="right") - 1
+    P = len(bounds) - 1
+    order = np.argsort(own, kind="stable").astype(np.int32)
+    cuts = np.searchsorted(own[order], np.arange(P + 1))
+    out = [order[cuts[p]:cuts[p + 1]] for p in range(P)]
+    return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
 def _route_delta_block(tbl: pa.Table, bounds: np.ndarray):
     """Stage 1 of the Dataset-native delta exchange (M1/M2 at scale,
     main_louvain.cpp:143-322): split one DIRECTED delta block by
@@ -318,7 +335,8 @@ class GraphEngine:
                 est = _mass(eng.bounds[p + 1]) - _mass(eng.bounds[p])
                 a.prewarm_scratch.remote(int(est), wb)
         pending = []
-        if os.environ.get("LINKGRAPH_ROUTE_MODE", "owner") == "split":
+        route_mode = os.environ.get("LINKGRAPH_ROUTE_MODE", "owner")
+        if route_mode == "split":
             # legacy split-copy route: one stateless task per block
             # materializes P sliced copies into fresh plasma objects.
             # Kept for A/B — the cold plasma page-writes it does were the
@@ -331,16 +349,32 @@ class GraphEngine:
                     parts = [parts]
                 for a, pref in zip(eng.actors, parts):
                     pending.append(a.ingest_edges.remote(pref))
-        else:
-            # owner-side routing (default): every shard scans each block
-            # zero-copy and keeps only its own src range — the filtered
-            # rows are written ONCE, into the shard's prewarmed recycled
-            # heap, and no routed copy ever hits cold plasma pages.  The
-            # extra P-fold sequential src scan is mmap-read-bound (cheap);
-            # the written bytes are identical and now scale with P.
+        elif route_mode == "owner":
+            # owner-side routing: every shard scans each block zero-copy
+            # and keeps only its own src range — no routed copy through
+            # cold plasma, but per-shard scan work is E regardless of P
+            # (P x E aggregate reads become the constant term at
+            # billion-edge inputs — run-10 study)
             for blk in block_refs:
                 for a in eng.actors:
                     pending.append(a.ingest_block_range.remote(blk))
+        else:
+            # index-vector routing (LINKGRAPH_ROUTE_MODE=index): the
+            # route task writes only int32 per-owner row indices
+            # (4 B/row of plasma, no data copy); each shard gathers ITS
+            # rows from the shared block (E/P rows, ascending indices ->
+            # near-sequential reads).  Measured SLOWER than owner mode
+            # on this box at 1.2B edges (the argsort dominates; see
+            # BASELINE.md run-10 follow-up) — kept as the option a
+            # network-attached cluster would prefer (it moves 4 B/row
+            # instead of re-reading blocks P times).
+            for blk in block_refs:
+                parts = _route_index_block.options(
+                    num_returns=eng.P).remote(blk, bounds_ref)
+                if eng.P == 1:
+                    parts = [parts]
+                for a, iref in zip(eng.actors, parts):
+                    pending.append(a.ingest_block_take.remote(blk, iref))
         ray.get(pending)
         _t3 = time.time()
         eng.finalize()

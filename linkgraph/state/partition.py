@@ -198,6 +198,19 @@ class GraphShard:
             self._pending.append(tbl)
         return sum(t.num_rows for t in self._pending)
 
+    def ingest_block_take(self, tbl: pa.Table | None,
+                          idx: "np.ndarray | None") -> int:
+        """Index-vector routing: gather this shard's rows of a whole
+        block via the route task's precomputed row indices (ascending →
+        near-sequential reads).  The gather writes E/P rows into the
+        shard's prewarmed heap; nothing but the 4 B/row index vector
+        ever hits fresh plasma (see engine._route_index_block)."""
+        if tbl is None or idx is None or len(idx) == 0:
+            return 0
+        sub = tbl.take(pa.array(idx))
+        self._pending.append(sub)
+        return sub.num_rows
+
     def ingest_block_range(self, tbl: pa.Table | None) -> int:
         """Owner-side routing: keep this shard's rows (lo <= src < hi)
         of a WHOLE edge block.  Replaces the _route_block split-copy:

@@ -493,7 +493,7 @@ class TestRouteModes:
                                      "w": w})).repartition(7).materialize()
 
         tbls = {}
-        for mode in ("split", "owner"):
+        for mode in ("split", "owner", "index"):
             monkeypatch.setenv("LINKGRAPH_ROUTE_MODE", mode)
             eng = engine_mod.from_dataset(ds, n_nodes=n, n_parts=3,
                                           name=f"rt_{mode}")
@@ -501,3 +501,4 @@ class TestRouteModes:
                 ray.get([a.edge_arrays.remote() for a in eng.actors]))
             eng.shutdown()
         assert tbls["owner"].equals(tbls["split"])
+        assert tbls["index"].equals(tbls["split"])
