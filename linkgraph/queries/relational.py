@@ -178,8 +178,9 @@ def q_pricing_summary(sf_dir: str):
 RELATIONAL_SQL: dict[str, str] = {
     "rel_top_revenue_orders": f"""
         SELECT l.l_orderkey,
-               SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
-                              * 100 + 0.5) AS BIGINT)) AS revenue_cents
+               CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                              * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -193,10 +194,11 @@ RELATIONAL_SQL: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                CAST(COUNT(*) AS BIGINT) AS n_items,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-               SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-                 AS sum_base_cents,
-               SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
-                              + 0.5) AS BIGINT)) AS sum_disc_cents
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_disc_cents
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
         GROUP BY l_returnflag, l_linestatus""",

@@ -84,6 +84,9 @@ def _route_index_block(tbl: pa.Table, bounds: np.ndarray):
     src = tbl.column("src").to_numpy()
     own = np.searchsorted(bounds, src, side="right") - 1
     P = len(bounds) - 1
+    # int32 indices halve plasma traffic; blocks are target_max_block_size
+    # (<< 2^31 rows) by construction, but guard the cast anyway
+    assert tbl.num_rows < 2**31, "block too large for int32 row indices"
     order = np.argsort(own, kind="stable").astype(np.int32)
     cuts = np.searchsorted(own[order], np.arange(P + 1))
     out = [order[cuts[p]:cuts[p + 1]] for p in range(P)]
@@ -336,6 +339,10 @@ class GraphEngine:
                 a.prewarm_scratch.remote(int(est), wb)
         pending = []
         route_mode = os.environ.get("LINKGRAPH_ROUTE_MODE", "owner")
+        if route_mode not in ("split", "owner", "index"):
+            raise ValueError(
+                f"LINKGRAPH_ROUTE_MODE={route_mode!r}: expected one of "
+                "'owner' (default), 'split', 'index'")
         if route_mode == "split":
             # legacy split-copy route: one stateless task per block
             # materializes P sliced copies into fresh plasma objects.

@@ -20,14 +20,29 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
-def to_pandas(obj) -> pd.DataFrame:
+def to_arrow(obj):
     import pyarrow as pa
     import ray.data as rd
     if isinstance(obj, rd.Dataset):
-        return obj.to_pandas()
+        from linkgraph.common import gather_table
+        return gather_table(obj)
     if isinstance(obj, pa.Table):
-        return obj.to_pandas()
-    return obj
+        return obj
+    return pa.Table.from_pandas(obj, preserve_index=False)
+
+
+def type_mismatches(res_t, ora_t) -> list[str]:
+    """Arrow-level column-type diffs engine vs oracle — the class of
+    bug the driver's value hasher catches but a dtype-lax pandas
+    compare hides (e.g. uncast SUM() -> decimal128 vs int64)."""
+    res_types = {f.name: f.type for f in res_t.schema}
+    ora_types = {f.name: f.type for f in ora_t.schema}
+    out = []
+    for name in sorted(set(res_types) & set(ora_types)):
+        if res_types[name] != ora_types[name]:
+            out.append(f"{name}: engine={res_types[name]} "
+                       f"oracle={ora_types[name]}")
+    return out
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -50,28 +65,33 @@ def main():
                 f"read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = e.queries(), e.oracle_sql()
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_warn = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            res = to_pandas(fn(sf_dir))
+            res_t = to_arrow(fn(sf_dir))
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
+        res = res_t.to_pandas()
         took = time.time() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(res)} rows, {took:.1f}s)")
             n_pass += 1
             continue
         try:
-            ora = con.sql(oracles[name]).df()
+            ora_t = con.sql(oracles[name]).arrow()
         except Exception as ex:
             print(f"FAIL {name}: oracle SQL raised {ex}")
             n_fail += 1
             continue
+        ora = ora_t.to_pandas()
+        for tm in type_mismatches(res_t, ora_t):
+            print(f"WARN-TYPE {name}: {tm}")
+            n_warn += 1
         a, b = canon(res), canon(ora)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
@@ -89,7 +109,7 @@ def main():
         except AssertionError as ex:
             print(f"FAIL {name}: values differ: {str(ex)[:300]}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_warn} type warnings")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
