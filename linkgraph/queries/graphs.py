@@ -633,7 +633,116 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
         JOIN e0 b ON a.src = b.dst AND a.dst = b.src) AS n_recip"""
 
 
+# one-round Louvain oracle: replays the engine's first synchronous
+# bucketed move round from the singleton partition in plain SQL — the
+# driver-verifiable slice of the Louvain move kernel (computeGain /
+# computeMove semantics, modularity_optimisation_mem.cu:99-205; bucket
+# loop :365-420; constants modularity_optimisation.cuh:8-20).  The seven
+# degree buckets apply sequentially (each sees the labels/tot/size state
+# left by the previous bucket), so the SQL is a generated chain of seven
+# identical stages.  Bit-exactness: all sums (e_vc, tot, M) are over
+# integral multiplicity weights — exact in float64 regardless of order —
+# and the gain expression is written with the same association as the
+# numpy kernel (oracle/louvain.py _bucket_moves), so DuckDB computes the
+# identical IEEE doubles and the comparisons/tie-breaks agree exactly.
+def _louvain_round1_sql() -> str:
+    from ..oracle.louvain import BUCKET_BOUNDS
+    # MATERIALIZED CTEs: the stage chain references sym/kv/lab_i many
+    # times each; DuckDB's default per-reference inlining re-opens the
+    # parquet for every expansion ("Too many open files" at 7 stages)
+    sql = f"""
+WITH lv_base AS MATERIALIZED (
+  SELECT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst
+  FROM lineitem
+), lv_edges AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lv_base GROUP BY src, dst
+), sym AS MATERIALIZED (
+  SELECT src, dst, SUM(w) AS w FROM (
+    SELECT src, dst, w FROM lv_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM lv_edges WHERE src <> dst
+  ) GROUP BY src, dst
+), deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree,
+         SUM(w) AS wdegree
+  FROM sym GROUP BY src
+), lvnodes AS (
+  SELECT CAST(range AS BIGINT) AS node FROM range({NMOD})
+), kv AS MATERIALIZED (
+  SELECT n.node, COALESCE(d.wdegree, 0.0) AS k,
+         COALESCE(d.degree, 0) AS degree
+  FROM lvnodes n LEFT JOIN deg d ON d.node = n.node
+), mm AS MATERIALIZED (
+  SELECT SUM(w) / 2 AS m2 FROM sym
+), lab0 AS MATERIALIZED (
+  SELECT node, node AS comm FROM lvnodes
+)"""
+    n_buckets = len(BUCKET_BOUNDS) - 1
+    for i in range(n_buckets):
+        lo, hi = BUCKET_BOUNDS[i], BUCKET_BOUNDS[i + 1]
+        hi_pred = "" if i == n_buckets - 1 else f" AND b.degree <= {hi}"
+        sql += f"""
+, agg{i} AS MATERIALIZED (
+  SELECT l.comm, SUM(kv.k) AS tot, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM lab{i} l JOIN kv ON kv.node = l.node GROUP BY l.comm
+), mv{i} AS MATERIALIZED (
+  SELECT e.src AS v, l2.comm AS c, SUM(e.w) AS e_vc
+  FROM sym e
+  JOIN kv b ON b.node = e.src AND b.degree > {lo}{hi_pred}
+  JOIN lab{i} l2 ON l2.node = e.dst
+  WHERE e.src <> e.dst
+  GROUP BY e.src, l2.comm
+), cand{i} AS (
+  SELECT m.v, m.c, lc.comm AS cur,
+         m.e_vc / mm.m2
+           + kv.k * ((ac.tot - kv.k) - at.tot) / (2 * mm.m2 * mm.m2)
+           AS gain
+  FROM mv{i} m
+  JOIN lab{i} lc ON lc.node = m.v
+  JOIN agg{i} ac ON ac.comm = lc.comm
+  JOIN agg{i} at ON at.comm = m.c
+  JOIN kv ON kv.node = m.v
+  CROSS JOIN mm
+  WHERE m.c <> lc.comm
+    AND (m.c < lc.comm OR at.sz > 1 OR ac.sz > 1)
+), win{i} AS (
+  SELECT v, c, cur, gain,
+         ROW_NUMBER() OVER (PARTITION BY v
+                            ORDER BY gain DESC, c ASC) AS rn
+  FROM cand{i}
+), acc{i} AS (
+  SELECT w.v, w.c
+  FROM win{i} w
+  CROSS JOIN mm
+  LEFT JOIN mv{i} own ON own.v = w.v AND own.c = w.cur
+  WHERE w.rn = 1
+    AND (w.gain > 0 OR (w.gain = 0 AND w.c < w.cur))
+    AND w.gain - COALESCE(own.e_vc, 0) / mm.m2 > 0
+), lab{i + 1} AS MATERIALIZED (
+  SELECT l.node, COALESCE(a.c, l.comm) AS comm
+  FROM lab{i} l LEFT JOIN acc{i} a ON a.v = l.node
+)"""
+    return sql + f"\nSELECT node, comm FROM lab{n_buckets}"
+
+
+def q_louvain_round1(sf_dir: str):
+    """One synchronous bucketed Louvain move round from the singleton
+    partition on the DISTRIBUTED kernel — value-checked against the
+    generated SQL replay (_louvain_round1_sql).  Labels are snapshotted
+    and restored around the run so the cached engine's installed
+    Louvain result (graph_comm_sizes et al.) is untouched."""
+    eng = _build_engine(sf_dir)
+    eng.push_labels()
+    try:
+        tbl = eng.louvain_round1()
+    finally:
+        eng.pop_labels()
+    return tbl
+
+
 GRAPH_SQL: dict[str, str] = {
+    "graph_louvain_round1": _louvain_round1_sql(),
     "graph_edge_support": _SUPPORT_SQL,
     "graph_node_triangles": _NODE_TRI_SQL,
     "graph_reciprocity": _RECIP_SQL,

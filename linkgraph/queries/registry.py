@@ -861,6 +861,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_connected_components": g.q_connected_components,
     "graph_label_propagation": g.q_label_propagation,
     "graph_louvain": g.q_louvain,
+    "graph_louvain_round1": g.q_louvain_round1,
     "graph_quality_louvain": q_graph_quality_louvain,
     "graph_dynamic_louvain": ev.q_dynamic_louvain,
     # text / training-data operators (north rule)
@@ -931,6 +932,8 @@ _CHECK_FIRST = [
     "rel_shuffle_join_orders", "rel_pricing_summary",
     "rel_top_revenue_orders", "graph_comm_sizes",
     "doc_repetition",
+    # new this round: value-checked slice of the Louvain move kernel
+    "graph_louvain_round1",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _CHECK_FIRST},
            **{k: v for k, v in QUERIES.items() if k not in _CHECK_FIRST}}

@@ -967,6 +967,72 @@ class GraphEngine:
         ray.get([a.warmup_scratch.remote(bpe) for a in self.actors])
         self._scratch_bpe = bpe
 
+    def _sweep_buckets(self, active_buckets, use_subset: bool) -> list:
+        """ONE optimisation round: sweep the active degree buckets in
+        order, pipelined as a single chain of actor calls (ghost-label
+        sync between buckets resolves through ObjectRefs inside the
+        actors — no driver barrier until the caller ray.gets the
+        returned apply refs).  The first bucket's ghost cache must be
+        fresh (callers refresh it via _modularity / _store_ghost_labels
+        before the sweep)."""
+        apply_refs = []
+        for k, bucket in enumerate(active_buckets):
+            if k > 0:
+                # incremental ghost-label sync for the previous
+                # bucket's moves, pipelined (no driver barrier)
+                outs = [a.lv_serve_changed.options(num_returns=self.P)
+                        .remote() for a in self.actors]
+                for i, a in enumerate(self.actors):
+                    a.lv_cache_apply.remote(
+                        [outs[j][i] for j in range(self.P)])
+            if self.has_frags:
+                frag_outs = [a.lv_frag_partials
+                             .options(num_returns=self.P)
+                             .remote(bucket) for a in self.actors]
+                if self.P == 1:
+                    frag_outs = [[o] for o in frag_outs]
+                reqs = [a.lv_moves_phase1.options(num_returns=self.P)
+                        .remote(bucket, use_subset,
+                                [frag_outs[j][i]
+                                 for j in range(self.P)])
+                        for i, a in enumerate(self.actors)]
+            else:
+                reqs = [a.lv_moves_phase1.options(num_returns=self.P)
+                        .remote(bucket, use_subset)
+                        for a in self.actors]
+            comm_vals = self._exchange_comm_aggs(reqs)
+            deltas = [a.lv_moves_phase2.options(num_returns=self.P)
+                      .remote(comm_vals[i])
+                      for i, a in enumerate(self.actors)]
+            apply_refs.extend(
+                a.lv_apply_comm_deltas.remote(
+                    [deltas[i][j] for i in range(self.P)])
+                for j, a in enumerate(self.actors))
+        return apply_refs
+
+    def louvain_round1(self) -> pa.Table:
+        """ONE synchronous bucketed move round from the singleton
+        partition, always on the distributed kernel (never the
+        driver-oracle fast path) — the driver-verifiable slice of the
+        Louvain move semantics (computeMove/computeGain,
+        modularity_optimisation_mem.cu:99-205, bucket loop :365-420).
+        Returns the raw (node, comm) labels after the round; community
+        ids stay in the original node-id space so a SQL oracle can
+        reproduce them exactly."""
+        ray.get([a.lv_init_labels.remote() for a in self.actors])
+        self._invalidate_label_cache()
+        self._rebuild_comm_aggs()
+        self._ensure_scratch()
+        self._store_ghost_labels()  # fresh ghost cache for bucket 0
+        counts = np.sum(ray.get([a.lv_bucket_counts.remote(False)
+                                 for a in self.actors]), axis=0)
+        active_buckets = [b for b in range(N_BUCKETS) if counts[b] > 0]
+        if self.has_frags:
+            ray.get([a.lv_frag_install_subset.remote(None)
+                     for a in self.actors])
+        ray.get(self._sweep_buckets(active_buckets, False))
+        return self.louvain_result()
+
     def _one_level(self, min_gain: float, use_subset: bool) -> tuple[bool, float]:
         """Distributed level-0 one_level.  Returns (changed, final_q).
 
@@ -1003,40 +1069,7 @@ class GraphEngine:
                          for a in self.actors])
         while total_gain >= min_gain:
             t_round = time.time()
-            apply_refs = []
-            for k, bucket in enumerate(active_buckets):
-                if k > 0:
-                    # incremental ghost-label sync for the previous
-                    # bucket's moves, pipelined (no driver barrier);
-                    # the first bucket's cache is fresh from _modularity
-                    outs = [a.lv_serve_changed.options(num_returns=self.P)
-                            .remote() for a in self.actors]
-                    for i, a in enumerate(self.actors):
-                        a.lv_cache_apply.remote(
-                            [outs[j][i] for j in range(self.P)])
-                if self.has_frags:
-                    frag_outs = [a.lv_frag_partials
-                                 .options(num_returns=self.P)
-                                 .remote(bucket) for a in self.actors]
-                    if self.P == 1:
-                        frag_outs = [[o] for o in frag_outs]
-                    reqs = [a.lv_moves_phase1.options(num_returns=self.P)
-                            .remote(bucket, use_subset,
-                                    [frag_outs[j][i]
-                                     for j in range(self.P)])
-                            for i, a in enumerate(self.actors)]
-                else:
-                    reqs = [a.lv_moves_phase1.options(num_returns=self.P)
-                            .remote(bucket, use_subset)
-                            for a in self.actors]
-                comm_vals = self._exchange_comm_aggs(reqs)
-                deltas = [a.lv_moves_phase2.options(num_returns=self.P)
-                          .remote(comm_vals[i])
-                          for i, a in enumerate(self.actors)]
-                apply_refs.extend(
-                    a.lv_apply_comm_deltas.remote(
-                        [deltas[i][j] for i in range(self.P)])
-                    for j, a in enumerate(self.actors))
+            apply_refs = self._sweep_buckets(active_buckets, use_subset)
             moved_round = int(sum(ray.get(apply_refs)))
             q_after = self._modularity()  # syncs the last bucket's moves
             total_gain = q_after - q_before

@@ -85,6 +85,39 @@ class TestTrianglesEngine:
         eng.shutdown()
 
 
+def oracle_round1(g) -> np.ndarray:
+    """One synchronous bucketed move round from singletons — the exact
+    first-round slice of olv.one_level (same kernels, same bucket
+    order, same per-bucket aggregate rebuild)."""
+    labels = np.arange(g.n, dtype=np.int64)
+    tot, size = olv.community_aggregates(g, labels, g.n)
+    deg = g.degrees
+    for lo, hi in zip(olv.BUCKET_BOUNDS[:-1], olv.BUCKET_BOUNDS[1:]):
+        sel = np.flatnonzero((deg > lo) & (deg <= hi))
+        if not len(sel):
+            continue
+        movers, newc = olv._bucket_moves(g, sel, labels, tot, size)
+        if len(movers):
+            labels[movers] = newc
+            tot = np.bincount(labels, weights=g.k, minlength=g.n)
+            size = np.bincount(labels, minlength=g.n)
+    return labels
+
+
+class TestLouvainRound1:
+    @pytest.mark.parametrize("n_parts,seed", [(2, 7), (3, 11), (4, 23)])
+    def test_matches_oracle_exactly(self, engine_mod, n_parts, seed):
+        src, dst, w = planted_graph(150, 5, 0.45, 0.02, seed)
+        g = CSRGraph.from_edges(src, dst, w, n=150)
+        want = oracle_round1(g)
+        eng = engine_mod.from_arrays(src, dst, w, n=150, n_parts=n_parts,
+                                     name=f"lvr1_{n_parts}_{seed}")
+        got = (eng.louvain_round1().to_pandas().sort_values("node")
+               ["comm"].to_numpy())
+        assert got.tolist() == want.tolist()  # raw ids, bit-exact
+        eng.shutdown()
+
+
 class TestLouvainEngine:
     @pytest.mark.parametrize("n_parts", [2, 4])
     def test_planted_matches_oracle(self, engine_mod, n_parts):
