@@ -745,6 +745,98 @@ def _project_ab(t: pa.Table) -> pa.Table:
     return t.select(["a", "b"])
 
 
+# LSH buckets larger than this emit star pairs (to the bucket-min
+# doc_id) instead of the full clique — see emit_pairs in
+# minhash_dup_pairs.  Gate-scale buckets are O(10); real boilerplate
+# clusters can be O(1e6) where the clique is 1e12 pairs.
+HOT_BUCKET_CLIQUE_CAP = 1024
+
+
+def _binary_rows(col) -> tuple[np.ndarray, np.ndarray]:
+    """(byte-offsets//8 as element offsets, uint64 element buffer) of a
+    large_binary column holding packed uint64 shingle hashes — zero-copy
+    views straight off the Arrow buffers."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset: col.offset + len(col) + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint64)
+    assert (off % 8 == 0).all()
+    return off // 8, data
+
+
+@ray.remote
+def _pair_verify_split(tbl: pa.Table, P: int):
+    """Hash-split exploded pair rows (a, b, doc_id, sh) on the PAIR key
+    so both rows of every candidate pair land in one partition."""
+    if tbl.num_rows == 0:
+        return tbl if P == 1 else tuple(tbl for _ in range(P))
+    from ..stages.exchange import _key_hash
+    part = (_key_hash([tbl.column("a").to_numpy(),
+                       tbl.column("b").to_numpy()])
+            % np.uint64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    t = tbl.take(pa.array(order))
+    if P == 1:
+        return t
+    cuts = np.searchsorted(part[order], np.arange(P + 1))
+    return tuple(t.slice(cuts[p], cuts[p + 1] - cuts[p])
+                 for p in range(P))
+
+
+@ray.remote
+def _pair_verify_reduce(threshold: float, *parts) -> pa.Table:
+    """Exact shingle-Jaccard verify for ONE hash partition of candidate
+    pairs — a single vectorized pass over the partition's whole shingle
+    mass (lexsort by (pair, hash); adjacent duplicates are the
+    intersections), replacing the former one-pandas-call-per-pair
+    map_groups (the round-3 'per-pair Python verify' scale flag)."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "n_common": pa.array([], pa.int64()),
+                      "n_union": pa.array([], pa.int64())})
+    tbls = [t for t in parts if t.num_rows]
+    if not tbls:
+        return empty
+    t = pa.concat_tables(tbls)
+    a = t.column("a").to_numpy()
+    b = t.column("b").to_numpy()
+    off, data = _binary_rows(t.column("sh"))
+    ro = np.lexsort((b, a))                    # same-pair rows adjacent
+    a_s, b_s = a[ro], b[ro]
+    new = np.empty(len(ro), dtype=bool)
+    new[0] = True
+    new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    pid = np.cumsum(new) - 1
+    npairs = int(pid[-1]) + 1
+    rows_per_pair = np.bincount(pid, minlength=npairs)
+    # gather each row's shingles in pair order (one fancy index)
+    lens = (off[1:] - off[:-1])[ro]
+    starts = off[:-1][ro]
+    total = int(lens.sum())
+    take = (np.repeat(starts, lens) + np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens))
+    vals = data[take]
+    pid_el = np.repeat(pid, lens)
+    o2 = np.lexsort((vals, pid_el))
+    v2, p2 = vals[o2], pid_el[o2]
+    dup = np.zeros(len(v2), dtype=bool)
+    if len(v2) > 1:
+        dup[1:] = (v2[1:] == v2[:-1]) & (p2[1:] == p2[:-1])
+    inter = np.bincount(p2[dup], minlength=npairs)
+    sizes = np.bincount(pid_el, minlength=npairs)  # |A| + |B| per pair
+    union = sizes - inter
+    firsts = np.flatnonzero(new)
+    keep = (rows_per_pair == 2) & \
+        (inter / np.maximum(1, union) >= threshold)
+    return pa.table({
+        "a": pa.array(a_s[firsts][keep], pa.int64()),
+        "b": pa.array(b_s[firsts][keep], pa.int64()),
+        "n_common": pa.array(inter[keep].astype(np.int64), pa.int64()),
+        "n_union": pa.array(union[keep].astype(np.int64), pa.int64()),
+    })
+
+
 def minhash_dup_pairs(docs, *, threshold: float = 0.7,
                       num_perm: int = DEFAULT_NUM_PERM,
                       bands: int = DEFAULT_BANDS,
@@ -796,6 +888,20 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
         ids = np.sort(g["doc_id"].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        if len(ids) > HOT_BUCKET_CLIQUE_CAP:
+            # the 100 TB scale-killer guard: one boilerplate cluster
+            # (cookie banners, parked domains) can put 1e5-1e6 docs in
+            # ONE (band, band_hash) bucket -> 1e10+ clique pairs from a
+            # single group.  Above the cap, emit the STAR to the bucket-
+            # min doc_id instead — O(n) pairs; connectivity (all the
+            # dedup keepmap's union-find needs) is preserved, and for a
+            # true near-dup bucket every star pair passes the exact
+            # verify.  Pair LISTS for such buckets are the star only,
+            # by design (documented contract; gate-scale buckets are
+            # far below the cap).
+            return pd.DataFrame({
+                "a": np.full(len(ids) - 1, ids[0], dtype=np.int64),
+                "b": ids[1:].astype(np.int64)})
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[a], "b": ids[b]})
 
@@ -844,24 +950,25 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
     pair_rows = pairs.map_batches(explode, batch_format="pyarrow").join(
         sh_sets, join_type="inner", num_partitions=8, on=("doc_id",))
 
-    def jaccard(g: pd.DataFrame) -> pd.DataFrame:
-        none = pd.DataFrame({"a": [], "b": [], "n_common": [],
-                             "n_union": []}).astype(np.int64)
-        if len(g) != 2:
-            return none
-        sa = np.frombuffer(g["sh"].iloc[0], dtype=np.uint64)
-        sb = np.frombuffer(g["sh"].iloc[1], dtype=np.uint64)
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        if inter / max(1, union) < threshold:
-            return none
-        return pd.DataFrame({"a": [np.int64(g["a"].iloc[0])],
-                             "b": [np.int64(g["b"].iloc[0])],
-                             "n_common": [np.int64(inter)],
-                             "n_union": [np.int64(union)]})
+    # exact verify: hash exchange on the pair key + ONE vectorized
+    # intersect pass per partition (no per-pair Python — the former
+    # groupby(["a","b"]).map_groups paid a pandas call per candidate
+    # pair, the classic per-group-Python wall at millions of pairs)
+    import ray.data as rd
 
-    return pair_rows.groupby(["a", "b"]).map_groups(
-        jaccard, batch_format="pandas")
+    from ..stages.exchange import _count_rows, default_partitions
+    P = default_partitions()
+    blocks = pair_rows.materialize().to_arrow_refs()
+    split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
+             for blk in blocks]
+    if P == 1:
+        split = [[r] for r in split]
+    outs = [_pair_verify_reduce.remote(
+        threshold, *[split[i][p] for i in range(len(split))])
+        for p in range(P)]
+    counts = ray.get([_count_rows.remote(r) for r in outs])
+    kept = [r for r, n in zip(outs, counts) if n]
+    return rd.from_arrow_refs(kept if kept else outs[:1])
 
 
 # -------------------------------------------------------- n-gram Jaccard

@@ -312,6 +312,32 @@ class TestNearDupKeepmap:
         assert len(a) == 7
 
 
+class TestHotBucketCap:
+    """A 1e4-doc identical-text cluster (the boilerplate scale-killer)
+    must complete with O(n) STAR pairs — not the 5e7-pair clique — and
+    produce the same keepmap (everyone collapses to the min doc_id)."""
+
+    def test_identical_cluster_star_pairs(self, ray_session):
+        import ray.data as rd
+        from linkgraph.text import ops as tx
+        n = 10_000
+        assert n > tx.HOT_BUCKET_CLIQUE_CAP
+        text = "the same boilerplate cookie banner text appears here"
+        ids = np.arange(n, dtype=np.int64) + 100
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids),
+            "text": pa.array([text] * n, pa.string())})).repartition(8)
+        pairs_ds = tx.minhash_dup_pairs(docs, threshold=0.5).materialize()
+        pairs = pairs_ds.to_pandas()
+        assert len(pairs) == n - 1            # star, not clique
+        assert (pairs["a"] == 100).all()      # hub = bucket-min doc_id
+        assert (pairs["n_common"] == pairs["n_union"]).all()  # identical
+        km = (tx.near_dup_keepmap(docs, threshold=0.5, pairs=pairs_ds)
+              .to_pandas())
+        assert len(km) == n
+        assert (km["keep_id"] == 100).all()   # same keepmap as a clique
+
+
 class TestCuration:
     def test_signals_fused_pass_matches_parts(self):
         from linkgraph.text.ops import (curation_signals_batch,
