@@ -82,23 +82,50 @@ def cmd_louvain(args):
                       ("modularity", "n_levels", "n_comms")}))
 
 
+# Above this many delta rows cmd_dynamic stops materializing the file
+# on the driver and streams each (ts, op) batch as a Ray Dataset into
+# the engine's routed exchange (apply_delta_dataset path) — nothing
+# O(#deltas) touches driver memory.
+DRIVER_DELTA_ROWS = 5_000_000
+
+
 def cmd_dynamic(args):
     import numpy as np
     import pyarrow.parquet as pq
+    import ray.data as rd
     eng = _build_engine(args, warmup="louvain")
     eng.louvain()
-    deltas = pq.read_table(args.deltas).to_pandas() \
-        .sort_values(["ts", "op", "src", "dst"])
     records = []
-    for ts, g in deltas.groupby("ts"):
-        batch = {}
-        for op in ("del", "add"):
-            sel = g[g["op"] == op]
-            batch[op] = (sel["src"].to_numpy(), sel["dst"].to_numpy(),
-                         sel["w"].to_numpy() if "w" in sel else
-                         np.ones(len(sel)))
-        records.extend(eng.dynamic_step(int(ts), batch, mode=args.mode,
-                                        ckpt_dir=args.ckpt_dir))
+    ds = rd.read_parquet(args.deltas)
+    threshold = args.driver_delta_rows
+    if ds.count() <= threshold:
+        # small file: driver pandas keeps the convenience path (and the
+        # O1 sort contract is explicit)
+        deltas = pq.read_table(args.deltas).to_pandas() \
+            .sort_values(["ts", "op", "src", "dst"])
+        for ts, g in deltas.groupby("ts"):
+            batch = {}
+            for op in ("del", "add"):
+                sel = g[g["op"] == op]
+                batch[op] = (sel["src"].to_numpy(), sel["dst"].to_numpy(),
+                             sel["w"].to_numpy() if "w" in sel else
+                             np.ones(len(sel)))
+            records.extend(eng.dynamic_step(int(ts), batch, mode=args.mode,
+                                            ckpt_dir=args.ckpt_dir))
+    else:
+        # scale path: per-(ts, op) filtered Datasets feed the owner-
+        # routed delta exchange (engine.apply_delta_dataset semantics);
+        # the driver only ever sees the tiny distinct-ts list
+        cols = [c for c in ("src", "dst", "w") if c in ds.schema().names]
+        ts_rows = ds.groupby("ts").count().take_all()
+        for ts in sorted(int(r["ts"]) for r in ts_rows):
+            batch = {}
+            for op in ("del", "add"):
+                sel = (ds.filter(expr=f"ts == {ts} and op == '{op}'")
+                       .select_columns(cols))
+                batch[op] = sel
+            records.extend(eng.dynamic_step(int(ts), batch, mode=args.mode,
+                                            ckpt_dir=args.ckpt_dir))
     if args.out:
         import ray.data as rd
         refs = [a.lv_labels_result.remote() for a in eng.actors]
@@ -191,6 +218,11 @@ def main(argv=None):
     p.add_argument("--deltas", required=True)
     p.add_argument("--mode", choices=("delta", "full", "static"),
                    default="delta")
+    p.add_argument("--driver-delta-rows", type=int,
+                   default=DRIVER_DELTA_ROWS,
+                   help="deltas files above this many rows stream as "
+                        "Datasets through the routed exchange instead "
+                        "of driver pandas")
     p.set_defaults(fn=cmd_dynamic)
 
     p = sub.add_parser("curate")

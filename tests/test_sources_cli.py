@@ -83,6 +83,72 @@ def test_cli_curate_job(tmp_path):
     assert (np.diff(off) == tok[:-1]).all()
 
 
+def test_cli_dynamic_dataset_path_matches_driver(tmp_path):
+    """cmd_dynamic's two delta routes — driver pandas (small files) and
+    streamed Datasets through the routed exchange (--driver-delta-rows
+    below the file size) — must produce identical per-phase records and
+    final labels on the same input (M5-clean deltas: no dups, no
+    self-loops)."""
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 100, 800)
+    dst = rng.integers(0, 100, 800)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # symmetric deduped edge table with multiplicity weights
+    import pandas as pd
+    e = pd.DataFrame({"src": np.concatenate([src, dst]),
+                      "dst": np.concatenate([dst, src])})
+    e = e.groupby(["src", "dst"]).size().rename("w").reset_index()
+    pq.write_table(pa.Table.from_pandas(e, preserve_index=False)
+                   .set_column(2, "w", pa.array(e["w"], pa.float64())),
+                   tmp_path / "edges.parquet")
+    # two timesteps: delete a few existing edges, add a few new ones
+    dels = e.head(6)[["src", "dst"]]
+    adds = pd.DataFrame({"src": [101, 102, 103, 104],
+                         "dst": [1, 2, 3, 104 + 1]})
+    deltas = pd.DataFrame({
+        "ts": [0] * 3 + [0] * 2 + [1] * 3 + [1] * 2,
+        "op": ["del"] * 3 + ["add"] * 2 + ["del"] * 3 + ["add"] * 2,
+        "src": np.concatenate([dels["src"].to_numpy()[:3],
+                               adds["src"].to_numpy()[:2],
+                               dels["src"].to_numpy()[3:6],
+                               adds["src"].to_numpy()[2:]]),
+        "dst": np.concatenate([dels["dst"].to_numpy()[:3],
+                               adds["dst"].to_numpy()[:2],
+                               dels["dst"].to_numpy()[3:6],
+                               adds["dst"].to_numpy()[2:]]),
+    })
+    deltas["w"] = 1.0
+    pq.write_table(pa.Table.from_pandas(deltas, preserve_index=False),
+                   tmp_path / "deltas.parquet")
+
+    def run(extra, out):
+        r = subprocess.run(
+            [sys.executable, "-m", "linkgraph.cli", "--num-cpus", "4",
+             "dynamic", "--edges", str(tmp_path / "edges.parquet"),
+             "--n-nodes", "100", "--n-parts", "2",
+             "--deltas", str(tmp_path / "deltas.parquet"),
+             "--out", str(tmp_path / out)] + extra,
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-1500:]
+        return json.loads([l for l in r.stdout.splitlines()
+                           if l.startswith("[")][-1])
+
+    rec_drv = run([], "lab_drv")                       # pandas path
+    rec_ds = run(["--driver-delta-rows", "0"], "lab_ds")  # dataset path
+    assert len(rec_drv) == len(rec_ds) == 4            # 2 ts x 2 phases
+    for a, b in zip(rec_drv, rec_ds):
+        assert (a["ts"], a["phase"]) == (b["ts"], b["phase"])
+        assert abs(a["modularity"] - b["modularity"]) < 1e-12
+        assert a["r_size"] == b["r_size"]
+        assert a["n_nodes"] == b["n_nodes"]
+    la = pq.read_table(str(tmp_path / "lab_drv")).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    lb = pq.read_table(str(tmp_path / "lab_ds")).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert la.equals(lb)
+
+
 def test_write_committed_resume(tmp_path, ray_session):
     """_SUCCESS-gated writes skip committed dirs and clear partial ones."""
     import pyarrow as pa
