@@ -135,6 +135,20 @@ LV_EDGES = int(os.environ.get("LINKGRAPH_BENCH_LV_EDGES",
 LV_NODES = int(os.environ.get("LINKGRAPH_BENCH_LV_NODES", 1_000_000))
 
 
+def _finalize_split(eng) -> dict:
+    """Per-phase CSR-finalize split across shards (max = barrier wall,
+    sum = aggregate work): concat (plasma->heap copy), build_csr (the
+    counting-sort scatter — the ENGINE compute term), warmup (scratch
+    page population — the host-bound term that divides by node count on
+    a real cluster)."""
+    out = {}
+    for key in ("concat", "build_csr", "warmup"):
+        vals = [s["secs"].get(key, 0.0) for s in eng.stats]
+        out[f"{key}_max"] = round(max(vals), 3) if vals else 0.0
+        out[f"{key}_sum"] = round(sum(vals), 3) if vals else 0.0
+    return out
+
+
 def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
     """Compute-dominated graph jobs on deterministic synthetic edge
     tables (same seed -> identical input at any parallelism):
@@ -166,6 +180,7 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
                                       name="pr_stress")
     pr_build_secs = time.time() - t0
     pr_build_phases = [m for m in pr_eng.metrics if m.get("algo") == "build"]
+    pr_finalize_split = _finalize_split(pr_eng)
     n_pr_edges = sum(s["n_edges"] for s in pr_eng.stats)
     pr_eng.pagerank(tol=0.0, max_iter=2)     # warm
     windows = []
@@ -183,6 +198,8 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
             "pagerank_iters": 10, "pagerank_secs": round(pr_secs, 3),
             "pagerank_edges_per_sec_iter":
                 round(n_pr_edges * 10 / pr_secs, 1),
+            "pr_build_phases": pr_build_phases,
+            "pr_finalize_split": pr_finalize_split,
         }
 
     # ---- Louvain + dynamic ----------------------------------------------
@@ -249,7 +266,9 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
         "dynamic_r_frac": round(recs[-1]["r_frac"], 4) if recs else 0.0,
         "build_phases": [m for m in eng.metrics
                          if m.get("algo") == "build"],
+        "finalize_split": _finalize_split(eng),
         "pr_build_phases": pr_build_phases,
+        "pr_finalize_split": pr_finalize_split,
     }
 
 
@@ -309,6 +328,7 @@ def run_pages_pipeline(num_cpus: int, n_pages: int) -> dict:
         "pipeline_pages_per_sec": round(n_pages / pipeline_secs, 1),
         "build_phases": [m for m in eng.metrics
                          if m.get("algo") == "build"],
+        "finalize_split": _finalize_split(eng),
     }
 
 

@@ -934,6 +934,9 @@ _CHECK_FIRST = [
     "doc_repetition",
     # new this round: value-checked slice of the Louvain move kernel
     "graph_louvain_round1",
+    # rewritten this round (hot-bucket cap + vectorized verify): get a
+    # fresh driver row on the changed code, not just the r3 one
+    "doc_minhash_pairs", "doc_dedup_near",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _CHECK_FIRST},
            **{k: v for k, v in QUERIES.items() if k not in _CHECK_FIRST}}
