@@ -274,9 +274,13 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
 
 # ------------------------------------------------------------ pages child
 
-def run_pages_pipeline(num_cpus: int, n_pages: int) -> dict:
+def run_pages_pipeline(num_cpus: int, n_pages: int,
+                       ingest_only: bool = False) -> dict:
     """Flagship pipeline on the deterministic pages fixture; returns
-    throughput stats.  Input parquet is generated once and shared."""
+    throughput stats.  Input parquet is generated once and shared.
+    ``ingest_only`` skips the engine build + algorithms — the child
+    mode for the ingestion-scaling A/B at sizes where the full
+    pipeline would be dominated by Louvain."""
     import ray
 
     _init_ray(num_cpus)
@@ -294,6 +298,15 @@ def run_pages_pipeline(num_cpus: int, n_pages: int) -> dict:
     out = ingest(pages_dir, concurrency=(1, num_cpus))
     n_nodes = out["nodes"].count()
     ingest_secs = time.time() - t0
+    if ingest_only:
+        n_links = out["edges"].count()
+        ray.shutdown()
+        return {
+            "cpus": num_cpus, "n_pages": n_pages, "n_nodes": int(n_nodes),
+            "n_edges": int(n_links),
+            "ingest_secs": round(ingest_secs, 3),
+            "ingest_pages_per_sec": round(n_pages / ingest_secs, 1),
+        }
 
     t1 = time.time()
     eng = GraphEngine.from_dataset(out["sym_edges"], n_nodes=n_nodes,
@@ -396,6 +409,7 @@ def main():
     ap.add_argument("--pages-run", action="store_true")
     ap.add_argument("--graph-run", action="store_true")
     ap.add_argument("--pr-only", action="store_true")
+    ap.add_argument("--ingest-only", action="store_true")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--pages", type=int, default=DEFAULT_BENCH_PAGES)
@@ -406,7 +420,8 @@ def main():
                                           pr_only=args.pr_only)))
         return
     if args.pages_run:
-        print(json.dumps(run_pages_pipeline(args.cpus, args.pages)))
+        print(json.dumps(run_pages_pipeline(args.cpus, args.pages,
+                                            ingest_only=args.ingest_only)))
         return
     if args.scaling:
         print(json.dumps(run_scaling(args.pages)))
