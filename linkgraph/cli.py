@@ -163,8 +163,9 @@ def cmd_curate(args):
             ids = kept.map_batches(
                 lambda t: pa.table({"keep_id": t.column("doc_id")}),
                 batch_format="pyarrow")
+            from .pipelines.ingest import join_partitions
             surv = docs.select_columns(["doc_id", "text"]).join(
-                ids, join_type="inner", num_partitions=8,
+                ids, join_type="inner", num_partitions=join_partitions(),
                 on=("doc_id",), right_on=("keep_id",))
             return pack_docs(surv, capacity=args.capacity)
 

@@ -29,10 +29,25 @@ import ray.data as rd
 from ..stages.extract import LinkExtractor
 from ..stages.normalize import normalize_links
 
-# Hash-join partition count for the large-large url->id joins (J7).  At
+# Hash-join partition cap for the large-large url->id joins (J7).  At
 # 10^12 pages this should scale with cluster size; on the test box a small
-# constant keeps task counts sane.
+# constant keeps task counts sane.  The EFFECTIVE count never exceeds the
+# cluster CPUs: Ray Data's hash join reserves one aggregator actor per
+# partition, and requesting 16 partitions on a 4-CPU session starves the
+# probe side into a zero-progress backpressure stall (observed on the
+# 16M-page ingest A/B at num_cpus=4).
 DEFAULT_JOIN_PARTITIONS = 16
+
+
+def join_partitions(requested: int | None = None) -> int:
+    """Join partition count sized to the cluster: min(cap, CPUs)."""
+    if requested is not None:
+        return requested
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(DEFAULT_JOIN_PARTITIONS, cpus))
 
 
 _EXTRACTOR: LinkExtractor | None = None
@@ -206,9 +221,18 @@ def _fp_merge(*parts):
     return collision, (hs, iss)
 
 
+# Broadcast-vs-shuffle switch for url->id resolution: the broadcast
+# index costs 16 B/url in plasma (sorted fingerprint + id), so 50M urls
+# = 800 MB — one zero-copy object per NODE of a real cluster, well
+# under worker heaps.  Beyond it, the hash-shuffle join path (sized by
+# join_partitions) takes over.  Measured at 100k urls / 4 CPUs:
+# broadcast 0.48 s vs shuffle join 4.5 s on identical output.
+BROADCAST_URLS = 50_000_000
+
+
 def resolve_raw(links: rd.Dataset, nodes: rd.Dataset, *,
-                num_partitions: int = DEFAULT_JOIN_PARTITIONS,
-                broadcast_threshold: int = 5_000_000) -> rd.Dataset:
+                num_partitions: int | None = None,
+                broadcast_threshold: int = BROADCAST_URLS) -> rd.Dataset:
     """links(src_url,dst_url) -> raw per-link (src,dst) id rows (one row
     per link occurrence; E2 dedup happens downstream so the directed and
     symmetric tables can both derive from ONE resolution pass).
@@ -272,14 +296,15 @@ def resolve_raw(links: rd.Dataset, nodes: rd.Dataset, *,
                                          zero_copy_batch=True,
                                          concurrency=4)
     else:
+        P = join_partitions(num_partitions)
         resolved = (
             links.join(nodes, join_type="inner",
-                       num_partitions=num_partitions,
+                       num_partitions=P,
                        on=("src_url",), right_on=("url",))
             .rename_columns({"node_id": "src"})
             .select_columns(["src", "dst_url"])
             .join(nodes, join_type="inner",
-                  num_partitions=num_partitions,
+                  num_partitions=P,
                   on=("dst_url",), right_on=("url",))
             .rename_columns({"node_id": "dst"})
             .select_columns(["src", "dst"])

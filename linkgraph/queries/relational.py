@@ -93,7 +93,9 @@ def q_shuffle_join_orders(sf_dir: str):
     large-by-large path, J7 analog): per-nation order counts."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    from ..pipelines.ingest import join_partitions
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=join_partitions(),
                          on=("o_custkey",), right_on=("c_custkey",))
     return (joined.groupby("c_nationkey")
             .aggregate(Count(alias_name="n_orders"))

@@ -932,8 +932,10 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
 
     # shingle sets for candidate docs only (semi-join prunes the corpus)
     from ..common import strip_meta
+    from ..pipelines.ingest import join_partitions
     cand_docs = strip_meta(docs.select_columns(["doc_id", "text"])).join(
-        need, join_type="inner", num_partitions=8, on=("doc_id",))
+        need, join_type="inner", num_partitions=join_partitions(),
+        on=("doc_id",))
     sh_sets = cand_docs.map_batches(shingle_sets_batch, batch_format="pyarrow",
                                     fn_kwargs={"k": k}, batch_size=256)
 
@@ -948,7 +950,8 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
         })
 
     pair_rows = pairs.map_batches(explode, batch_format="pyarrow").join(
-        sh_sets, join_type="inner", num_partitions=8, on=("doc_id",))
+        sh_sets, join_type="inner", num_partitions=join_partitions(),
+        on=("doc_id",))
 
     # exact verify: hash exchange on the pair key + ONE vectorized
     # intersect pass per partition (no per-pair Python — the former
