@@ -44,3 +44,55 @@ def read_edge_text(path: str, **read_kwargs) -> rd.Dataset:
     """Edge-list text file(s) -> edges(src, dst, w) Dataset."""
     return rd.read_text(path, **read_kwargs).map_batches(
         parse_edge_lines, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mtx_header(path: str) -> tuple[int, int]:
+    """(n_vertices, n_edges) from a MatrixMarket header — the first
+    non-comment line ``V V E`` (utils.cu:16-20)."""
+    with open(path) as f:
+        for line in f:
+            if not line.startswith("%"):
+                v, _, e = line.split()[:3]
+                return int(v), int(e)
+    raise ValueError(f"{path}: no MatrixMarket size header found")
+
+
+def read_mtx(path: str, *, symmetrize: bool = True,
+             **read_kwargs) -> rd.Dataset:
+    """S10: MatrixMarket reader with the REFERENCE's semantics
+    (``/root/reference/src/gpu-louvain/utils.cu:11-66``), as a streaming
+    Dataset: ``%`` comment lines skipped, the ``V V E`` size header
+    consumed, data rows ``src dst [w]`` taken 0-INDEXED (the reference
+    comments out the standard MTX ``v1--``/``v2--`` decrement —
+    utils.cu:36-37 — so ids are used as written), and non-self edges
+    mirrored (``symmetrize=True``, matching the reader's internal
+    adjacency build; pass False for the raw directed rows).
+
+    The header row is identified structurally: valid 0-indexed data rows
+    have src,dst <= V-1, so the unique row with src == dst == V is the
+    header — no driver-side line counting, so the text read stays a
+    distributed Dataset scan.
+    """
+    n_nodes, _ = mtx_header(path)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.and_(pc.greater(pc.utf8_length(lines), 0),
+                       pc.invert(pc.starts_with(lines, pattern="%")))
+        t = parse_edge_lines(pa.table({"text": pc.filter(lines, keep)}))
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        w = t.column("w").to_numpy()
+        data = ~((src == n_nodes) & (dst == n_nodes))   # drop the header
+        src, dst, w = src[data], dst[data], w[data]
+        if symmetrize:
+            nonself = src != dst
+            src, dst, w = (np.concatenate([src, dst[nonself]]),
+                           np.concatenate([dst, src[nonself]]),
+                           np.concatenate([w, w[nonself]]))
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "w": pa.array(w, pa.float64())})
+
+    return rd.read_text(path, **read_kwargs).map_batches(
+        parse, batch_format="pyarrow", zero_copy_batch=True)

@@ -33,6 +33,28 @@ def test_read_edge_text_toy(tmp_path, ray_session):
     assert got["dst"].tolist() == dst[order].tolist()
 
 
+def test_read_mtx_reference_semantics(tmp_path, ray_session):
+    """S10: comments skipped, header consumed structurally, ids taken
+    0-indexed (the reference's commented-out decrement, utils.cu:36-37),
+    non-self edges mirrored."""
+    from linkgraph.sources.edge_text import mtx_header, read_mtx
+    p = tmp_path / "g.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 "% a comment\n"
+                 "4 4 3\n"
+                 "0 1 2.0\n"
+                 "1 2 1.5\n"
+                 "3 3 4.0\n")
+    assert mtx_header(str(p)) == (4, 3)
+    got = read_mtx(str(p)).to_pandas().sort_values(
+        ["src", "dst"]).reset_index(drop=True)
+    # mirrored non-self edges; self-loop (3,3) single-sided
+    assert list(zip(got["src"], got["dst"], got["w"])) == [
+        (0, 1, 2.0), (1, 0, 2.0), (1, 2, 1.5), (2, 1, 1.5), (3, 3, 4.0)]
+    raw = read_mtx(str(p), symmetrize=False).to_pandas()
+    assert len(raw) == 3
+
+
 def test_cli_pagerank_job(tmp_path):
     """Drive the ray-job entry in a fresh process (owns its Ray session)."""
     rng = np.random.default_rng(0)
