@@ -726,6 +726,99 @@ WITH lv_base AS MATERIALIZED (
     return sql + f"\nSELECT node, comm FROM lab{n_buckets}"
 
 
+# Zahn–Condorcet one-round oracle: the generic-quality move kernel's
+# driver-verifiable slice (gain = 2·e_{v→C} − wu·w_C·max_w,
+# zahn.h:96-105, under oracle/qlouvain.py's deterministic synchronous
+# semantics).  At level 0 node weights are 1 so w_C is the member
+# count; every term (e sums, counts, the max multiplicity weight) is
+# integral -> all float64 arithmetic is exact and the comparisons are
+# bit-safe without any quantization.  Accept rule: strictly greater
+# than max(stay-gain-after-removal, 0); tie -> lowest community id.
+def _zahn_round1_sql() -> str:
+    from ..oracle.louvain import BUCKET_BOUNDS
+    sql = f"""
+WITH lv_base AS MATERIALIZED (
+  SELECT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst
+  FROM lineitem
+), lv_edges AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lv_base GROUP BY src, dst
+), sym AS MATERIALIZED (
+  SELECT src, dst, SUM(w) AS w FROM (
+    SELECT src, dst, w FROM lv_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM lv_edges WHERE src <> dst
+  ) GROUP BY src, dst
+), deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM sym GROUP BY src
+), lvnodes AS (
+  SELECT CAST(range AS BIGINT) AS node FROM range({NMOD})
+), kv AS MATERIALIZED (
+  SELECT n.node, COALESCE(d.degree, 0) AS degree
+  FROM lvnodes n LEFT JOIN deg d ON d.node = n.node
+), mm AS MATERIALIZED (
+  SELECT MAX(w) AS mx FROM sym
+), lab0 AS MATERIALIZED (
+  SELECT node, node AS comm FROM lvnodes
+)"""
+    n_buckets = len(BUCKET_BOUNDS) - 1
+    for i in range(n_buckets):
+        lo, hi = BUCKET_BOUNDS[i], BUCKET_BOUNDS[i + 1]
+        hi_pred = "" if i == n_buckets - 1 else f" AND b.degree <= {hi}"
+        sql += f"""
+, agg{i} AS MATERIALIZED (
+  SELECT comm, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM lab{i} GROUP BY comm
+), mv{i} AS MATERIALIZED (
+  SELECT e.src AS v, l2.comm AS c, SUM(e.w) AS e_vc
+  FROM sym e
+  JOIN kv b ON b.node = e.src AND b.degree > {lo}{hi_pred}
+  JOIN lab{i} l2 ON l2.node = e.dst
+  WHERE e.src <> e.dst
+  GROUP BY e.src, l2.comm
+), cand{i} AS (
+  SELECT m.v, m.c, lc.comm AS cur,
+         2.0 * m.e_vc - at.wc * mm.mx AS gain,
+         GREATEST(2.0 * COALESCE(own.e_vc, 0)
+                  - (ac.wc - 1) * mm.mx, 0.0) AS thr
+  FROM mv{i} m
+  JOIN lab{i} lc ON lc.node = m.v
+  JOIN agg{i} ac ON ac.comm = lc.comm
+  JOIN agg{i} at ON at.comm = m.c
+  LEFT JOIN mv{i} own ON own.v = m.v AND own.c = lc.comm
+  CROSS JOIN mm
+  WHERE m.c <> lc.comm
+    AND (m.c < lc.comm OR at.wc > 1 OR ac.wc > 1)
+), win{i} AS (
+  SELECT v, c, gain, thr,
+         ROW_NUMBER() OVER (PARTITION BY v
+                            ORDER BY gain DESC, c ASC) AS rn
+  FROM cand{i}
+), acc{i} AS (
+  SELECT v, c FROM win{i}
+  WHERE rn = 1 AND gain > thr
+), lab{i + 1} AS MATERIALIZED (
+  SELECT l.node, COALESCE(a.c, l.comm) AS comm
+  FROM lab{i} l LEFT JOIN acc{i} a ON a.v = l.node
+)"""
+    return sql + f"\nSELECT node, comm FROM lab{n_buckets}"
+
+
+def q_zahn_round1(sf_dir: str):
+    """One synchronous bucketed move round of the Zahn–Condorcet (q=1)
+    variant kernel from singletons on the distributed generic-gain
+    machinery — value-checked against the generated SQL replay.
+    Labels snapshot/restored around the run (shared cached engine)."""
+    eng = _build_engine(sf_dir)
+    eng.push_labels()
+    try:
+        tbl = eng.louvain_quality_round1(1)
+    finally:
+        eng.pop_labels()
+    return tbl
+
+
 def q_louvain_round1(sf_dir: str):
     """One synchronous bucketed Louvain move round from the singleton
     partition on the DISTRIBUTED kernel — value-checked against the
@@ -743,6 +836,7 @@ def q_louvain_round1(sf_dir: str):
 
 GRAPH_SQL: dict[str, str] = {
     "graph_louvain_round1": _louvain_round1_sql(),
+    "graph_zahn_round1": _zahn_round1_sql(),
     "graph_edge_support": _SUPPORT_SQL,
     "graph_node_triangles": _NODE_TRI_SQL,
     "graph_reciprocity": _RECIP_SQL,

@@ -862,6 +862,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_label_propagation": g.q_label_propagation,
     "graph_louvain": g.q_louvain,
     "graph_louvain_round1": g.q_louvain_round1,
+    "graph_zahn_round1": g.q_zahn_round1,
     "graph_quality_louvain": q_graph_quality_louvain,
     "graph_dynamic_louvain": ev.q_dynamic_louvain,
     # text / training-data operators (north rule)
@@ -932,8 +933,9 @@ _CHECK_FIRST = [
     "rel_shuffle_join_orders", "rel_pricing_summary",
     "rel_top_revenue_orders", "graph_comm_sizes",
     "doc_repetition",
-    # new this round: value-checked slice of the Louvain move kernel
-    "graph_louvain_round1",
+    # new this round: value-checked slices of the Louvain move kernel
+    # and the generic quality-variant move kernel
+    "graph_louvain_round1", "graph_zahn_round1",
     # rewritten this round (hot-bucket cap + vectorized verify): get a
     # fresh driver row on the changed code, not just the r3 one
     "doc_minhash_pairs", "doc_dedup_near",

@@ -1318,6 +1318,84 @@ class GraphEngine:
                 self._after_graph_mutation()
                 self._rebuild_comm_aggs()
 
+    def _sweep_buckets_q(self, active, n_w: float) -> list:
+        """ONE quality-variant optimisation round (the generic-gain
+        analog of _sweep_buckets): per bucket, incremental ghost sync +
+        tot/size/w + in[C] rebuilds + kappa partials + phase1 / comm
+        serve / phase2, pipelined through the actor queues.  Callers
+        refresh the ghost cache (e.g. _q_value_q) before the sweep."""
+        move_refs = []
+        for k, bucket in enumerate(active):
+            if k > 0:
+                # incremental ghost-label sync of the previous
+                # bucket's moves, pipelined (no driver barrier)
+                souts = [a.lv_serve_changed.options(num_returns=self.P)
+                         .remote() for a in self.actors]
+                for i, a in enumerate(self.actors):
+                    a.lv_cache_apply.remote(
+                        [souts[j][i] for j in range(self.P)])
+            # rebuild tot/size/w from post-previous-bucket labels
+            aggs = [a.lv_agg_partials_q.options(num_returns=self.P)
+                    .remote() for a in self.actors]
+            for j, a in enumerate(self.actors):
+                a.lv_agg_apply_q.remote(
+                    [aggs[i][j] for i in range(self.P)])
+            # in[C] rebuild (reads the just-synced label cache)
+            ins = [a.lv_in_partials.options(num_returns=self.P)
+                   .remote() for a in self.actors]
+            for j, a in enumerate(self.actors):
+                a.lv_in_apply.remote(
+                    [ins[i][j] for i in range(self.P)])
+            # kappa partial refs are summed INSIDE phase2 (resolved
+            # actor-side; they queue after lv_agg_apply_q per actor)
+            kappa_refs = [a.lv_kappa_partial.remote()
+                          for a in self.actors]
+            reqs = [a.lv_moves_phase1.options(num_returns=self.P)
+                    .remote(bucket, False)
+                    for a in self.actors]
+            outs = [self.actors[j].lv_serve_comm_q_many
+                    .options(num_returns=self.P)
+                    .remote([reqs[i][j] for i in range(self.P)])
+                    for j in range(self.P)]
+            comm_vals = [[outs[j][i] for j in range(self.P)]
+                         for i in range(self.P)]
+            move_refs.extend(
+                a.lv_moves_phase2_q.remote(comm_vals[i], n_w,
+                                           kappa_refs)
+                for i, a in enumerate(self.actors))
+        return move_refs
+
+    def louvain_quality_round1(self, q_id: int, *, alpha: float = 0.5,
+                               kmin: int = 1) -> pa.Table:
+        """ONE synchronous bucketed move round of the quality-variant
+        kernel from the singleton partition (non-mutating variants only
+        — q=4/7 reweight the CSR in place and need the full
+        louvain_quality path).  The driver-verifiable slice of the
+        generic-gain move machinery (quality.h:56-84 formulas with the
+        deterministic synchronous semantics of oracle/qlouvain.py);
+        labels stay in the original node-id space for SQL parity."""
+        assert q_id not in (4, 7), "mutating variants have no round-1 gate"
+        from ..oracle import qlouvain as qlv
+        self._ensure_scratch()
+        max_w = max(ray.get([a.lv_max_weight_local.remote()
+                             for a in self.actors]))
+        ray.get([a.lv_set_quality.remote(q_id, alpha, kmin, 0.0, 0.0,
+                                         max_w) for a in self.actors])
+        qfn = qlv.make_quality(q_id, alpha=alpha, kmin=kmin)
+        qfn.fixed_max_w = max_w
+        n_w = float(self.n)
+        ray.get([a.lv_init_labels.remote() for a in self.actors])
+        self._invalidate_label_cache()
+        counts = np.sum(ray.get([a.lv_bucket_counts.remote(False)
+                                 for a in self.actors]), axis=0)
+        active = [b for b in range(N_BUCKETS) if counts[b] > 0]
+        # fresh ghost cache + q-aggregate state for bucket 0 (the same
+        # preamble _q_value_q performs before the full level-0 loop)
+        self._store_ghost_labels()
+        self._rebuild_comm_aggs_q()
+        ray.get(self._sweep_buckets_q(active, n_w))
+        return self.louvain_result()
+
     def _louvain_quality_dist(self, q_id: int, *, alpha: float, kmin: int,
                               min_gain: float) -> dict:
         """Distributed quality-variant Louvain body (see louvain_quality).
@@ -1374,47 +1452,7 @@ class GraphEngine:
         total_gain = min_gain
         q_before = self._q_value_q(qfn, n_w)  # full ghost sync (barrier)
         while total_gain >= min_gain:
-            move_refs = []
-            for k, bucket in enumerate(active):
-                if k > 0:
-                    # incremental ghost-label sync of the previous
-                    # bucket's moves, pipelined (no driver barrier); the
-                    # first bucket's cache is fresh from _q_value_q
-                    souts = [a.lv_serve_changed.options(num_returns=self.P)
-                             .remote() for a in self.actors]
-                    for i, a in enumerate(self.actors):
-                        a.lv_cache_apply.remote(
-                            [souts[j][i] for j in range(self.P)])
-                # rebuild tot/size/w from post-previous-bucket labels
-                aggs = [a.lv_agg_partials_q.options(num_returns=self.P)
-                        .remote() for a in self.actors]
-                for j, a in enumerate(self.actors):
-                    a.lv_agg_apply_q.remote(
-                        [aggs[i][j] for i in range(self.P)])
-                # in[C] rebuild (reads the just-synced label cache)
-                ins = [a.lv_in_partials.options(num_returns=self.P)
-                       .remote() for a in self.actors]
-                for j, a in enumerate(self.actors):
-                    a.lv_in_apply.remote(
-                        [ins[i][j] for i in range(self.P)])
-                # kappa partial refs are summed INSIDE phase2 (resolved
-                # actor-side; they queue after lv_agg_apply_q per actor)
-                kappa_refs = [a.lv_kappa_partial.remote()
-                              for a in self.actors]
-                reqs = [a.lv_moves_phase1.options(num_returns=self.P)
-                        .remote(bucket, False)
-                        for a in self.actors]
-                outs = [self.actors[j].lv_serve_comm_q_many
-                        .options(num_returns=self.P)
-                        .remote([reqs[i][j] for i in range(self.P)])
-                        for j in range(self.P)]
-                comm_vals = [[outs[j][i] for j in range(self.P)]
-                             for i in range(self.P)]
-                move_refs.extend(
-                    a.lv_moves_phase2_q.remote(comm_vals[i], n_w,
-                                               kappa_refs)
-                    for i, a in enumerate(self.actors))
-            ray.get(move_refs)
+            ray.get(self._sweep_buckets_q(active, n_w))
             q_after = self._q_value_q(qfn, n_w)  # syncs last bucket
             total_gain = q_after - q_before
             changed = changed or (total_gain > 0)

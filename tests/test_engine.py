@@ -118,6 +118,46 @@ class TestLouvainRound1:
         eng.shutdown()
 
 
+def oracle_q_round1(g, q_id: int) -> np.ndarray:
+    """First round of oracle/qlouvain.one_level_q from singletons."""
+    from linkgraph.functions.quality import (community_aggregates,
+                                             selfloop_weights)
+    from linkgraph.oracle import qlouvain as qlv
+    q = qlv.make_quality(q_id)
+    q.fixed_max_w = float(g.weights.max(initial=0.0))
+    nodes_w = np.ones(g.n)
+    labels = np.arange(g.n, dtype=np.int64)
+    selfw = selfloop_weights(g)
+    m2 = float(g.k.sum())
+    n_w = float(nodes_w.sum())
+    deg = g.degrees
+    for lo, hi in zip(olv.BUCKET_BOUNDS[:-1], olv.BUCKET_BOUNDS[1:]):
+        sel = np.flatnonzero((deg > lo) & (deg <= hi))
+        if not len(sel):
+            continue
+        agg = community_aggregates(g, labels, nodes_w, g.n)
+        movers, newc = qlv._bucket_moves_q(
+            g, sel, labels, agg, q, nodes_w, selfw, m2, n_w, agg.kappa,
+            qlv._bucket_slice(g, sel))
+        if len(movers):
+            labels[movers] = newc
+    return labels
+
+
+class TestQualityRound1:
+    @pytest.mark.parametrize("q_id,n_parts", [(1, 2), (1, 3), (5, 2)])
+    def test_matches_oracle_exactly(self, engine_mod, q_id, n_parts):
+        src, dst, w = planted_graph(150, 5, 0.45, 0.02, 13)
+        g = CSRGraph.from_edges(src, dst, w, n=150)
+        want = oracle_q_round1(g, q_id)
+        eng = engine_mod.from_arrays(src, dst, w, n=150, n_parts=n_parts,
+                                     name=f"qr1_{q_id}_{n_parts}")
+        got = (eng.louvain_quality_round1(q_id).to_pandas()
+               .sort_values("node")["comm"].to_numpy())
+        assert got.tolist() == want.tolist()
+        eng.shutdown()
+
+
 class TestLouvainEngine:
     @pytest.mark.parametrize("n_parts", [2, 4])
     def test_planted_matches_oracle(self, engine_mod, n_parts):
