@@ -646,6 +646,15 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
 # numpy kernel (oracle/louvain.py _bucket_moves), so DuckDB computes the
 # identical IEEE doubles and the comparisons/tie-breaks agree exactly.
 def _louvain_round1_sql() -> str:
+    chain, last = _round1_label_chain()
+    return chain + f"\nSELECT node, comm FROM {last}"
+
+
+def _round1_label_chain() -> tuple[str, str]:
+    """The shared 7-stage label chain: WITH prologue + per-bucket move
+    stages; returns (sql_text, final_label_cte_name).  Reused by the
+    round-1 gate (final select) and the screening gate (more CTEs on
+    top of the final labels)."""
     from ..oracle.louvain import BUCKET_BOUNDS
     # MATERIALIZED CTEs: the stage chain references sym/kv/lab_i many
     # times each; DuckDB's default per-reference inlining re-opens the
@@ -723,7 +732,131 @@ WITH lv_base AS MATERIALIZED (
   SELECT l.node, COALESCE(a.c, l.comm) AS comm
   FROM lab{i} l LEFT JOIN acc{i} a ON a.v = l.node
 )"""
-    return sql + f"\nSELECT node, comm FROM lab{n_buckets}"
+    return sql, f"lab{n_buckets}"
+
+
+# Delta-screening oracle (L10, nodeEval_add_gpu semantics,
+# node_eval.cu:108-1057 via oracle/louvain.screen_add): starting from
+# the deterministic round-1 labels, apply a deterministic addition
+# batch (append-without-dedup, the M1 quirk — grouped sums reproduce
+# the multi-edge CSR exactly), then compute the screened set R =
+# marked sources ∪ their neighbors ∪ members of marked communities.
+# Candidate communities per source = {own} ∪ {comms of new targets};
+# gains use the modularity formula over the POST-mutation graph with
+# the same bit-exact arithmetic argument as the round-1 gate (all
+# sums integral).
+SCREEN_DELTA_MOD = 11
+
+
+def _screen_delta_pred(s: str, d: str) -> str:
+    return (f"{s} <> {d} AND (({s}) * 31 + ({d})) % {SCREEN_DELTA_MOD} = 0")
+
+
+def _screen_add_sql() -> str:
+    chain, lab = _round1_label_chain()
+    pred = _screen_delta_pred(f"o_orderkey % {NMOD}", f"o_custkey % {NMOD}")
+    return chain + f"""
+, sdelta AS MATERIALIZED (
+  SELECT DISTINCT o_orderkey % {NMOD} AS src, o_custkey % {NMOD} AS dst
+  FROM orders WHERE {pred}
+), sdsym AS MATERIALIZED (
+  SELECT src, dst FROM sdelta UNION ALL SELECT dst AS src, src AS dst
+  FROM sdelta
+), post AS MATERIALIZED (
+  SELECT src, dst, SUM(w) AS w FROM (
+    SELECT src, dst, w FROM sym
+    UNION ALL
+    SELECT src, dst, 1.0 AS w FROM sdsym
+  ) GROUP BY src, dst
+), kv2 AS MATERIALIZED (
+  SELECT n.node, COALESCE(d.k, 0.0) AS k
+  FROM lvnodes n LEFT JOIN (
+    SELECT src AS node, SUM(w) AS k FROM post GROUP BY src) d
+  ON d.node = n.node
+), mm2 AS MATERIALIZED (
+  SELECT SUM(w) / 2 AS m2 FROM post
+), agg_s AS MATERIALIZED (
+  SELECT l.comm, SUM(kv2.k) AS tot, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM {lab} l JOIN kv2 ON kv2.node = l.node GROUP BY l.comm
+), cand_set AS MATERIALIZED (
+  SELECT DISTINCT v, c FROM (
+    SELECT d.src AS v, l.comm AS c
+    FROM sdsym d JOIN {lab} l ON l.node = d.dst
+    UNION ALL
+    SELECT d.src AS v, l.comm AS c
+    FROM sdsym d JOIN {lab} l ON l.node = d.src
+  )
+), mv_s AS MATERIALIZED (
+  SELECT e.src AS v, l2.comm AS c, SUM(e.w) AS e_vc
+  FROM post e
+  JOIN {lab} l2 ON l2.node = e.dst
+  JOIN cand_set cs ON cs.v = e.src AND cs.c = l2.comm
+  WHERE e.src <> e.dst
+  GROUP BY e.src, l2.comm
+), scand AS (
+  SELECT m.v, m.c, lc.comm AS cur,
+         m.e_vc / mm2.m2
+           + kv2.k * ((ac.tot - kv2.k) - at.tot)
+             / (2 * mm2.m2 * mm2.m2) AS gain
+  FROM mv_s m
+  JOIN {lab} lc ON lc.node = m.v
+  JOIN agg_s ac ON ac.comm = lc.comm
+  JOIN agg_s at ON at.comm = m.c
+  JOIN kv2 ON kv2.node = m.v
+  CROSS JOIN mm2
+  WHERE m.c <> lc.comm
+    AND (m.c < lc.comm OR at.sz > 1 OR ac.sz > 1)
+), swin AS (
+  SELECT v, c, cur, gain,
+         ROW_NUMBER() OVER (PARTITION BY v
+                            ORDER BY gain DESC, c ASC) AS rn
+  FROM scand
+), smark AS MATERIALIZED (
+  SELECT w.v, w.c
+  FROM swin w
+  CROSS JOIN mm2
+  LEFT JOIN mv_s own ON own.v = w.v AND own.c = w.cur
+  WHERE w.rn = 1
+    AND (w.gain > 0 OR (w.gain = 0 AND w.c < w.cur))
+    AND w.gain - COALESCE(own.e_vc, 0) / mm2.m2 > 0
+), rset AS (
+  SELECT v AS node FROM smark
+  UNION
+  SELECT e.dst AS node FROM post e JOIN smark s ON s.v = e.src
+  UNION
+  SELECT l.node FROM {lab} l
+  JOIN (SELECT DISTINCT c FROM smark) mc ON mc.c = l.comm
+)
+SELECT node FROM rset"""
+
+
+def q_screen_add(sf_dir: str):
+    """Delta-screening gate: R after a deterministic addition batch
+    against the round-1 labels, on the distributed screening kernel
+    (engine._screen, GPU add semantics L10) — value-checked against
+    the generated SQL replay.  Owns its engine (the delta mutates the
+    CSR)."""
+    import pyarrow.parquet as pq
+    eng = _build_engine(sf_dir, cache=False)
+    try:
+        eng.louvain_round1()
+        t = pq.read_table(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+        s = t.column("o_orderkey").to_numpy() % NMOD
+        d = t.column("o_custkey").to_numpy() % NMOD
+        keep = (s != d) & ((s * 31 + d) % SCREEN_DELTA_MOD == 0)
+        pairs = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+        d_src = pairs[:, 0].astype(np.int64)
+        d_dst = pairs[:, 1].astype(np.int64)
+        eng.apply_delta_batch(add_src=d_src, add_dst=d_dst)
+        eng._rebuild_comm_aggs()
+        eng._screen("add", d_src, d_dst)
+        masks = ray.get([a.get_state.remote("R") for a in eng.actors])
+        mask = np.concatenate(masks).astype(bool)
+        return pa.table({"node": pa.array(np.flatnonzero(mask)
+                                          .astype(np.int64), pa.int64())})
+    finally:
+        eng.shutdown()
 
 
 # Zahn–Condorcet one-round oracle: the generic-quality move kernel's
@@ -837,6 +970,7 @@ def q_louvain_round1(sf_dir: str):
 GRAPH_SQL: dict[str, str] = {
     "graph_louvain_round1": _louvain_round1_sql(),
     "graph_zahn_round1": _zahn_round1_sql(),
+    "graph_screen_add": _screen_add_sql(),
     "graph_edge_support": _SUPPORT_SQL,
     "graph_node_triangles": _NODE_TRI_SQL,
     "graph_reciprocity": _RECIP_SQL,
