@@ -859,6 +859,72 @@ def q_screen_add(sf_dir: str):
         eng.shutdown()
 
 
+# Deletion-screening oracle (L11, nodeEval_del_gpu semantics,
+# node_eval.cu:1059-1348 via oracle/louvain.screen_del): a deleted
+# edge whose endpoints share a community marks the source vertex and
+# that community (both directions of the symmetric list); R = marked ∪
+# their POST-deletion neighbors ∪ members of marked communities.  No
+# gain arithmetic at all — pure set algebra, integer-exact.
+SCREEN_DEL_MOD = 13
+
+
+def _screen_del_sql() -> str:
+    chain, lab = _round1_label_chain()
+    return chain + f"""
+, ddel AS MATERIALIZED (
+  SELECT src, dst FROM sym
+  WHERE src < dst AND (src * 31 + dst) % {SCREEN_DEL_MOD} = 0
+), ddsym AS MATERIALIZED (
+  SELECT src, dst FROM ddel UNION ALL SELECT dst AS src, src AS dst
+  FROM ddel
+), dpost AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w FROM sym e
+  LEFT JOIN ddsym x ON x.src = e.src AND x.dst = e.dst
+  WHERE x.src IS NULL
+), dmark AS MATERIALIZED (
+  SELECT d.src AS v, la.comm AS c
+  FROM ddsym d
+  JOIN {lab} la ON la.node = d.src
+  JOIN {lab} lb ON lb.node = d.dst
+  WHERE la.comm = lb.comm
+), drset AS (
+  SELECT v AS node FROM dmark
+  UNION
+  SELECT e.dst AS node FROM dpost e JOIN (SELECT DISTINCT v FROM dmark) m
+    ON m.v = e.src
+  UNION
+  SELECT l.node FROM {lab} l
+  JOIN (SELECT DISTINCT c FROM dmark) mc ON mc.c = l.comm
+)
+SELECT node FROM drset"""
+
+
+def q_screen_del(sf_dir: str):
+    """Deletion-screening gate: R after a deterministic deletion batch
+    against the round-1 labels (engine._screen, GPU del semantics L11)
+    — value-checked against the generated SQL replay.  Owns its engine
+    (the delta mutates the CSR)."""
+    eng = _build_engine(sf_dir, cache=False)
+    try:
+        eng.louvain_round1()
+        from ..common import gather_table
+        t = gather_table(sym_edges(sf_dir))
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        keep = (s < d) & ((s * 31 + d) % SCREEN_DEL_MOD == 0)
+        d_src = s[keep].astype(np.int64)
+        d_dst = d[keep].astype(np.int64)
+        eng.apply_delta_batch(del_src=d_src, del_dst=d_dst)
+        eng._rebuild_comm_aggs()
+        eng._screen("del", d_src, d_dst)
+        masks = ray.get([a.get_state.remote("R") for a in eng.actors])
+        mask = np.concatenate(masks).astype(bool)
+        return pa.table({"node": pa.array(np.flatnonzero(mask)
+                                          .astype(np.int64), pa.int64())})
+    finally:
+        eng.shutdown()
+
+
 # Zahn–Condorcet one-round oracle: the generic-quality move kernel's
 # driver-verifiable slice (gain = 2·e_{v→C} − wu·w_C·max_w,
 # zahn.h:96-105, under oracle/qlouvain.py's deterministic synchronous
@@ -971,6 +1037,7 @@ GRAPH_SQL: dict[str, str] = {
     "graph_louvain_round1": _louvain_round1_sql(),
     "graph_zahn_round1": _zahn_round1_sql(),
     "graph_screen_add": _screen_add_sql(),
+    "graph_screen_del": _screen_del_sql(),
     "graph_edge_support": _SUPPORT_SQL,
     "graph_node_triangles": _NODE_TRI_SQL,
     "graph_reciprocity": _RECIP_SQL,
