@@ -143,7 +143,10 @@ def _finalize_split(eng) -> dict:
     a real cluster)."""
     out = {}
     for key in ("concat", "build_csr", "warmup"):
-        vals = [s["secs"].get(key, 0.0) for s in eng.stats]
+        # stats entries lose their build-time "secs" once the graph is
+        # mutated (local_stats refresh after dynamic deltas) — report 0s
+        # rather than crash when the split is requested post-mutation
+        vals = [s.get("secs", {}).get(key, 0.0) for s in eng.stats]
         out[f"{key}_max"] = round(max(vals), 3) if vals else 0.0
         out[f"{key}_sum"] = round(sum(vals), 3) if vals else 0.0
     return out
@@ -221,6 +224,8 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
     eng = GraphEngine.from_dataset(sym, n_nodes=n_nodes, n_parts=P,
                                    name="stress", warmup="louvain")
     build_secs = time.time() - t0
+    # snapshot before Louvain/dynamic mutate the shard stats
+    finalize_split = _finalize_split(eng)
     n_sym_edges = sum(s["n_edges"] for s in eng.stats)
 
     t0 = time.time()
@@ -266,7 +271,7 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
         "dynamic_r_frac": round(recs[-1]["r_frac"], 4) if recs else 0.0,
         "build_phases": [m for m in eng.metrics
                          if m.get("algo") == "build"],
-        "finalize_split": _finalize_split(eng),
+        "finalize_split": finalize_split,
         "pr_build_phases": pr_build_phases,
         "pr_finalize_split": pr_finalize_split,
     }
