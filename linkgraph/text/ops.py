@@ -960,7 +960,12 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
     import ray.data as rd
 
     from ..stages.exchange import _count_rows, default_partitions
-    P = default_partitions()
+    # partition count tracks the candidate volume: tiny pair sets (the
+    # gate scale) verify in ONE task instead of paying a P-way split +
+    # reduce fan-out; the P choice is keyed on the global pair count,
+    # so results stay parallelism-invariant
+    n_cand = pairs.count()
+    P = max(1, min(default_partitions(), n_cand // 1000))
     blocks = pair_rows.materialize().to_arrow_refs()
     split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
              for blk in blocks]
