@@ -753,6 +753,16 @@ def _screen_delta_pred(s: str, d: str) -> str:
 
 
 def _screen_add_sql() -> str:
+    chain, _ = _screen_add_chain()
+    return chain + "\nSELECT node FROM rset"
+
+
+def _screen_add_chain() -> tuple[str, str]:
+    """Round-1 labels + post-mutation graph + screening CTEs; returns
+    (sql_text, label_cte_name).  Final CTEs: post (grouped post-delta
+    edges), kv2 (post weighted degrees), mm2 (post M), rset (the
+    screened set).  Reused by graph_screen_add (select rset) and
+    graph_dynamic_round1 (restricted move stages on top)."""
     chain, lab = _round1_label_chain()
     pred = _screen_delta_pred(f"o_orderkey % {NMOD}", f"o_custkey % {NMOD}")
     return chain + f"""
@@ -827,7 +837,104 @@ def _screen_add_sql() -> str:
   SELECT l.node FROM {lab} l
   JOIN (SELECT DISTINCT c FROM smark) mc ON mc.c = l.comm
 )
-SELECT node FROM rset"""
+""", lab
+
+
+# Restricted first level (L3, optimiseModularityUsingVertexSubset,
+# modularity_optimisation_mem.cu:439-592): after the addition batch and
+# its screening, run ONE synchronous bucketed move round where only
+# members of R may move (non-R labels frozen; aggregates still cover
+# the whole graph).  Degrees for bucket classification come from the
+# POST-mutation CSR row counts — appended delta rows are NOT deduped
+# (the M1 quirk), so degree2 = sym row count + delta row count, while
+# weights/gains use the grouped sums (identical by summation).
+def _dynamic_round1_sql() -> str:
+    from ..oracle.louvain import BUCKET_BOUNDS
+    chain, lab = _screen_add_chain()
+    sql = chain + f"""
+, dkv AS MATERIALIZED (
+  SELECT n.node,
+         COALESCE(ds.c, 0) + COALESCE(dd.c, 0) AS degree
+  FROM lvnodes n
+  LEFT JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS c FROM sym
+             GROUP BY src) ds ON ds.src = n.node
+  LEFT JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS c FROM sdsym
+             GROUP BY src) dd ON dd.src = n.node
+), rlab0 AS MATERIALIZED (
+  SELECT node, comm FROM {lab}
+)"""
+    n_buckets = len(BUCKET_BOUNDS) - 1
+    for i in range(n_buckets):
+        lo, hi = BUCKET_BOUNDS[i], BUCKET_BOUNDS[i + 1]
+        hi_pred = "" if i == n_buckets - 1 else f" AND b.degree <= {hi}"
+        sql += f"""
+, ragg{i} AS MATERIALIZED (
+  SELECT l.comm, SUM(kv2.k) AS tot, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM rlab{i} l JOIN kv2 ON kv2.node = l.node GROUP BY l.comm
+), rmv{i} AS MATERIALIZED (
+  SELECT e.src AS v, l2.comm AS c, SUM(e.w) AS e_vc
+  FROM post e
+  JOIN dkv b ON b.node = e.src AND b.degree > {lo}{hi_pred}
+  JOIN rset r ON r.node = e.src
+  JOIN rlab{i} l2 ON l2.node = e.dst
+  WHERE e.src <> e.dst
+  GROUP BY e.src, l2.comm
+), rcand{i} AS (
+  SELECT m.v, m.c, lc.comm AS cur,
+         m.e_vc / mm2.m2
+           + kv2.k * ((ac.tot - kv2.k) - at.tot)
+             / (2 * mm2.m2 * mm2.m2) AS gain
+  FROM rmv{i} m
+  JOIN rlab{i} lc ON lc.node = m.v
+  JOIN ragg{i} ac ON ac.comm = lc.comm
+  JOIN ragg{i} at ON at.comm = m.c
+  JOIN kv2 ON kv2.node = m.v
+  CROSS JOIN mm2
+  WHERE m.c <> lc.comm
+    AND (m.c < lc.comm OR at.sz > 1 OR ac.sz > 1)
+), rwin{i} AS (
+  SELECT v, c, cur, gain,
+         ROW_NUMBER() OVER (PARTITION BY v
+                            ORDER BY gain DESC, c ASC) AS rn
+  FROM rcand{i}
+), racc{i} AS (
+  SELECT w.v, w.c
+  FROM rwin{i} w
+  CROSS JOIN mm2
+  LEFT JOIN rmv{i} own ON own.v = w.v AND own.c = w.cur
+  WHERE w.rn = 1
+    AND (w.gain > 0 OR (w.gain = 0 AND w.c < w.cur))
+    AND w.gain - COALESCE(own.e_vc, 0) / mm2.m2 > 0
+), rlab{i + 1} AS MATERIALIZED (
+  SELECT l.node, COALESCE(a.c, l.comm) AS comm
+  FROM rlab{i} l LEFT JOIN racc{i} a ON a.v = l.node
+)"""
+    return sql + f"\nSELECT node, comm FROM rlab{n_buckets}"
+
+
+def q_dynamic_round1(sf_dir: str):
+    """Restricted first-level gate (L3): the full dynamic-phase slice —
+    deterministic round-1 labels, addition batch applied, screening R,
+    then ONE move round restricted to R on the distributed kernel —
+    value-checked against the generated SQL replay end-to-end."""
+    import pyarrow.parquet as pq
+    eng = _build_engine(sf_dir, cache=False)
+    try:
+        eng.louvain_round1()
+        t = pq.read_table(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+        s = t.column("o_orderkey").to_numpy() % NMOD
+        d = t.column("o_custkey").to_numpy() % NMOD
+        keep = (s != d) & ((s * 31 + d) % SCREEN_DELTA_MOD == 0)
+        pairs = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+        d_src = pairs[:, 0].astype(np.int64)
+        d_dst = pairs[:, 1].astype(np.int64)
+        eng.apply_delta_batch(add_src=d_src, add_dst=d_dst)
+        eng._rebuild_comm_aggs()
+        eng._screen("add", d_src, d_dst)
+        return eng.louvain_round_restricted()
+    finally:
+        eng.shutdown()
 
 
 def q_screen_add(sf_dir: str):
@@ -1038,6 +1145,7 @@ GRAPH_SQL: dict[str, str] = {
     "graph_zahn_round1": _zahn_round1_sql(),
     "graph_screen_add": _screen_add_sql(),
     "graph_screen_del": _screen_del_sql(),
+    "graph_dynamic_round1": _dynamic_round1_sql(),
     "graph_edge_support": _SUPPORT_SQL,
     "graph_node_triangles": _NODE_TRI_SQL,
     "graph_reciprocity": _RECIP_SQL,

@@ -1033,6 +1033,26 @@ class GraphEngine:
         ray.get(self._sweep_buckets(active_buckets, False))
         return self.louvain_result()
 
+    def louvain_round_restricted(self) -> pa.Table:
+        """ONE synchronous bucketed move round restricted to the
+        installed screened set R (L3, the restricted first level —
+        optimiseModularityUsingVertexSubset,
+        modularity_optimisation_mem.cu:439-592), against the currently
+        installed labels: non-R labels stay frozen while aggregates
+        cover the whole graph.  Returns the raw (node, comm) labels."""
+        self._rebuild_comm_aggs()
+        self._ensure_scratch()
+        self._store_ghost_labels()
+        counts = np.sum(ray.get([a.lv_bucket_counts.remote(True)
+                                 for a in self.actors]), axis=0)
+        active_buckets = [b for b in range(N_BUCKETS) if counts[b] > 0]
+        if self.has_frags:
+            r_vals = self._fetch_frag("R")
+            ray.get([a.lv_frag_install_subset.remote(r_vals[i])
+                     for i, a in enumerate(self.actors)])
+        ray.get(self._sweep_buckets(active_buckets, True))
+        return self.louvain_result()
+
     def _one_level(self, min_gain: float, use_subset: bool) -> tuple[bool, float]:
         """Distributed level-0 one_level.  Returns (changed, final_q).
 
