@@ -1125,6 +1125,30 @@ def q_zahn_round1(sf_dir: str):
     return tbl
 
 
+# comm-sizes writer (S8, cluster{t}.txt analog, main_louvain.cpp:
+# 1243-1271) over the DETERMINISTIC round-1 labels: a value-checked row
+# for the canonical community-output machinery itself (the full-Louvain
+# graph_comm_sizes stays rows-only because multi-level Louvain is not
+# SQL-expressible).  Canonical id = min member node id.
+def _comm_sizes_round1_sql() -> str:
+    chain, lab = _round1_label_chain()
+    return chain + f"""
+SELECT MIN(node) AS comm, CAST(COUNT(*) AS BIGINT) AS size
+FROM {lab} GROUP BY comm"""
+
+
+def q_comm_sizes_round1(sf_dir: str):
+    """S8 writer value-checked: canonical (comm = min member, size)
+    table over the round-1 labels."""
+    eng = _build_engine(sf_dir)
+    eng.push_labels()
+    try:
+        eng.louvain_round1()
+        return eng.comm_sizes(canonical=True)
+    finally:
+        eng.pop_labels()
+
+
 def q_louvain_round1(sf_dir: str):
     """One synchronous bucketed Louvain move round from the singleton
     partition on the DISTRIBUTED kernel — value-checked against the
@@ -1146,6 +1170,7 @@ GRAPH_SQL: dict[str, str] = {
     "graph_screen_add": _screen_add_sql(),
     "graph_screen_del": _screen_del_sql(),
     "graph_dynamic_round1": _dynamic_round1_sql(),
+    "graph_comm_sizes_round1": _comm_sizes_round1_sql(),
     "graph_edge_support": _SUPPORT_SQL,
     "graph_node_triangles": _NODE_TRI_SQL,
     "graph_reciprocity": _RECIP_SQL,
