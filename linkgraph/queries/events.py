@@ -56,20 +56,38 @@ def q_hour_window(sf_dir: str):
 def q_sessions(sf_dir: str):
     """Gap-based sessionization (30 min): (user_id, n_sessions).
 
-    Key = user_id (one shuffle); per-group work is a vectorized diff over
-    the user's sorted event times."""
+    Hash exchange on user_id + ONE lexsort pass per partition over the
+    partition's whole event set (stages/exchange
+    .keyed_partition_exchange) — no per-user Python, unlike the former
+    groupby(user_id).map_groups which paid a pandas call per user."""
+    from ..stages.exchange import keyed_partition_exchange
     ev = _events(sf_dir, ["user_id", "ts", "event_id"])
 
-    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        gaps = np.diff(ts) > SESSION_GAP_US
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": np.array([1 + int(gaps.sum())], np.int64)})
+    def count_sessions(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = t.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        n = len(us)
+        same = us[1:] == us[:-1]
+        # gap[i] = session break between sorted rows i and i+1 (same user)
+        gap = (same & (np.diff(tss) > SESSION_GAP_US)).astype(np.int64)
+        cg = np.concatenate([[0], np.cumsum(gap)])
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = ~same
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        # breaks within a user's segment [s, e) = gaps at s..e-2
+        n_sessions = 1 + (cg[ends - 1] - cg[starts])
+        return pa.table({
+            "user_id": pa.array(us[starts], pa.int64()),
+            "n_sessions": pa.array(n_sessions.astype(np.int64),
+                                   pa.int64())})
 
-    return ev.groupby("user_id").map_groups(count_sessions,
-                                            batch_format="pandas")
+    return keyed_partition_exchange(ev, ["user_id"], count_sessions)
 
 
 def q_type_counts(sf_dir: str):

@@ -224,6 +224,62 @@ def grouped_topk(ds: rd.Dataset, by: str, value: str, tie: str, k: int,
     return rd.from_arrow_refs(kept if kept else outs[:1])
 
 
+@ray.remote
+def _kpx_split(tbl: pa.Table, keys, P: int):
+    """Hash-split raw rows on the key columns (no combine — the reduce
+    fn sees every row of its key groups)."""
+    if tbl.num_rows == 0 and tbl.num_columns == 0:
+        return None if P == 1 else tuple(None for _ in range(P))
+    if P == 1:
+        return tbl
+    part = (_key_hash([tbl.column(k).to_numpy() for k in keys])
+            % _U64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    t = tbl.take(pa.array(order))
+    cuts = np.searchsorted(part[order], np.arange(P + 1))
+    return tuple(t.slice(cuts[p], cuts[p + 1] - cuts[p])
+                 for p in range(P))
+
+
+@ray.remote
+def _kpx_reduce(fn, *parts) -> pa.Table:
+    typed = [t for t in parts if t is not None]
+    if not typed:
+        raise ValueError("keyed_partition_exchange: every input block "
+                         "was schema-less and empty")
+    tbls = [t for t in typed if t.num_rows]
+    if not tbls:
+        return fn(typed[0])
+    return fn(pa.concat_tables(tbls))
+
+
+def keyed_partition_exchange(ds: rd.Dataset, keys: Sequence[str], fn,
+                             *, num_partitions: int | None = None
+                             ) -> rd.Dataset:
+    """Grouped APPLY as an exchange: hash-split raw rows so every key
+    group lands whole in one partition, then run ``fn(table) -> table``
+    once per partition.  ``fn`` must process ALL groups in its input
+    vectorized (lexsort + reduceat / offset math) — this replaces
+    ``groupby(keys).map_groups(...)`` for non-scalar per-group results
+    on unbounded-cardinality keys, where Ray Data pays a Python call
+    per group.  Keys must be numeric."""
+    P = int(num_partitions or default_partitions())
+    blocks = ds.materialize().to_arrow_refs()
+    if not blocks:
+        raise ValueError("keyed_partition_exchange on an empty dataset")
+    keys = list(keys)
+    split = [_kpx_split.options(num_returns=P).remote(b, keys, P)
+             for b in blocks]
+    if P == 1:
+        split = [[r] for r in split]
+    outs = [_kpx_reduce.remote(fn,
+                               *[split[i][p] for i in range(len(split))])
+            for p in range(P)]
+    counts = ray.get([_count_rows.remote(r) for r in outs])
+    kept = [r for r, n in zip(outs, counts) if n]
+    return rd.from_arrow_refs(kept if kept else outs[:1])
+
+
 def grouped_exchange(ds: rd.Dataset, keys: Sequence[str],
                      aggs: Sequence[Agg], *,
                      pre: Callable[[pa.Table], pa.Table] | None = None,

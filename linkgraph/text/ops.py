@@ -884,36 +884,62 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
         mask = np.isin(t.column("band_hash").to_numpy(), ray.get(hot_ref))
         return t.filter(pa.array(mask))
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        if len(ids) > HOT_BUCKET_CLIQUE_CAP:
-            # the 100 TB scale-killer guard: one boilerplate cluster
-            # (cookie banners, parked domains) can put 1e5-1e6 docs in
-            # ONE (band, band_hash) bucket -> 1e10+ clique pairs from a
-            # single group.  Above the cap, emit the STAR to the bucket-
-            # min doc_id instead — O(n) pairs; connectivity (all the
-            # dedup keepmap's union-find needs) is preserved, and for a
-            # true near-dup bucket every star pair passes the exact
-            # verify.  Pair LISTS for such buckets are the star only,
-            # by design (documented contract; gate-scale buckets are
-            # far below the cap).
-            return pd.DataFrame({
-                "a": np.full(len(ids) - 1, ids[0], dtype=np.int64),
-                "b": ids[1:].astype(np.int64)})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+    def emit_pairs_part(t: pa.Table) -> pa.Table:
+        """ALL hot buckets of one hash partition in a single pass: one
+        lexsort groups (band, band_hash); per-row partner counts turn
+        variable-size group cliques into one repeat/arange enumeration
+        (no per-bucket Python).  Buckets above HOT_BUCKET_CLIQUE_CAP
+        emit the STAR to the bucket-min doc_id — the 100 TB guard: one
+        boilerplate cluster (cookie banners, parked domains) can put
+        1e5-1e6 docs in ONE bucket = 1e10+ clique pairs; the star is
+        O(n) and preserves the connectivity the dedup keepmap's
+        union-find needs (pair LISTS for such buckets are the star
+        only, by documented contract — gate-scale buckets are far
+        below the cap)."""
+        bnd = t.column("band").to_numpy()
+        h = t.column("band_hash").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        order = np.lexsort((d, h, bnd))
+        bnd, h, d = bnd[order], h[order], d[order]
+        n = len(d)
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (bnd[1:] != bnd[:-1]) | (h[1:] != h[:-1])
+        gid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n) - starts[gid]          # rank within bucket
+        gsz = sizes[gid]
+        # partner count per ROW: clique -> size-1-pos; star -> size-1
+        # at pos 0 else 0.  Partners are always the CONTIGUOUS rows
+        # after this one, so b = a + 1 + within for both shapes.
+        cnt = np.where(gsz > HOT_BUCKET_CLIQUE_CAP,
+                       np.where(pos == 0, gsz - 1, 0),
+                       gsz - 1 - pos).astype(np.int64)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        b_idx = a_idx + 1 + within
+        return pa.table({"a": pa.array(d[a_idx], pa.int64()),
+                         "b": pa.array(d[b_idx], pa.int64())})
 
     # projection happens in post (inside the reduce task): Ray Data's
     # Project operator passes zero-row blocks through UNprojected, which
     # poisons downstream joins with mixed schemas
-    pairs = grouped_exchange(
+    from ..stages.exchange import keyed_partition_exchange
+    cand_pairs = keyed_partition_exchange(
         band_rows.map_batches(only_hot, batch_format="pyarrow",
-                              zero_copy_batch=True)
-        .groupby(["band", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pandas"),
-        ["a", "b"], [("count", "", "c")],
+                              zero_copy_batch=True),
+        ["band", "band_hash"], emit_pairs_part)
+    pairs = grouped_exchange(
+        cand_pairs, ["a", "b"], [("count", "", "c")],
         post=_project_ab).materialize()  # candidates: tiny vs the corpus
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
