@@ -1322,6 +1322,10 @@ def stratified_sample(docs, k: int = 25):
         ids = t.column("doc_id").to_numpy()
         h = _splitmix64(ids.astype(_U64))
         src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        # numeric exchange key: 64-bit hash of the source string —
+        # placement only, the reduce groups by the exact string
+        skey = _splitmix64(_poly_hash_flat(
+            *_str_bytes(t.column("source")))).view(np.int64)
         order = np.lexsort((h, src.astype(str)))
         s_sorted = src[order]
         new = np.concatenate([[True], s_sorted[1:] != s_sorted[:-1]]) \
@@ -1335,15 +1339,34 @@ def stratified_sample(docs, k: int = 25):
             "source": pa.array(list(src[keep]), pa.string()),
             "doc_id": pa.array(ids[keep], pa.int64()),
             "rk": pa.array(h[keep].view(np.int64), pa.int64()),
+            "skey": pa.array(skey[keep], pa.int64()),
         })
 
     pruned = docs.select_columns(["doc_id", "source"]).map_batches(
         prune, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["rk"].to_numpy().astype(np.int64).view(np.uint64)
-        g = g.iloc[np.argsort(u, kind="stable")].head(kk)
-        return g[["source", "doc_id"]]
+    def final_part(t: pa.Table) -> pa.Table:
+        """All sources of one hash partition in a single lexsort pass
+        (group by the exact string via dictionary codes — the skey
+        exchange key only places rows)."""
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        codes = src.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t.column("rk").to_numpy().view(np.uint64)
+        order = np.lexsort((u, codes))
+        cs = codes[order]
+        n = len(cs)
+        if n == 0:
+            return t.select(["source", "doc_id"])
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(new)
+        pos = np.arange(n) - starts[np.cumsum(new) - 1]
+        sel = order[pos < kk]
+        return t.take(pa.array(np.sort(sel))).select(["source", "doc_id"])
 
-    return pruned.groupby("source").map_groups(final,
-                                               batch_format="pandas")
+    from ..stages.exchange import keyed_partition_exchange
+    return keyed_partition_exchange(pruned, ["skey"], final_part)
