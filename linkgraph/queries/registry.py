@@ -942,9 +942,10 @@ _CHECK_FIRST = [
     "graph_louvain_round1", "graph_zahn_round1", "graph_screen_add",
     "graph_screen_del", "graph_dynamic_round1",
     "graph_comm_sizes_round1",
-    # rewritten this round (hot-bucket cap + vectorized verify): get a
-    # fresh driver row on the changed code, not just the r3 one
-    "doc_minhash_pairs", "doc_dedup_near",
+    # rewritten this round (hot-bucket cap + vectorized verify /
+    # keyed-exchange sampler): get a fresh driver row on the changed
+    # code, not just the r3 one
+    "doc_minhash_pairs", "doc_dedup_near", "doc_sample",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _CHECK_FIRST},
            **{k: v for k, v in QUERIES.items() if k not in _CHECK_FIRST}}
