@@ -28,12 +28,13 @@ def parse_edge_lines(batch: pa.Table) -> pa.Table:
     lens = pc.list_value_length(parts)
     has_w = pc.greater_equal(lens, 3).to_numpy(zero_copy_only=False)
     if has_w.any():
-        # third column only exists on some rows; element-wise guard
+        # third column only exists on some rows: slice each list to its
+        # [2, 3) window (empty for 2-column rows), flatten, cast — one
+        # vectorized pass, no Python row loop
         w_np = np.ones(len(lines), dtype=np.float64)
-        rows = np.flatnonzero(has_w)
-        flat = parts.to_pylist()
-        for i in rows:
-            w_np[i] = float(flat[i][2])
+        third = pc.list_flatten(pc.list_slice(parts, 2, 3)) \
+            .cast(pa.float64()).to_numpy(zero_copy_only=False)
+        w_np[has_w] = third
         w = pa.array(w_np)
     else:
         w = pa.array(np.ones(len(lines), dtype=np.float64))
