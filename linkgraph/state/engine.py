@@ -538,14 +538,21 @@ class GraphEngine:
     def pagerank(self, damping: float = 0.85, tol: float = 1e-10,
                  max_iter: int = 200, checkpoint_every: int = 0,
                  ckpt_dir: str | None = None,
-                 start_iter: int = 0, ppr_mod: int | None = None) -> dict:
+                 start_iter: int = 0, ppr_mod: int | None = None,
+                 warm: bool = False) -> dict:
         """Distributed power iteration; returns {iterations, delta, secs,
         edges_per_sec}.  ``ppr_mod`` runs personalized PageRank over the
         deterministic seed set {v : v % ppr_mod == 0} (resume from
         checkpoint is not supported for PPR — the teleport vector is
-        re-derived only at init)."""
+        re-derived only at init).  ``warm`` = incremental PageRank:
+        start from the previous rank vector (structure terms are still
+        re-derived from the current — possibly delta-mutated — CSR);
+        converges to the identical fixed point in far fewer iterations
+        when the delta is small."""
+        if warm and ppr_mod:
+            raise ValueError("warm start is not supported for PPR")
         if start_iter == 0:
-            ray.get([a.pagerank_init.remote(damping, ppr_mod)
+            ray.get([a.pagerank_init.remote(damping, ppr_mod, warm)
                      for a in self.actors])
         elif ppr_mod:
             raise ValueError("PPR resume from checkpoint is unsupported")

@@ -34,11 +34,20 @@ class AlgoShard(GraphShard):
 
     # ================= PageRank (directed CSR) ==========================
 
-    def pagerank_init(self, damping: float, ppr_mod: int | None = None):
+    def pagerank_init(self, damping: float, ppr_mod: int | None = None,
+                      warm: bool = False):
         """``ppr_mod`` switches to personalized PageRank: the teleport
         vector is uniform over the deterministic seed set
         {v : v % ppr_mod == 0} (computable shard-locally — no broadcast)
-        and dangling mass also redistributes to the seeds."""
+        and dangling mass also redistributes to the seeds.
+
+        ``warm`` keeps the existing rank vector as the starting point
+        (incremental PageRank after a delta batch: the fixed point is
+        start-independent at damping < 1, so a previous solution is
+        just a close initial guess that converges in far fewer
+        iterations) while the STRUCTURE terms — out-degrees, dangling
+        bookkeeping, contribs — are recomputed from the mutated CSR;
+        new nodes (grown node space) start at the uniform value."""
         if ppr_mod:
             ns = (self.n_global - 1) // ppr_mod + 1
             ids = np.arange(self.lo, self.hi, dtype=np.int64)
@@ -46,7 +55,16 @@ class AlgoShard(GraphShard):
             self.state["rank"] = self._pr_pvec.copy()
         else:
             self._pr_pvec = None
-            self.state["rank"] = np.full(self.n_local, 1.0 / self.n_global)
+            prev = self.state.get("rank") if warm else None
+            if prev is not None and len(prev) == self.n_local:
+                pass                        # keep the converged vector
+            elif prev is not None:
+                r = np.full(self.n_local, 1.0 / self.n_global)
+                r[:len(prev)] = prev
+                self.state["rank"] = r
+            else:
+                self.state["rank"] = np.full(self.n_local,
+                                             1.0 / self.n_global)
         self._pr_damping = damping
         # out-degree comes from the full CSR (hub rows included — the
         # fragment copies are duplicates, not extra edges)

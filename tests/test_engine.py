@@ -43,6 +43,34 @@ class TestPageRankEngine:
         eng.shutdown()
 
 
+class TestWarmPageRank:
+    def test_incremental_after_delta(self, engine_mod):
+        """Incremental PageRank: warm start from the previous rank
+        vector after a delta batch — identical fixed point (structure
+        terms re-derived from the mutated CSR), fewer iterations."""
+        rng = np.random.RandomState(7)
+        n = 2000
+        src = rng.randint(0, n, 60000).astype(np.int64)
+        dst = rng.randint(0, n, 60000).astype(np.int64)
+        keep = src != dst
+        eng = engine_mod.from_arrays(src[keep], dst[keep], n=n,
+                                     n_parts=3, name="warm_pr")
+        eng.pagerank(tol=1e-12)
+        eng.apply_delta_batch(add_src=np.array([1, 2], np.int64),
+                              add_dst=np.array([3, 4], np.int64),
+                              add_w=np.ones(2))
+        r_warm = eng.pagerank(tol=1e-12, warm=True)
+        warm = (eng.pagerank_result().to_pandas().sort_values("node")
+                ["rank"].to_numpy())
+        r_cold = eng.pagerank(tol=1e-12)
+        cold = (eng.pagerank_result().to_pandas().sort_values("node")
+                ["rank"].to_numpy())
+        assert np.allclose(warm, cold, atol=1e-10)
+        assert abs(warm.sum() - 1.0) < 1e-9
+        assert r_warm["iterations"] <= r_cold["iterations"]
+        eng.shutdown()
+
+
 class TestCCEngine:
     def test_matches_oracle(self, engine_mod):
         src, dst, w = er_graph(200, 0.008, 5)
