@@ -1125,6 +1125,126 @@ def q_zahn_round1(sf_dir: str):
     return tbl
 
 
+# Common-neighbors (link-prediction features): for a deterministic
+# sample of existing undirected edges (u, v), the number of shared
+# neighbors and the neighborhood-union size — the building blocks of
+# Jaccard / Adamic-Adar link scores.  Scale shape: the pair sample is
+# map-side filtered (never the full edge set on the driver); the
+# involved nodes' adjacency lists are packed into sorted binary arrays
+# by a keyed exchange and the pair intersections run as ONE vectorized
+# lexsort pass per partition (the MinHash pair-verify machinery with
+# threshold 0).  Integer-exact -> hash-checked against a SQL
+# triangle-join oracle.
+CN_PAIR_MOD = 17
+
+
+def q_common_neighbors(sf_dir: str):
+    import ray as _ray
+
+    from ..stages.exchange import keyed_partition_exchange
+    from ..text.ops import _pair_verify_reduce, _pair_verify_split
+    from ..pipelines.ingest import join_partitions
+    sym = sym_edges(sf_dir)
+
+    def pick_pairs(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        keep = (s < d) & ((s * 31 + d) % CN_PAIR_MOD == 0)
+        return pa.table({"a": pa.array(s[keep], pa.int64()),
+                         "b": pa.array(d[keep], pa.int64())})
+
+    pairs = sym.map_batches(pick_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    from ..common import gather_table
+    pt = gather_table(pairs)
+    nodeset = np.unique(np.concatenate([pt.column("a").to_numpy(),
+                                        pt.column("b").to_numpy()]))
+    ns_ref = _ray.put(nodeset)
+
+    def only_involved(t: pa.Table) -> pa.Table:
+        ns = _ray.get(ns_ref)
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        pos = np.searchsorted(ns, s)
+        hit = (pos < len(ns)) & (ns[np.clip(pos, 0, len(ns) - 1)] == s)
+        hit &= s != d                       # neighbor sets exclude self
+        return pa.table({"src": pa.array(s[hit], pa.int64()),
+                         "dst": pa.array(d[hit], pa.int64())})
+
+    inv = sym.map_batches(only_involved, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def pack_nbrs(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        n = len(s)
+        if n == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.large_binary())})
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        offs = (np.concatenate([[0], np.cumsum(counts)]) * 8).astype(
+            np.int64)
+        sh = pa.Array.from_buffers(
+            pa.large_binary(), len(starts),
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(d).tobytes())])
+        return pa.table({"node": pa.array(s[starts], pa.int64()),
+                         "sh": sh})
+
+    packed = keyed_partition_exchange(inv, ["src"], pack_nbrs)
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        return pa.table({"a": np.concatenate([a, a]),
+                         "b": np.concatenate([b, b]),
+                         "node": np.concatenate([a, b])})
+
+    pair_rows = pairs.map_batches(explode, batch_format="pyarrow").join(
+        packed, join_type="inner", num_partitions=join_partitions(),
+        on=("node",))
+    P = 4
+    blocks = pair_rows.materialize().to_arrow_refs()
+    split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
+             for blk in blocks]
+    outs = [_pair_verify_reduce.remote(
+        0.0, *[split[i][p] for i in range(len(split))])
+        for p in range(P)]
+    t = pa.concat_tables([x for x in ray.get(outs) if x.num_rows])
+    return pa.table({"u": t.column("a"), "v": t.column("b"),
+                     "n_common": t.column("n_common"),
+                     "n_union": t.column("n_union")})
+
+
+_COMMON_NEIGHBORS_SQL = _BASE + f"""
+, prs AS (
+  SELECT src AS u, dst AS v FROM sym
+  WHERE src < dst AND (src * 31 + dst) % {CN_PAIR_MOD} = 0
+), nb AS (
+  SELECT src, dst FROM sym WHERE src <> dst
+), nbdeg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS nd FROM nb GROUP BY src
+), cmn AS (
+  SELECT p.u, p.v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM prs p
+  JOIN nb x ON x.src = p.u
+  JOIN nb y ON y.src = p.v AND y.dst = x.dst
+  GROUP BY p.u, p.v
+)
+SELECT p.u, p.v, COALESCE(c.c, 0) AS n_common,
+       du.nd + dv.nd - COALESCE(c.c, 0) AS n_union
+FROM prs p
+LEFT JOIN cmn c ON c.u = p.u AND c.v = p.v
+JOIN nbdeg du ON du.node = p.u
+JOIN nbdeg dv ON dv.node = p.v"""
+
+
 # comm-sizes writer (S8, cluster{t}.txt analog, main_louvain.cpp:
 # 1243-1271) over the DETERMINISTIC round-1 labels: a value-checked row
 # for the canonical community-output machinery itself (the full-Louvain
@@ -1171,6 +1291,7 @@ GRAPH_SQL: dict[str, str] = {
     "graph_screen_del": _screen_del_sql(),
     "graph_dynamic_round1": _dynamic_round1_sql(),
     "graph_comm_sizes_round1": _comm_sizes_round1_sql(),
+    "graph_common_neighbors": _COMMON_NEIGHBORS_SQL,
     "graph_edge_support": _SUPPORT_SQL,
     "graph_node_triangles": _NODE_TRI_SQL,
     "graph_reciprocity": _RECIP_SQL,
