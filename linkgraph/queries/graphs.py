@@ -1138,12 +1138,147 @@ def q_zahn_round1(sf_dir: str):
 CN_PAIR_MOD = 17
 
 
+def _cn_pair_rows(sf_dir: str):
+    """(exploded pair rows joined to packed adjacency) — shared by the
+    two link-prediction gates."""
+    from ..pipelines.ingest import join_partitions
+    pairs, packed = _cn_pairs_packed(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        return pa.table({"a": np.concatenate([a, a]),
+                         "b": np.concatenate([b, b]),
+                         "node": np.concatenate([a, b])})
+
+    return pairs.map_batches(explode, batch_format="pyarrow").join(
+        packed, join_type="inner", num_partitions=join_partitions(),
+        on=("node",))
+
+
 def q_common_neighbors(sf_dir: str):
+    from ..text.ops import _pair_verify_reduce, _pair_verify_split
+    P = 4
+    blocks = _cn_pair_rows(sf_dir).materialize().to_arrow_refs()
+    split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
+             for blk in blocks]
+    outs = [_pair_verify_reduce.remote(
+        0.0, *[split[i][p] for i in range(len(split))])
+        for p in range(P)]
+    t = pa.concat_tables([x for x in ray.get(outs) if x.num_rows])
+    return pa.table({"u": t.column("a"), "v": t.column("b"),
+                     "n_common": t.column("n_common"),
+                     "n_union": t.column("n_union")})
+
+
+# Resource-allocation link-prediction index (Zhou et al.): for the
+# same pair sample, RA(u, v) = Σ_{{w ∈ N(u) ∩ N(v)}} 1/deg(w),
+# floor-quantized PER TERM to 1e-8 units so the per-pair sum is an
+# order-free int64 — bit-safe across numpy and DuckDB (one IEEE
+# division + floor per term, no transcendental functions, unlike
+# Adamic-Adar's 1/ln).
+RA_Q = 100_000_000
+
+
+@ray.remote
+def _ra_reduce(nd_ref, *parts) -> pa.Table:
+    """Per-pair quantized RA sums over one hash partition of exploded
+    pair rows — the common-neighbor identities are the duplicate
+    values of the packed-array intersection pass."""
+    from ..text.ops import _binary_rows
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64()),
+                      "ra_q8": pa.array([], pa.int64())})
+    tbls = [t for t in parts if t is not None and t.num_rows]
+    if not tbls:
+        return empty
+    t = pa.concat_tables(tbls)
+    a = t.column("a").to_numpy()
+    b = t.column("b").to_numpy()
+    off, data = _binary_rows(t.column("sh"))
+    ro = np.lexsort((b, a))
+    a_s, b_s = a[ro], b[ro]
+    new = np.empty(len(ro), dtype=bool)
+    new[0] = True
+    new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    pid = np.cumsum(new) - 1
+    npairs = int(pid[-1]) + 1
+    lens = (off[1:] - off[:-1])[ro]
+    starts = off[:-1][ro]
+    total = int(lens.sum())
+    take = (np.repeat(starts, lens) + np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens))
+    vals = data[take]
+    pid_el = np.repeat(pid, lens)
+    o2 = np.lexsort((vals, pid_el))
+    v2, p2 = vals[o2], pid_el[o2]
+    dup = np.zeros(len(v2), dtype=bool)
+    if len(v2) > 1:
+        dup[1:] = (v2[1:] == v2[:-1]) & (p2[1:] == p2[:-1])
+    w_score = ray.get(nd_ref) if isinstance(nd_ref, ray.ObjectRef) \
+        else nd_ref
+    comm_w = v2[dup].view(np.int64)
+    ra = np.zeros(npairs, np.int64)
+    np.add.at(ra, p2[dup], w_score[comm_w])
+    rows_per_pair = np.bincount(pid, minlength=npairs)
+    firsts = np.flatnonzero(new)
+    keep = rows_per_pair == 2
+    return pa.table({
+        "u": pa.array(a_s[firsts][keep], pa.int64()),
+        "v": pa.array(b_s[firsts][keep], pa.int64()),
+        "ra_q8": pa.array(ra[keep], pa.int64()),
+    })
+
+
+def _count_by_src(t: pa.Table) -> pa.Table:
+    u, c = np.unique(t.column("src").to_numpy(), return_counts=True)
+    return pa.table({"node": pa.array(u, pa.int64()),
+                     "nd": pa.array(c.astype(np.int64), pa.int64())})
+
+
+def _nonself_src(t: pa.Table) -> pa.Table:
+    s = t.column("src").to_numpy()
+    d = t.column("dst").to_numpy()
+    return pa.table({"src": pa.array(s[s != d], pa.int64())})
+
+
+def q_resource_alloc(sf_dir: str):
+    """RA link-prediction scores for the deterministic pair sample —
+    value-checked (integer-exact quantized terms) against the SQL
+    triangle-join oracle."""
     import ray as _ray
 
+    from ..common import gather_table
     from ..stages.exchange import keyed_partition_exchange
-    from ..text.ops import _pair_verify_reduce, _pair_verify_split
-    from ..pipelines.ingest import join_partitions
+    from ..text.ops import _pair_verify_split
+    # per-node quantized weight floor(RA_Q / nonself-degree), dense
+    # over the node space (broadcast — NMOD entries)
+    deg_t = gather_table(keyed_partition_exchange(
+        sym_edges(sf_dir).map_batches(_nonself_src,
+                                      batch_format="pyarrow"),
+        ["src"], _count_by_src))
+    w_score = np.zeros(NMOD, np.int64)
+    nd_nodes = deg_t.column("node").to_numpy()
+    nd_vals = deg_t.column("nd").to_numpy().astype(np.float64)
+    w_score[nd_nodes] = np.floor(RA_Q / nd_vals).astype(np.int64)
+    nd_ref = _ray.put(w_score)
+    P = 4
+    blocks = _cn_pair_rows(sf_dir).materialize().to_arrow_refs()
+    split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
+             for blk in blocks]
+    outs = [_ra_reduce.remote(
+        nd_ref, *[split[i][p] for i in range(len(split))])
+        for p in range(P)]
+    return pa.concat_tables([x for x in ray.get(outs) if x.num_rows])
+
+
+def _cn_pairs_packed(sf_dir: str):
+    """Shared machinery for the link-prediction gates: (pair sample,
+    packed sorted adjacency of involved nodes)."""
+    import ray as _ray
+
+    from ..common import gather_table
+    from ..stages.exchange import keyed_partition_exchange
     sym = sym_edges(sf_dir)
 
     def pick_pairs(t: pa.Table) -> pa.Table:
@@ -1155,7 +1290,6 @@ def q_common_neighbors(sf_dir: str):
 
     pairs = sym.map_batches(pick_pairs, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
-    from ..common import gather_table
     pt = gather_table(pairs)
     nodeset = np.unique(np.concatenate([pt.column("a").to_numpy(),
                                         pt.column("b").to_numpy()]))
@@ -1167,7 +1301,7 @@ def q_common_neighbors(sf_dir: str):
         d = t.column("dst").to_numpy()
         pos = np.searchsorted(ns, s)
         hit = (pos < len(ns)) & (ns[np.clip(pos, 0, len(ns) - 1)] == s)
-        hit &= s != d                       # neighbor sets exclude self
+        hit &= s != d
         return pa.table({"src": pa.array(s[hit], pa.int64()),
                          "dst": pa.array(d[hit], pa.int64())})
 
@@ -1198,28 +1332,29 @@ def q_common_neighbors(sf_dir: str):
                          "sh": sh})
 
     packed = keyed_partition_exchange(inv, ["src"], pack_nbrs)
+    return pairs, packed
 
-    def explode(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy()
-        b = t.column("b").to_numpy()
-        return pa.table({"a": np.concatenate([a, a]),
-                         "b": np.concatenate([b, b]),
-                         "node": np.concatenate([a, b])})
 
-    pair_rows = pairs.map_batches(explode, batch_format="pyarrow").join(
-        packed, join_type="inner", num_partitions=join_partitions(),
-        on=("node",))
-    P = 4
-    blocks = pair_rows.materialize().to_arrow_refs()
-    split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
-             for blk in blocks]
-    outs = [_pair_verify_reduce.remote(
-        0.0, *[split[i][p] for i in range(len(split))])
-        for p in range(P)]
-    t = pa.concat_tables([x for x in ray.get(outs) if x.num_rows])
-    return pa.table({"u": t.column("a"), "v": t.column("b"),
-                     "n_common": t.column("n_common"),
-                     "n_union": t.column("n_union")})
+_RA_SQL = _BASE + f"""
+, prs AS (
+  SELECT src AS u, dst AS v FROM sym
+  WHERE src < dst AND (src * 31 + dst) % {CN_PAIR_MOD} = 0
+), nb AS (
+  SELECT src, dst FROM sym WHERE src <> dst
+), nbdeg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS nd FROM nb GROUP BY src
+), ra AS (
+  SELECT p.u, p.v,
+         CAST(SUM(CAST(FLOOR({RA_Q} / CAST(dw.nd AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM prs p
+  JOIN nb x ON x.src = p.u
+  JOIN nb y ON y.src = p.v AND y.dst = x.dst
+  JOIN nbdeg dw ON dw.node = x.dst
+  GROUP BY p.u, p.v
+)
+SELECT p.u, p.v, COALESCE(r.s, 0) AS ra_q8
+FROM prs p LEFT JOIN ra r ON r.u = p.u AND r.v = p.v"""
 
 
 _COMMON_NEIGHBORS_SQL = _BASE + f"""
@@ -1292,6 +1427,7 @@ GRAPH_SQL: dict[str, str] = {
     "graph_dynamic_round1": _dynamic_round1_sql(),
     "graph_comm_sizes_round1": _comm_sizes_round1_sql(),
     "graph_common_neighbors": _COMMON_NEIGHBORS_SQL,
+    "graph_resource_alloc": _RA_SQL,
     "graph_edge_support": _SUPPORT_SQL,
     "graph_node_triangles": _NODE_TRI_SQL,
     "graph_reciprocity": _RECIP_SQL,

@@ -868,6 +868,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_dynamic_round1": g.q_dynamic_round1,
     "graph_comm_sizes_round1": g.q_comm_sizes_round1,
     "graph_common_neighbors": g.q_common_neighbors,
+    "graph_resource_alloc": g.q_resource_alloc,
     "graph_quality_louvain": q_graph_quality_louvain,
     "graph_dynamic_louvain": ev.q_dynamic_louvain,
     # text / training-data operators (north rule)
@@ -943,6 +944,7 @@ _CHECK_FIRST = [
     "graph_louvain_round1", "graph_zahn_round1", "graph_screen_add",
     "graph_screen_del", "graph_dynamic_round1",
     "graph_comm_sizes_round1", "graph_common_neighbors",
+    "graph_resource_alloc",
     # rewritten this round (hot-bucket cap + vectorized verify /
     # keyed-exchange sampler): get a fresh driver row on the changed
     # code, not just the r3 one
