@@ -64,6 +64,13 @@ def q_sessions(sf_dir: str):
     ev = _events(sf_dir, ["user_id", "ts", "event_id"])
 
     def count_sessions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # a hash partition can receive no key groups (small inputs /
+            # default_partitions() > distinct users): _kpx_reduce then
+            # calls fn on a zero-row typed table, and new[0] below would
+            # raise — match the guards in pack_nbrs/emit_pairs_part
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
         u = t.column("user_id").to_numpy()
         ts = t.column("ts").to_numpy().astype("datetime64[us]") \
             .astype(np.int64)

@@ -1157,15 +1157,23 @@ def _cn_pair_rows(sf_dir: str):
 
 
 def q_common_neighbors(sf_dir: str):
-    from ..text.ops import _pair_verify_reduce, _pair_verify_split
-    P = 4
-    blocks = _cn_pair_rows(sf_dir).materialize().to_arrow_refs()
+    from ..text.ops import (_pair_verify_reduce, _pair_verify_split,
+                            pair_verify_fanout)
+    rows = _cn_pair_rows(sf_dir).materialize()
+    # fan-out sized to the candidate volume (shared contract with the
+    # minhash verify) — never a hard-coded partition count
+    P = pair_verify_fanout(rows.count() // 2)
+    blocks = rows.to_arrow_refs()
     split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
              for blk in blocks]
+    if P == 1:
+        split = [[r] for r in split]
     outs = [_pair_verify_reduce.remote(
         0.0, *[split[i][p] for i in range(len(split))])
         for p in range(P)]
-    t = pa.concat_tables([x for x in ray.get(outs) if x.num_rows])
+    # reduce outputs are uniformly typed (empty included): concat handles
+    # the all-empty pair sample without a ValueError
+    t = pa.concat_tables(ray.get(outs))
     return pa.table({"u": t.column("a"), "v": t.column("b"),
                      "n_common": t.column("n_common"),
                      "n_union": t.column("n_union")})
@@ -1262,14 +1270,18 @@ def q_resource_alloc(sf_dir: str):
     nd_vals = deg_t.column("nd").to_numpy().astype(np.float64)
     w_score[nd_nodes] = np.floor(RA_Q / nd_vals).astype(np.int64)
     nd_ref = _ray.put(w_score)
-    P = 4
-    blocks = _cn_pair_rows(sf_dir).materialize().to_arrow_refs()
+    from ..text.ops import pair_verify_fanout
+    rows = _cn_pair_rows(sf_dir).materialize()
+    P = pair_verify_fanout(rows.count() // 2)
+    blocks = rows.to_arrow_refs()
     split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
              for blk in blocks]
+    if P == 1:
+        split = [[r] for r in split]
     outs = [_ra_reduce.remote(
         nd_ref, *[split[i][p] for i in range(len(split))])
         for p in range(P)]
-    return pa.concat_tables([x for x in ray.get(outs) if x.num_rows])
+    return pa.concat_tables(ray.get(outs))
 
 
 def _cn_pairs_packed(sf_dir: str):

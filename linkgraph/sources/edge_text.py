@@ -70,11 +70,17 @@ def read_mtx(path: str, *, symmetrize: bool = True,
     adjacency build; pass False for the raw directed rows).
 
     The header row is identified structurally: valid 0-indexed data rows
-    have src,dst <= V-1, so the unique row with src == dst == V is the
-    header — no driver-side line counting, so the text read stays a
-    distributed Dataset scan.
+    have src,dst <= V-1, so the row matching the full header triple
+    ``V V E`` is the header — no driver-side line counting, so the text
+    read stays a distributed Dataset scan.  Matching all THREE header
+    fields (not just ``src == dst == V``) means a data row ``V V w`` in
+    a 1-indexed file is only mis-dropped in the measure-zero case
+    w == E; the reference consumes the header positionally and reads
+    such files with ids-as-written regardless (utils.cu:16-37).
+    ``path`` must be a single file (one header per file; mtx_header's
+    sequential open rejects globs).
     """
-    n_nodes, _ = mtx_header(path)
+    n_nodes, n_edges = mtx_header(path)
 
     def parse(batch: pa.Table) -> pa.Table:
         lines = pc.utf8_trim_whitespace(batch.column("text"))
@@ -84,7 +90,8 @@ def read_mtx(path: str, *, symmetrize: bool = True,
         src = t.column("src").to_numpy()
         dst = t.column("dst").to_numpy()
         w = t.column("w").to_numpy()
-        data = ~((src == n_nodes) & (dst == n_nodes))   # drop the header
+        # drop the header: all three fields must match (V V E)
+        data = ~((src == n_nodes) & (dst == n_nodes) & (w == n_edges))
         src, dst, w = src[data], dst[data], w[data]
         if symmetrize:
             nonself = src != dst

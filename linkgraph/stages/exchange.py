@@ -149,6 +149,31 @@ def default_partitions() -> int:
         return 8
 
 
+def _desc_rank(v: np.ndarray) -> np.ndarray:
+    """Dense descending rank of ``v`` (equal values share a rank so a
+    later lexsort key can break ties), NaNs ranked LAST — matching
+    ``sort_values(ascending=False).head(k)`` semantics.  Arithmetic
+    negation (``-v``) is wrong for uint64 / INT64_MIN (wraps) and ranks
+    NaN first; an integer rank key has neither failure mode."""
+    n = len(v)
+    asc = np.argsort(v, kind="stable")       # ascending, NaN at the end
+    vs = v[asc]
+    nan_ct = int(np.count_nonzero(np.isnan(vs))) if vs.dtype.kind == "f" \
+        else 0
+    m = n - nan_ct
+    rank = np.empty(n, np.int64)
+    if m:
+        newv = np.empty(m, bool)
+        newv[0] = True
+        newv[1:] = vs[1:m] != vs[:m - 1]
+        r_asc = np.cumsum(newv) - 1          # dense ascending rank
+        rank[asc[:m]] = r_asc[-1] - r_asc    # invert: largest -> 0
+        rank[asc[m:]] = r_asc[-1] + 1        # NaNs: one shared last rank
+    else:
+        rank[asc] = 0
+    return rank
+
+
 def _topk_table(tbl: pa.Table, by: str, value: str, tie: str,
                 k: int) -> pa.Table:
     """Keep the top-k rows per ``by`` group ordered (value desc, tie
@@ -159,7 +184,7 @@ def _topk_table(tbl: pa.Table, by: str, value: str, tie: str,
     u = tbl.column(by).to_numpy()
     v = tbl.column(value).to_numpy()
     t = tbl.column(tie).to_numpy()
-    order = np.lexsort((t, -v, u))          # by asc, value desc, tie asc
+    order = np.lexsort((t, _desc_rank(v), u))  # by asc, v desc, tie asc
     us = u[order]
     new = np.empty(n, bool)
     new[0] = True

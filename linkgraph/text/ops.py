@@ -765,6 +765,15 @@ def _binary_rows(col) -> tuple[np.ndarray, np.ndarray]:
     return off // 8, data
 
 
+def pair_verify_fanout(n_cand: int) -> int:
+    """Exchange width for a pair-verify reduce wave, keyed on the GLOBAL
+    candidate-pair count (never a hard-coded P): tiny pair sets verify
+    in one task instead of paying a split/reduce fan-out, large sets
+    scale to the cluster, and the choice is parallelism-invariant."""
+    from ..stages.exchange import default_partitions
+    return max(1, min(default_partitions(), n_cand // 1000))
+
+
 @ray.remote
 def _pair_verify_split(tbl: pa.Table, P: int):
     """Hash-split exploded pair rows (a, b, doc_id, sh) on the PAIR key
@@ -985,13 +994,12 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
     # pair, the classic per-group-Python wall at millions of pairs)
     import ray.data as rd
 
-    from ..stages.exchange import _count_rows, default_partitions
+    from ..stages.exchange import _count_rows
     # partition count tracks the candidate volume: tiny pair sets (the
     # gate scale) verify in ONE task instead of paying a P-way split +
     # reduce fan-out; the P choice is keyed on the global pair count,
     # so results stay parallelism-invariant
-    n_cand = pairs.count()
-    P = max(1, min(default_partitions(), n_cand // 1000))
+    P = pair_verify_fanout(pairs.count())
     blocks = pair_rows.materialize().to_arrow_refs()
     split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
              for blk in blocks]
@@ -1007,18 +1015,70 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
 
 # -------------------------------------------------------- n-gram Jaccard
 
+# Exact all-pairs runs only for groups up to this many docs (and a dense
+# membership-matrix budget, below); larger groups route through a
+# 2-permutation MinHash sub-bucket — the documented overflow path that
+# removes the r3/r4 "quadratic per source group" scale flag.
+TOKEN_JACCARD_GROUP_CAP = 2048
+TOKEN_JACCARD_BUCKET_CAP = 256      # sub-bucket clique cap (star above)
+_TJ_DENSE_BUDGET = 1 << 28          # max n_docs * n_distinct_tokens cells
+
+
+def _clique_jaccard(ids, codes, rows, n):
+    """Exact all-pairs token-set overlap for ONE clique of ``n`` docs
+    (``ids`` ascending): distinct tokens become compact codes, docs rows
+    of a 0/1 membership matrix, all intersections from ONE ``B @ B.T``
+    matmul (float32 exact for counts < 2^24).  Returns (a, b, n_common,
+    n_union) arrays."""
+    uc, inv = np.unique(codes, return_inverse=True)
+    B = np.zeros((n, len(uc)), np.float32)
+    B[rows, inv] = 1.0                   # duplicates collapse to 1
+    d = B.sum(axis=1).astype(np.int64)   # per-doc distinct counts
+    common = (B @ B.T).astype(np.int64)
+    iu, ju = np.triu_indices(n, k=1)
+    nc = common[iu, ju]
+    return ids[iu], ids[ju], nc, d[iu] + d[ju] - nc
+
+
+def _star_jaccard(ids, codes, rows, n):
+    """Exact (min-doc, other) overlaps for one oversized bucket — O(E)
+    instead of the clique's O(n^2): each doc intersects only the bucket's
+    min doc_id (``ids`` ascending so ids[0] is the hub), preserving the
+    connectivity a downstream dedup union-find needs (the minhash
+    HOT_BUCKET_CLIQUE_CAP contract)."""
+    order = np.lexsort((codes, rows))
+    cs, rs = codes[order], rows[order]
+    keep = np.empty(len(cs), bool)
+    keep[0] = True
+    keep[1:] = (cs[1:] != cs[:-1]) | (rs[1:] != rs[:-1])
+    cs, rs = cs[keep], rs[keep]          # per-doc distinct codes
+    d = np.bincount(rs, minlength=n)
+    hub = cs[rs == 0]                    # sorted distinct codes of doc 0
+    pos = np.searchsorted(hub, cs)
+    member = (pos < len(hub)) & (hub[np.minimum(pos, len(hub) - 1)] == cs)
+    nc = np.bincount(rs[member], minlength=n)
+    return (np.full(n - 1, ids[0]), ids[1:],
+            nc[1:].astype(np.int64), (d[0] + d[1:] - nc[1:]).astype(np.int64))
+
+
 def token_jaccard_pairs(docs):
     """Within-source pairwise token-set overlap: (a, b, n_common, n_union)
-    for a < b in the same ``source`` group — integer-exact (SQL-checked).
+    for a < b in the same ``source`` group — integer-exact (SQL-checked)
+    for groups up to TOKEN_JACCARD_GROUP_CAP docs (the gate scale).
 
-    Grouping by ``source`` bounds the quadratic blow-up to group size;
-    at scale the grouping key would be an LSH bucket (see minhash).
+    Scale contract (the r3/r4 quadratic flag, closed): groups larger
+    than the cap are sub-keyed by a 2-permutation MinHash bucket over
+    the token set (collision probability ~= J^2 — high-similarity pairs,
+    the ones this operator exists to find, almost surely share a
+    bucket), so one crawl host with 1e6 docs costs O(n * bucket) pairs,
+    never the 1e12 clique.  Sub-buckets above TOKEN_JACCARD_BUCKET_CAP
+    (boilerplate clusters) emit the STAR to the bucket-min doc — exact
+    values, connectivity-preserving, O(bucket) output (the minhash
+    hot-bucket contract).  Values emitted on every path are EXACT
+    set-overlap counts; only recall is approximate above the cap.
 
-    Vectorized: per group, distinct tokens become Arrow dictionary codes,
-    docs become rows of a 0/1 membership matrix, and ALL pairwise
-    intersection sizes come from ONE ``B @ B.T`` matmul (float32 is exact
-    for counts < 2^24; token sets are far smaller).  No per-pair Python
-    set ops (the round-2 quadratic-loop hot spot)."""
+    Vectorized: no per-pair Python set ops; the only Python loop is over
+    sub-buckets (O(group/bucket_cap) iterations)."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
@@ -1038,15 +1098,54 @@ def token_jaccard_pairs(docs):
             .to_numpy(zero_copy_only=False).astype(np.int64)
         rows = np.repeat(np.arange(n), lens)
         ncodes = int(codes.max(initial=-1)) + 1
-        B = np.zeros((n, ncodes), np.float32)
-        B[rows, codes] = 1.0                 # duplicates collapse to 1
-        d = B.sum(axis=1).astype(np.int64)   # per-doc distinct counts
-        common = (B @ B.T).astype(np.int64)
-        iu, ju = np.triu_indices(n, k=1)
-        nc = common[iu, ju]
+        if n <= TOKEN_JACCARD_GROUP_CAP and n * ncodes <= _TJ_DENSE_BUDGET:
+            a, b, nc, nu = _clique_jaccard(ids, codes, rows, n)
+            return pd.DataFrame({"a": a, "b": b, "n_common": nc,
+                                 "n_union": nu})
+        # ---- overflow route: 2-perm MinHash sub-buckets ----
+        h1 = _splitmix64(codes.astype(_U64))
+        h2 = _splitmix64(h1 ^ _GOLDEN)
+        starts = _row_starts(lens)[lens > 0]
+        m1 = np.full(n, _MASK, _U64)
+        m2 = np.full(n, _MASK, _U64)
+        nz = lens > 0
+        m1[nz] = np.minimum.reduceat(h1, starts)
+        m2[nz] = np.minimum.reduceat(h2, starts)
+        bucket = _splitmix64(m1 ^ _splitmix64(m2))
+        doc_order = np.argsort(bucket, kind="stable")  # id-sorted within
+        bsorted = bucket[doc_order]
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = bsorted[1:] != bsorted[:-1]
+        bstarts = np.flatnonzero(new)
+        bends = np.append(bstarts[1:], n)
+        # element arrays reordered to the bucket-sorted doc order
+        new_pos = np.empty(n, np.int64)
+        new_pos[doc_order] = np.arange(n)
+        el_rows = new_pos[rows]
+        el_order = np.argsort(el_rows, kind="stable")
+        codes_s, rows_s = codes[el_order], el_rows[el_order]
+        el_cuts = np.concatenate([[0], np.cumsum(lens[doc_order])])
+        ids_s = ids[doc_order]
+        outs = []
+        for bs, be in zip(bstarts, bends):
+            bn = be - bs
+            if bn < 2:
+                continue
+            sl = slice(el_cuts[bs], el_cuts[be])
+            bc = codes_s[sl]
+            br = rows_s[sl] - bs
+            bi = ids_s[bs:be]
+            fn = _star_jaccard if bn > TOKEN_JACCARD_BUCKET_CAP \
+                else _clique_jaccard
+            outs.append(fn(bi, bc, br, bn))
+        if not outs:
+            return empty
         return pd.DataFrame({
-            "a": ids[iu], "b": ids[ju], "n_common": nc,
-            "n_union": d[iu] + d[ju] - nc})
+            "a": np.concatenate([o[0] for o in outs]),
+            "b": np.concatenate([o[1] for o in outs]),
+            "n_common": np.concatenate([o[2] for o in outs]),
+            "n_union": np.concatenate([o[3] for o in outs])})
 
     return (docs.select_columns(["doc_id", "source", "text"])
             .groupby("source").map_groups(pairs, batch_format="pandas"))

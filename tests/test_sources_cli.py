@@ -192,3 +192,22 @@ def test_write_committed_resume(tmp_path, ray_session):
     os.remove(os.path.join(d, "_SUCCESS"))
     assert write_committed(make, d) is True
     assert pq.read_table(d).num_rows == 3
+
+
+def test_read_mtx_header_match_is_full_triple(tmp_path, ray_session):
+    """A data row that happens to be ``V V w`` (1-indexed file with a
+    self-loop at the last vertex) survives unless it matches the FULL
+    header triple ``V V E`` (ADVICE r4: the src==dst==V-only match
+    silently dropped such rows)."""
+    from linkgraph.sources.edge_text import read_mtx
+    p = tmp_path / "g.mtx"
+    # 1-indexed-style file: ids go 1..4, self-loop "4 4 2.0" is data
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 "4 4 3\n"
+                 "1 2 1.0\n"
+                 "4 4 2.0\n"
+                 "2 3 1.0\n")
+    raw = read_mtx(str(p), symmetrize=False).to_pandas().sort_values(
+        ["src", "dst"]).reset_index(drop=True)
+    assert list(zip(raw["src"], raw["dst"], raw["w"])) == [
+        (1, 2, 1.0), (2, 3, 1.0), (4, 4, 2.0)]

@@ -441,3 +441,37 @@ def test_contamination_matches_naive():
         sh = shingles(t)
         assert out.iloc[i]["n_shingles"] == len(sh)
         assert out.iloc[i]["n_contam"] == len(sh & bench_set)
+
+
+def test_token_jaccard_overflow_route(ray_session):
+    """Groups above TOKEN_JACCARD_GROUP_CAP route through 2-perm MinHash
+    sub-buckets: completes with O(n·bucket) pairs (never the clique),
+    every emitted value is EXACT, and identical docs stay connected
+    (the star contract for oversized buckets)."""
+    import ray.data as rd
+
+    from linkgraph.text import ops as tx
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    pool = [" ".join(rng.choice([f"w{k}" for k in range(300)], size=15))
+            for _ in range(50)]
+    texts = [pool[i % 50] + f" x{i % 5}" for i in range(n)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(["host"] * n),
+        "text": pa.array(texts)}))
+    out = tx.token_jaccard_pairs(docs).to_pandas()
+    assert 0 < len(out) < 5_000_000          # bounded, not the 2e8 clique
+    sample = out.sample(100, random_state=0)
+    for _, r in sample.iterrows():
+        A = set(texts[int(r.a)].split(" "))
+        B = set(texts[int(r.b)].split(" "))
+        assert r.n_common == len(A & B)
+        assert r.n_union == len(A | B)
+    # identical docs (same template, same x suffix) share both minima ->
+    # same bucket -> connected via clique or star
+    twins = out[(out.a == 0) | (out.b == 0)]
+    full = {250, 500, 750}                    # i % 50 == 0 and i % 5 == 0
+    linked = set(twins.a.tolist()) | set(twins.b.tolist())
+    assert full & linked
