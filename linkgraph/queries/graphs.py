@@ -413,6 +413,99 @@ WITH RECURSIVE pr_edges AS (
 SELECT node, CAST(FLOOR(rank * 100000000) AS BIGINT) AS rank_q8
 FROM r WHERE iter = {PR_ITERS}"""
 
+# Warm-start (incremental) PageRank oracle: phase 1 replays the cold
+# {PR_ITERS}-iteration power method on the original graph (identical to
+# _PR_SQL's recursion); a deterministic addition batch (the screen-add
+# delta rule over orders, applied with the engine's M1 semantics:
+# deduped driver-side, then symmetric expansion APPENDED without dedup)
+# mutates the edge multiset; phase 2 continues {WARM_ITERS} iterations
+# on the mutated graph FROM the converged cold vector — exactly what
+# engine.pagerank(warm=True) does after apply_delta_batch.  Appended
+# duplicate rows are modeled by multiplicity-weighted messages
+# (w = c/od, od = post-delta CSR row count — the engine's
+# np.diff(indptr) outdegree).  Same 1e-8 floor-quantization contract as
+# the PageRank gate (float paths agree to ~1e-15).
+WARM_ITERS = 10
+WARM_DELTA_MOD = 11   # == SCREEN_DELTA_MOD (same deterministic batch)
+
+_PR_WARM_DELTA_PRED = (f"o_orderkey % {NMOD} <> o_custkey % {NMOD} "
+                       f"AND ((o_orderkey % {NMOD}) * 31 "
+                       f"+ (o_custkey % {NMOD})) % {WARM_DELTA_MOD} = 0")
+
+_PR_WARM_SQL = f"""
+WITH RECURSIVE pr_edges AS (
+  SELECT DISTINCT l_orderkey % {NMOD} AS src, l_partkey % {NMOD} AS dst
+  FROM lineitem
+), pr_outd AS (
+  SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS od
+  FROM pr_edges GROUP BY src
+), pr_msg AS (
+  SELECT e.src, e.dst, 1.0 / o.od AS w
+  FROM pr_edges e JOIN pr_outd o ON o.node = e.src
+  UNION ALL
+  SELECT CAST(range AS BIGINT), CAST(range AS BIGINT), 0.0
+  FROM range({NMOD})
+), pr_dang AS (
+  SELECT CAST(range AS BIGINT) AS node FROM range({NMOD})
+  WHERE CAST(range AS BIGINT) NOT IN (SELECT src FROM pr_edges)
+), r(iter, node, rank) AS (
+    SELECT 0, CAST(range AS BIGINT), 1.0 / {NMOD} FROM range({NMOD})
+  UNION ALL
+    SELECT it, node,
+           (1.0 - {PR_DAMPING}) / {NMOD}
+           + {PR_DAMPING} * (agg + (SELECT COALESCE(SUM(r2.rank), 0.0)
+                                    FROM r r2
+                                    JOIN pr_dang dg ON dg.node = r2.node
+                                    WHERE r2.iter = it - 1) / {NMOD})
+    FROM (
+      SELECT r.iter + 1 AS it, m.dst AS node, SUM(r.rank * m.w) AS agg
+      FROM r JOIN pr_msg m ON m.src = r.node
+      WHERE r.iter < {PR_ITERS}
+      GROUP BY r.iter, m.dst
+    )
+), wdelta AS (
+  SELECT DISTINCT o_orderkey % {NMOD} AS src, o_custkey % {NMOD} AS dst
+  FROM orders WHERE {_PR_WARM_DELTA_PRED}
+), wsym AS (
+  SELECT src, dst FROM wdelta
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM wdelta
+), pmm AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS c FROM (
+    SELECT src, dst FROM pr_edges
+    UNION ALL
+    SELECT src, dst FROM wsym
+  ) GROUP BY src, dst
+), pod AS (
+  SELECT src, SUM(c) AS od FROM pmm GROUP BY src
+), wmsg AS MATERIALIZED (
+  SELECT m.src, m.dst, m.c / o.od AS w
+  FROM pmm m JOIN pod o ON o.src = m.src
+  UNION ALL
+  SELECT CAST(range AS BIGINT), CAST(range AS BIGINT), 0.0
+  FROM range({NMOD})
+), wdang AS (
+  SELECT CAST(range AS BIGINT) AS node FROM range({NMOD})
+  WHERE CAST(range AS BIGINT) NOT IN (SELECT src FROM pmm)
+), rw(iter, node, rank) AS (
+    SELECT {PR_ITERS}, node, rank FROM r WHERE iter = {PR_ITERS}
+  UNION ALL
+    SELECT it, node,
+           (1.0 - {PR_DAMPING}) / {NMOD}
+           + {PR_DAMPING} * (agg + (SELECT COALESCE(SUM(q.rank), 0.0)
+                                    FROM rw q
+                                    JOIN wdang dg ON dg.node = q.node
+                                    WHERE q.iter = it - 1) / {NMOD})
+    FROM (
+      SELECT rw.iter + 1 AS it, m.dst AS node, SUM(rw.rank * m.w) AS agg
+      FROM rw JOIN wmsg m ON m.src = rw.node
+      WHERE rw.iter < {PR_ITERS + WARM_ITERS}
+      GROUP BY rw.iter, m.dst
+    )
+)
+SELECT node, CAST(FLOOR(rank * 100000000) AS BIGINT) AS rank_q8
+FROM rw WHERE iter = {PR_ITERS + WARM_ITERS}"""
+
 # HITS oracle: fixed-iteration recursive CTE carrying (hub, auth) per
 # node.  Zero-weight self-edges keep every vertex slot present through
 # the two grouped joins (the _PR_SQL trick); L1 normalizers are window
@@ -1431,8 +1524,213 @@ def q_louvain_round1(sf_dir: str):
     return tbl
 
 
+# L4 contraction gate: the hash-verified Louvain chain past round 1.
+# From the deterministic round-1 labels, the contraction (A7 grouped
+# edge-weight sums + dense renumber by ascending community label,
+# louvain.cpp:260-333 / community_aggregation_mem.cu:376-633) is pure
+# integer/grouped-sum arithmetic — SQL-expressible as three CTEs on top
+# of the round-1 label chain.  Engine output = GraphEngine.contract_edges
+# (the same partial+fixed-width-dedup machinery full louvain() uses).
+def _contract_chain() -> tuple[str, str]:
+    """Round-1 chain + contraction CTEs; returns (sql_text, label_cte).
+    CTEs added: cmap (comm -> dense cid, ascending-label rank — exactly
+    the engine's np.unique renumber) and cedges (grouped contracted
+    edge weights; intra-community mass lands on the cid self-loop)."""
+    chain, lab = _round1_label_chain()
+    return chain + f"""
+, cmap AS MATERIALIZED (
+  SELECT comm, ROW_NUMBER() OVER (ORDER BY comm) - 1 AS cid
+  FROM (SELECT DISTINCT comm FROM {lab})
+), cedges AS MATERIALIZED (
+  SELECT ca.cid AS src, cb.cid AS dst, SUM(e.w) AS w
+  FROM sym e
+  JOIN {lab} la ON la.node = e.src
+  JOIN {lab} lb ON lb.node = e.dst
+  JOIN cmap ca ON ca.comm = la.comm
+  JOIN cmap cb ON cb.comm = lb.comm
+  GROUP BY ca.cid, cb.cid
+)""", lab
+
+
+def _contract_round1_sql() -> str:
+    chain, _ = _contract_chain()
+    return chain + "\nSELECT src, dst, w FROM cedges"
+
+
+def q_contract_round1(sf_dir: str):
+    """Contraction gate (L4): round-1 labels -> contracted, densely
+    renumbered, exactly deduped edge table on the distributed engine —
+    value-checked against the generated SQL replay.  Weights are
+    grouped sums of integral multiplicities (order-free exact)."""
+    eng = _build_engine(sf_dir)
+    eng.push_labels()
+    try:
+        eng.louvain_round1()
+        refs, _ = eng.contract_edges()
+        tbl = pa.concat_tables(ray.get(refs))
+    finally:
+        eng.pop_labels()
+    return tbl
+
+
+# Round-2 move gate: ONE synchronous bucketed move round from singletons
+# ON THE CONTRACTED GRAPH — pins the post-contraction agg rebuild -> next
+# argmax interaction the round-1 gate cannot see (the level loop,
+# gpulouvain.cu:105-128).  The kernel is graph-agnostic, so the SQL is
+# the identical 7-stage chain instantiated over cedges: k = CSR row sum
+# (community self-loops counted once — the engine's uniform convention),
+# degree = row count (self-loop row included), M' = SUM(w)/2 = M, and
+# the move sums still exclude self-edges (e.src <> e.dst).  All sums
+# remain over integral multiplicities -> bit-exact like round 1.
+def _louvain_round2_sql() -> str:
+    from ..oracle.louvain import BUCKET_BOUNDS
+    chain, _ = _contract_chain()
+    sql = chain + """
+, ckv AS MATERIALIZED (
+  SELECT m.cid AS node, COALESCE(d.k, 0.0) AS k,
+         COALESCE(d.degree, 0) AS degree
+  FROM cmap m LEFT JOIN (
+    SELECT src AS node, SUM(w) AS k, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM cedges GROUP BY src) d ON d.node = m.cid
+), cmm AS MATERIALIZED (
+  SELECT SUM(w) / 2 AS m2 FROM cedges
+), clab0 AS MATERIALIZED (
+  SELECT cid AS node, cid AS comm FROM cmap
+)"""
+    n_buckets = len(BUCKET_BOUNDS) - 1
+    for i in range(n_buckets):
+        lo, hi = BUCKET_BOUNDS[i], BUCKET_BOUNDS[i + 1]
+        hi_pred = "" if i == n_buckets - 1 else f" AND b.degree <= {hi}"
+        sql += f"""
+, cagg{i} AS MATERIALIZED (
+  SELECT l.comm, SUM(ckv.k) AS tot, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM clab{i} l JOIN ckv ON ckv.node = l.node GROUP BY l.comm
+), cmv{i} AS MATERIALIZED (
+  SELECT e.src AS v, l2.comm AS c, SUM(e.w) AS e_vc
+  FROM cedges e
+  JOIN ckv b ON b.node = e.src AND b.degree > {lo}{hi_pred}
+  JOIN clab{i} l2 ON l2.node = e.dst
+  WHERE e.src <> e.dst
+  GROUP BY e.src, l2.comm
+), ccand{i} AS (
+  SELECT m.v, m.c, lc.comm AS cur,
+         m.e_vc / cmm.m2
+           + ckv.k * ((ac.tot - ckv.k) - at.tot)
+             / (2 * cmm.m2 * cmm.m2) AS gain
+  FROM cmv{i} m
+  JOIN clab{i} lc ON lc.node = m.v
+  JOIN cagg{i} ac ON ac.comm = lc.comm
+  JOIN cagg{i} at ON at.comm = m.c
+  JOIN ckv ON ckv.node = m.v
+  CROSS JOIN cmm
+  WHERE m.c <> lc.comm
+    AND (m.c < lc.comm OR at.sz > 1 OR ac.sz > 1)
+), cwin{i} AS (
+  SELECT v, c, cur, gain,
+         ROW_NUMBER() OVER (PARTITION BY v
+                            ORDER BY gain DESC, c ASC) AS rn
+  FROM ccand{i}
+), cacc{i} AS (
+  SELECT w.v, w.c
+  FROM cwin{i} w
+  CROSS JOIN cmm
+  LEFT JOIN cmv{i} own ON own.v = w.v AND own.c = w.cur
+  WHERE w.rn = 1
+    AND (w.gain > 0 OR (w.gain = 0 AND w.c < w.cur))
+    AND w.gain - COALESCE(own.e_vc, 0) / cmm.m2 > 0
+), clab{i + 1} AS MATERIALIZED (
+  SELECT l.node, COALESCE(a.c, l.comm) AS comm
+  FROM clab{i} l LEFT JOIN cacc{i} a ON a.v = l.node
+)"""
+    return sql + f"\nSELECT node, comm FROM clab{n_buckets}"
+
+
+def q_louvain_round2(sf_dir: str):
+    """Round-2 move gate: contraction of the round-1 labels fed into a
+    CHILD distributed engine (exactly the full-Louvain recursion path,
+    engine.louvain's large-contraction branch), then one synchronous
+    bucketed move round from singletons on the contracted graph —
+    value-checked against the generated SQL replay."""
+    import ray.data as rd
+
+    from ..state.engine import GraphEngine
+    eng = _build_engine(sf_dir)
+    eng.push_labels()
+    try:
+        eng.louvain_round1()
+        refs, n_sub = eng.contract_edges()
+    finally:
+        eng.pop_labels()
+    child = GraphEngine.from_dataset(
+        rd.from_arrow_refs(refs), n_nodes=n_sub,
+        n_parts=max(2, min(_default_parts(), n_sub // 256)),
+        name="q_round2")
+    try:
+        return child.louvain_round1()
+    finally:
+        child.shutdown()
+
+
+# Co-membership sample gate: the reference's fourth built tool
+# (main_matrix.cpp:1-2, Makefile:244,269) writes Xij = 1 iff i and j
+# share a community — O(n^2) output, useless at scale, so the Ray
+# surface is the BOUNDED variant: the within-community indicator for
+# the deterministic CN_PAIR_MOD pair sample over the round-1 labels
+# (trivially SQL-checkable, closes the last reference entry point).
+def _comembership_round1_sql() -> str:
+    chain, lab = _round1_label_chain()
+    return chain + f"""
+, prs AS (
+  SELECT src AS u, dst AS v FROM sym
+  WHERE src < dst AND (src * 31 + dst) % {CN_PAIR_MOD} = 0
+)
+SELECT p.u, p.v,
+       CAST(CASE WHEN la.comm = lb.comm THEN 1 ELSE 0 END AS BIGINT)
+         AS same_comm
+FROM prs p
+JOIN {lab} la ON la.node = p.u
+JOIN {lab} lb ON lb.node = p.v"""
+
+
+def q_comembership_round1(sf_dir: str):
+    """Co-membership indicator for the deterministic pair sample over
+    the round-1 labels (the `matrix` tool's semantics, bounded).  The
+    dense label vector is broadcast once (ray.put, n_nodes entries);
+    the pair sample is map-side filtered from the edge Dataset."""
+    import ray as _ray
+    eng = _build_engine(sf_dir)
+    eng.push_labels()
+    try:
+        lab_tbl = eng.louvain_round1()
+    finally:
+        eng.pop_labels()
+    lab = np.zeros(NMOD, np.int64)
+    lab[lab_tbl.column("node").to_numpy()] = \
+        lab_tbl.column("comm").to_numpy()
+    lab_ref = _ray.put(lab)
+
+    def mark(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        keep = (s < d) & ((s * 31 + d) % CN_PAIR_MOD == 0)
+        s, d = s[keep], d[keep]
+        L = _ray.get(lab_ref)
+        return pa.table({
+            "u": pa.array(s, pa.int64()),
+            "v": pa.array(d, pa.int64()),
+            "same_comm": pa.array((L[s] == L[d]).astype(np.int64),
+                                  pa.int64())})
+
+    return sym_edges(sf_dir).map_batches(mark, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+
 GRAPH_SQL: dict[str, str] = {
     "graph_louvain_round1": _louvain_round1_sql(),
+    "graph_contract_round1": _contract_round1_sql(),
+    "graph_louvain_round2": _louvain_round2_sql(),
+    "graph_comembership_round1": _comembership_round1_sql(),
+    "graph_pagerank_warm": _PR_WARM_SQL,
     "graph_zahn_round1": _zahn_round1_sql(),
     "graph_screen_add": _screen_add_sql(),
     "graph_screen_del": _screen_del_sql(),
@@ -1567,6 +1865,38 @@ def q_pagerank(sf_dir: str):
 
 
 TOP_PR_K = 20
+
+
+def q_pagerank_warm(sf_dir: str):
+    """Warm-start incremental PageRank gate, end-to-end on the driver's
+    signal: cold fixed-iteration PageRank, a deterministic addition
+    batch applied through apply_delta_batch (M1 semantics: deduped
+    batch, symmetric expansion, APPENDED without dedup against the
+    existing rows), then pagerank(warm=True) continuing {WARM_ITERS}
+    iterations from the converged vector with structure terms re-derived
+    from the mutated CSR — value-checked against the two-phase
+    recursive-CTE replay (_PR_WARM_SQL).  Owns its engine (the delta
+    mutates the CSR)."""
+    import pyarrow.parquet as pq
+    eng = _build_engine(sf_dir, kind="dir", cache=False)
+    try:
+        eng.pagerank(damping=PR_DAMPING, tol=0.0, max_iter=PR_ITERS)
+        t = pq.read_table(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+        s = t.column("o_orderkey").to_numpy() % NMOD
+        d = t.column("o_custkey").to_numpy() % NMOD
+        keep = (s != d) & ((s * 31 + d) % WARM_DELTA_MOD == 0)
+        pairs = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+        eng.apply_delta_batch(add_src=pairs[:, 0].astype(np.int64),
+                              add_dst=pairs[:, 1].astype(np.int64))
+        eng.pagerank(damping=PR_DAMPING, tol=0.0, max_iter=WARM_ITERS,
+                     warm=True)
+        tbl = eng.pagerank_result()
+    finally:
+        eng.shutdown()
+    q8 = np.floor(tbl.column("rank").to_numpy() * 1e8).astype(np.int64)
+    return pa.table({"node": tbl.column("node"),
+                     "rank_q8": pa.array(q8, pa.int64())})
 
 
 def q_ppr(sf_dir: str):

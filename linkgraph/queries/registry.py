@@ -862,6 +862,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_label_propagation": g.q_label_propagation,
     "graph_louvain": g.q_louvain,
     "graph_louvain_round1": g.q_louvain_round1,
+    "graph_contract_round1": g.q_contract_round1,
+    "graph_louvain_round2": g.q_louvain_round2,
+    "graph_comembership_round1": g.q_comembership_round1,
+    "graph_pagerank_warm": g.q_pagerank_warm,
     "graph_zahn_round1": g.q_zahn_round1,
     "graph_screen_add": g.q_screen_add,
     "graph_screen_del": g.q_screen_del,
@@ -922,33 +926,41 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_comm_sizes": q_graph_comm_sizes,
 }
 
-# The driver's correctness run caps at ~50 oracle comparisons per round
-# (CORRECTNESS_r03 recorded exactly the first 50 registry entries, so
-# everything after emb_ann was never value-checked).  Order the registry
-# so gates without a green driver row yet come first: the 19 entries the
-# r3 run never reached, then doc_repetition (red in r3 — oracle emitted
-# decimal128 for an uncast SUM, fixed above — needs a green re-check).
-# Every other gate already has a green r3 row; they fill the remaining
-# slots in their original order.
+# The driver's correctness run caps at ~50 oracle comparisons per round.
+# Round-5 rotation: (1) the four NEW gates (contraction + round-2 move —
+# the hash-verified Louvain chain past round 1 — the warm-start
+# PageRank, and the co-membership sample); (2) gates whose code changed
+# this round (sessions reducer guard, top-k desc-rank, pair-verify
+# sizing, token-jaccard overflow route); (3) the 27 gates whose last
+# driver row is r3 (the r4 window never reached them); (4) the
+# remaining slots re-check the round-1 kernel chain (its generated SQL
+# is now REUSED by the new contraction/round-2 gates) and the highest-
+# value r4 greens.  Everything beyond slot 50 has a green r4 row on
+# unchanged code.
 _CHECK_FIRST = [
-    "emb_ivf_ann", "emb_near_dup", "emb_dim_topk",
-    "ev_hour_window", "ev_sessions", "ev_type_counts",
-    "ev_topk_per_user", "ev_sliding_window", "ev_asof_last_order",
-    "ev_pairs_1h", "ev_funnel", "ev_hll_users", "ev_cms_users",
-    "rel_orders_by_segment", "rel_lineitem_nation_rollup",
-    "rel_shuffle_join_orders", "rel_pricing_summary",
-    "rel_top_revenue_orders", "graph_comm_sizes",
-    "doc_repetition",
-    # new this round: value-checked slices of the Louvain move kernel
-    # and the generic quality-variant move kernel
+    # (1) new gates
+    "graph_contract_round1", "graph_louvain_round2",
+    "graph_comembership_round1", "graph_pagerank_warm",
+    # (2) changed code
+    "ev_sessions", "ev_topk_per_user", "graph_common_neighbors",
+    "graph_resource_alloc", "doc_token_jaccard",
+    # (3) stale (r3-green, outside the r4 window)
+    "doc_tokens", "doc_bpe_tokens", "doc_quality", "doc_quality_score",
+    "doc_dedup_exact", "doc_fingerprint", "doc_langid", "doc_simhash",
+    "doc_simhash_pairs", "doc_contamination", "doc_pack", "doc_split",
+    "doc_curation", "doc_top_quality",
+    "mm_media_features", "mm_frames", "mm_resize",
+    "emb_ann",
+    "graph_seed_bfs", "graph_ktruss", "graph_assortativity",
+    "graph_connected_components", "graph_label_propagation",
+    "graph_louvain", "graph_quality_louvain", "graph_dynamic_louvain",
+    # (4) round-1 kernel chain re-checks + top r4 greens
     "graph_louvain_round1", "graph_zahn_round1", "graph_screen_add",
     "graph_screen_del", "graph_dynamic_round1",
-    "graph_comm_sizes_round1", "graph_common_neighbors",
-    "graph_resource_alloc",
-    # rewritten this round (hot-bucket cap + vectorized verify /
-    # keyed-exchange sampler): get a fresh driver row on the changed
-    # code, not just the r3 one
+    "graph_comm_sizes_round1", "graph_pagerank",
     "doc_minhash_pairs", "doc_dedup_near", "doc_sample",
+    "doc_repetition", "graph_edges", "graph_sym_edges",
+    "graph_degrees", "graph_triangles",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _CHECK_FIRST},
            **{k: v for k, v in QUERIES.items() if k not in _CHECK_FIRST}}

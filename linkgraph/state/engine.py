@@ -1060,6 +1060,33 @@ class GraphEngine:
         ray.get(self._sweep_buckets(active_buckets, True))
         return self.louvain_result()
 
+    def contract_edges(self) -> tuple[list, int]:
+        """L4 contraction from the CURRENTLY installed labels, as its own
+        driver-verifiable surface (louvain.cpp:260-333,
+        community_aggregation_mem.cu:376-633): per-shard (csrc, cdst, w)
+        partials, dense renumber by ascending community label, exact
+        fixed-width grouped-sum dedup — the same machinery the full
+        ``louvain()`` runs between levels.  Returns (deduped contracted
+        edge-table refs, n_sub); edge weights are grouped sums of
+        integral multiplicities (order-free exact), so a SQL replay can
+        hash-check the table (queries/graphs._contract_round1_sql)."""
+        self._store_ghost_labels()
+        KB = self.CONTRACT_BUCKETS
+        part_refs = [a.lv_contract_partial.options(num_returns=KB)
+                     .remote(KB) for a in self.actors]
+        uniq_lbl = np.unique(np.concatenate(
+            ray.get([a.lv_unique_labels.remote() for a in self.actors])))
+        remap_arr = np.full(int(uniq_lbl.max(initial=0)) + 1, -1,
+                            dtype=np.int64)
+        remap_arr[uniq_lbl] = np.arange(len(uniq_lbl))
+        n_sub = len(uniq_lbl)
+        remap_ref = ray.put(remap_arr)
+        outs = [_dedup_contract.options(num_returns=2).remote(
+            remap_ref, n_sub, *[part_refs[i][k] for i in range(self.P)])
+            for k in range(KB)]
+        ray.get([o[1] for o in outs])   # surface dedup errors here
+        return [o[0] for o in outs], n_sub
+
     def _one_level(self, min_gain: float, use_subset: bool) -> tuple[bool, float]:
         """Distributed level-0 one_level.  Returns (changed, final_q).
 
