@@ -152,7 +152,8 @@ def _finalize_split(eng) -> dict:
     return out
 
 
-def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
+def run_graph_stress(num_cpus: int, pr_only: bool = False,
+                     lv_only: bool = False) -> dict:
     """Compute-dominated graph jobs on deterministic synthetic edge
     tables (same seed -> identical input at any parallelism):
 
@@ -173,6 +174,16 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
     P = max(2, num_cpus // 2)
 
     # ---- PageRank stress -------------------------------------------------
+    if lv_only:
+        # Louvain/dynamic iteration mode: skip the 400M-edge PageRank
+        # stress so A/B pairings on the timestep cadence turn around in
+        # minutes (same Louvain+dynamic measurement as the full child)
+        gen_pr_secs = pr_build_secs = pr_secs = 0.0
+        pr_build_phases, pr_finalize_split = [], {}
+        n_pr_edges = 0
+        return _run_lv_dynamic(num_cpus, P, gen_pr_secs, pr_build_secs,
+                               pr_secs, pr_build_phases,
+                               pr_finalize_split, n_pr_edges)
     t0 = time.time()
     pr_ds = synthetic_edges_dataset(PR_EDGES, PR_NODES,
                                     parallelism=max(64, num_cpus * 2)) \
@@ -206,6 +217,23 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
         }
 
     # ---- Louvain + dynamic ----------------------------------------------
+    return _run_lv_dynamic(num_cpus, P, gen_pr_secs, pr_build_secs,
+                           pr_secs, pr_build_phases, pr_finalize_split,
+                           n_pr_edges)
+
+
+def _run_lv_dynamic(num_cpus, P, gen_pr_secs, pr_build_secs, pr_secs,
+                    pr_build_phases, pr_finalize_split, n_pr_edges) -> dict:
+    """Louvain + one incremental timestep on the LV_EDGES symmetric
+    stress graph (shared tail of --graph-run; --lv-only enters here
+    directly, skipping the PageRank stress)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from linkgraph.fixtures.edges import edge_batch, synthetic_edges_dataset
+    from linkgraph.state.engine import GraphEngine
+
     t0 = time.time()
     ds = synthetic_edges_dataset(LV_EDGES, LV_NODES,
                                  parallelism=max(64, num_cpus * 2))
@@ -261,7 +289,8 @@ def run_graph_stress(num_cpus: int, pr_only: bool = False) -> dict:
         "csr_build_secs": round(pr_build_secs + build_secs, 3),
         "pagerank_iters": 10,
         "pagerank_secs": round(pr_secs, 3),
-        "pagerank_edges_per_sec_iter": round(n_pr_edges * 10 / pr_secs, 1),
+        "pagerank_edges_per_sec_iter":
+            round(n_pr_edges * 10 / pr_secs, 1) if pr_secs else 0.0,
         "louvain_secs": round(lv_secs, 3),
         "louvain_rounds": lv_rounds,
         "louvain_edges_per_sec_round": round(
@@ -414,6 +443,7 @@ def main():
     ap.add_argument("--pages-run", action="store_true")
     ap.add_argument("--graph-run", action="store_true")
     ap.add_argument("--pr-only", action="store_true")
+    ap.add_argument("--lv-only", action="store_true")
     ap.add_argument("--ingest-only", action="store_true")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -422,7 +452,8 @@ def main():
 
     if args.graph_run:
         print(json.dumps(run_graph_stress(args.cpus,
-                                          pr_only=args.pr_only)))
+                                          pr_only=args.pr_only,
+                                          lv_only=args.lv_only)))
         return
     if args.pages_run:
         print(json.dumps(run_pages_pipeline(args.cpus, args.pages,

@@ -52,11 +52,25 @@ def cmd_ingest(args):
 
 
 def cmd_pagerank(args):
+    import ray
     import ray.data as rd
     eng = _build_engine(args)
+    start_iter = 0
+    if getattr(args, "resume", False) and args.ckpt_dir:
+        # kill-resume: rebuild structure terms (pagerank_init), then
+        # overwrite the rank vector from the newest _SUCCESS-committed
+        # checkpoint and continue the iteration count from its superstep
+        # (the test_pagerank_resume recipe, S5 partition/labels reader)
+        latest = eng.latest_checkpoint(args.ckpt_dir)
+        if latest is not None:
+            start_iter = latest[0]
+            ray.get([a.pagerank_init.remote(0.85) for a in eng.actors])
+            if not eng.restore(args.ckpt_dir, start_iter, ["rank"]):
+                start_iter = 0
     res = eng.pagerank(tol=args.tol, max_iter=args.max_iter,
                        checkpoint_every=args.checkpoint_every,
-                       ckpt_dir=args.ckpt_dir)
+                       ckpt_dir=args.ckpt_dir, start_iter=start_iter)
+    res["start_iter"] = start_iter
     if args.out:
         refs = [a.pagerank_result.remote() for a in eng.actors]
         rd.from_arrow_refs(refs).write_parquet(args.out)
@@ -199,6 +213,9 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=1e-10)
     p.add_argument("--max-iter", type=int, default=200)
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest committed checkpoint "
+                        "in --ckpt-dir (kill-resume)")
     p.set_defaults(fn=cmd_pagerank)
 
     p = sub.add_parser("louvain")

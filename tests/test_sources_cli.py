@@ -211,3 +211,47 @@ def test_read_mtx_header_match_is_full_triple(tmp_path, ray_session):
         ["src", "dst"]).reset_index(drop=True)
     assert list(zip(raw["src"], raw["dst"], raw["w"])) == [
         (1, 2, 1.0), (2, 3, 1.0), (4, 4, 2.0)]
+
+
+def test_cli_pagerank_checkpoint_resume(tmp_path):
+    """Kill-resume operational path: a checkpointed pagerank job rerun
+    with --resume restores the newest committed step, skips the finished
+    supersteps (start_iter > 0), and converges to the same fixed point
+    as an uninterrupted run."""
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 300, 5000)
+    dst = rng.integers(0, 300, 5000)
+    keep = src != dst
+    pq.write_table(pa.table({"src": src[keep], "dst": dst[keep]}),
+                   tmp_path / "edges.parquet")
+    base = [sys.executable, "-m", "linkgraph.cli", "--num-cpus", "4",
+            "pagerank", "--edges", str(tmp_path / "edges.parquet"),
+            "--n-nodes", "300", "--n-parts", "2", "--job-name", "pr",
+            "--tol", "0", "--ckpt-dir", str(tmp_path / "ck"),
+            "--checkpoint-every", "5"]
+    # leg 1: run only 10 iters (simulates a job that died at iter 10 —
+    # the checkpoint at step-10 is committed, the result is NOT written)
+    out = subprocess.run([*base, "--max-iter", "10"],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-1500:]
+    # leg 2: resume to 30 iters; must start from superstep 10
+    out = subprocess.run(
+        [*base, "--max-iter", "30", "--resume",
+         "--out", str(tmp_path / "rank")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-1500:]
+    res = json.loads([l for l in out.stdout.splitlines()
+                      if l.startswith("{")][-1])
+    assert res["start_iter"] == 10
+    assert res["iterations"] == 30
+    got = pq.read_table(str(tmp_path / "rank")).to_pandas() \
+        .sort_values("node")["rank"].to_numpy()
+    # uninterrupted reference run, same fixed 30 iterations
+    out = subprocess.run(
+        [*base[:-4], "--max-iter", "30",
+         "--out", str(tmp_path / "rank_ref")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-1500:]
+    want = pq.read_table(str(tmp_path / "rank_ref")).to_pandas() \
+        .sort_values("node")["rank"].to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-12)
