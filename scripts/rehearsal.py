@@ -78,8 +78,8 @@ def main() -> None:
     # ---- 1. ingest ------------------------------------------------------
     graph_dir = os.path.join(args.out, "graph")
     t0 = time.time()
-    r = _cli(["ingest", "--pages", pages_dir, "--out", graph_dir,
-              *cpu_args])
+    r = _cli([*cpu_args, "ingest", "--pages", pages_dir,
+              "--out", graph_dir])
     assert r.returncode == 0, r.stderr[-2000:]
     ing = _last_json(r.stdout)
     manifest["stages"]["ingest"] = {"secs": round(time.time() - t0, 1),
@@ -89,10 +89,11 @@ def main() -> None:
     # ---- 2. pagerank with checkpoint, KILL, resume ----------------------
     ck = os.path.join(args.out, "ckpt_pr")
     rank_dir = os.path.join(args.out, "rank")
-    pr_args = ["pagerank", "--edges", f"{graph_dir}/edges",
+    pr_args = [*cpu_args, "pagerank", "--edges",
+               f"{graph_dir}/edges",
                "--n-nodes", str(n_nodes), "--job-name", "pr",
                "--tol", "0", "--max-iter", str(args.pr_iters),
-               "--checkpoint-every", "5", "--ckpt-dir", ck, *cpu_args]
+               "--checkpoint-every", "5", "--ckpt-dir", ck]
     t0 = time.time()
     proc = subprocess.Popen([sys.executable, "-m", "linkgraph.cli",
                              *pr_args], cwd=REPO,
@@ -161,10 +162,11 @@ def main() -> None:
     ck_dyn = os.path.join(args.out, "ckpt_dyn")
     labels_dir = os.path.join(args.out, "labels")
     t0 = time.time()
-    r = _cli(["dynamic", "--edges", f"{graph_dir}/sym_edges",
+    r = _cli([*cpu_args, "dynamic", "--edges",
+              f"{graph_dir}/sym_edges",
               "--n-nodes", str(n_nodes), "--job-name", "dyn",
               "--deltas", deltas_path, "--ckpt-dir", ck_dyn,
-              "--out", labels_dir, *cpu_args])
+              "--out", labels_dir])
     assert r.returncode == 0, r.stderr[-2000:]
     recs = _last_json(r.stdout)
     manifest["stages"]["dynamic"] = {
