@@ -423,6 +423,9 @@ def run_scaling(n_pages: int, lo: int = 8, hi: int = 32) -> dict:
         "value": eff(graph, "pagerank_edges_per_sec_iter"),
         "unit": "efficiency",
         "louvain_efficiency": eff(graph, "louvain_edges_per_sec_round"),
+        "dynamic_efficiency": round(
+            (graph[lo]["dynamic_secs"] / graph[hi]["dynamic_secs"])
+            / factor, 3),
         "ingest_efficiency": round(
             (pages[lo]["ingest_secs"] / pages[hi]["ingest_secs"]) / factor, 3),
         "graph_lo": graph[lo],

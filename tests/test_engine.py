@@ -603,3 +603,30 @@ class TestRouteModes:
             eng.shutdown()
         assert tbls["owner"].equals(tbls["split"])
         assert tbls["index"].equals(tbls["split"])
+
+
+def test_contract_edges_p_invariant(engine_mod):
+    """L4 gate surface: contract_edges must yield the identical dense
+    contracted edge table at any partition count (fixed-width dedup
+    wave + ascending-label renumber are parallelism-invariant by
+    design)."""
+    import pyarrow as pa
+    import ray
+
+    n = 400
+    src, dst = directed_er(n, 0.02, 7)
+    tables = []
+    for parts in (2, 4):
+        eng = engine_mod.from_arrays(src, dst, n=n, n_parts=parts,
+                                     name=f"ce{parts}")
+        try:
+            eng.louvain_round1()
+            refs, n_sub = eng.contract_edges()
+            t = pa.concat_tables(ray.get(refs)).to_pandas() \
+                .sort_values(["src", "dst"]).reset_index(drop=True)
+            tables.append((t, n_sub))
+        finally:
+            eng.shutdown()
+    (t2, n2), (t4, n4) = tables
+    assert n2 == n4
+    assert t2.equals(t4)

@@ -311,3 +311,4 @@ def test_comm_sizes_canonical_parallelism_invariant(ray_session):
         assert got == want
         assert outs[P]["size"].sum() == n
     assert outs[2].equals(outs[3])
+
