@@ -116,6 +116,63 @@ def dim_topk(embeddings: rd.Dataset, *, dim: int = 0, k: int = 20
             .sort(["coord", "vec_id"], descending=[True, False]).limit(k))
 
 
+LSH_BITS = 8
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def lsh_ann_topk(embeddings: rd.Dataset, *, n_queries: int = 16,
+                 k: int = 10, bits: int = LSH_BITS) -> rd.Dataset:
+    """Sign-LSH bucketed cosine top-k (the north rule's "LSH-bucketed
+    variant"): bucket = sign bits of the first ``bits`` raw float32
+    coordinates (projections onto the basis hyperplanes — deterministic,
+    no trained state); each query ranks ONLY the vectors in its own
+    bucket or a hamming<=1 neighbour bucket (multi-probe), by exact
+    cosine.  The bucket rule is part of the OPERATOR SEMANTICS, so the
+    same rule replays in SQL and the gate value-checks the output —
+    recall vs exact ANN is the usual LSH trade, but the result itself
+    is deterministic.  Scale: expected candidates per query ~=
+    corpus * (bits+1) / 2^bits, and the bucket id is a ready-made
+    partition key for a corpus-sized probe fan-out."""
+    qids, qmat = load_queries(embeddings, n_queries)
+    qn = _normalize(qmat)
+    w = (1 << np.arange(bits, dtype=np.int64))
+    qbuck = ((qmat[:, :bits] > 0) @ w).astype(np.int64)
+    q_ref = ray.put((qids, qn, qbuck))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        ids_q, qn_, qb = ray.get(q_ref)
+        raw = _stack_raw(batch)
+        buck = ((raw[:, :bits] > 0) @ w).astype(np.int64)
+        m = _normalize(_stack(batch))
+        vids = batch.column("vec_id").to_numpy()
+        sims = qn_ @ m.T                                   # (Q, n)
+        ham = _POPCOUNT8[np.bitwise_xor(qb[:, None], buck[None, :])]
+        sims[(ham > 1) | (vids[None, :] == ids_q[:, None])] = -np.inf
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        svals = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        rows_q = np.repeat(ids_q, kk)
+        keep = svals > -np.inf                 # drop non-candidates
+        return pa.table({
+            "query_id": rows_q[keep],
+            "neighbor_id": vids[top].reshape(-1)[keep],
+            "sim": svals[keep],
+        })
+
+    partials = embeddings.map_batches(batch_topk, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return g[["query_id", "neighbor_id"]].astype(
+            {"query_id": "int64", "neighbor_id": "int64"})
+
+    return (partials.groupby("query_id")
+            .map_groups(merge, batch_format="pandas"))
+
+
 # --------------------------------------------------------- IVF index (scale)
 #
 # The 100 TB similarity-search path: a coarse codebook trained with

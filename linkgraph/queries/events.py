@@ -439,7 +439,70 @@ _FUNNEL_SQL = f"""
             LEFT JOIN s3 ON s2.user_id = s3.user_id"""
 
 
+def q_retention(sf_dir: str):
+    """Hour-over-hour cohort retention: for each hour h, the number of
+    distinct active users and how many of them are also active in
+    h+1 — the classic engagement/cohort diagnostic.
+
+    Scale shape: hash exchange on user_id (each user's full hour set
+    lands whole in one partition), one lexsort pass per partition over
+    (user, hour) finds consecutive-hour pairs, partials pre-aggregated
+    per hour, then a small grouped exchange on the hour sums them —
+    raw events cross the wire once and nothing per-user runs in
+    Python."""
+    from ..stages.exchange import grouped_exchange, \
+        keyed_partition_exchange
+    ev = _events(sf_dir, ["user_id", "ts"])
+    HOUR_US = 3_600_000_000
+
+    def per_user(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "hour": pa.array([], pa.timestamp("us")),
+            "n_active": pa.array([], pa.int64()),
+            "n_retained": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy()
+        h = (t.column("ts").to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // HOUR_US) * HOUR_US
+        order = np.lexsort((h, u))
+        us, hs = u[order], h[order]
+        keep = np.empty(len(us), dtype=bool)
+        keep[0] = True
+        keep[1:] = (us[1:] != us[:-1]) | (hs[1:] != hs[:-1])
+        us, hs = us[keep], hs[keep]              # distinct (user, hour)
+        nxt = (us[1:] == us[:-1]) & (hs[1:] - hs[:-1] == HOUR_US)
+        uh, inv = np.unique(hs, return_inverse=True)
+        n_act = np.bincount(inv, minlength=len(uh)).astype(np.int64)
+        n_ret = np.bincount(inv[:-1], weights=nxt,
+                            minlength=len(uh)).astype(np.int64) \
+            if len(us) > 1 else np.zeros(len(uh), np.int64)
+        return pa.table({
+            "hour": pa.array(uh.astype("datetime64[us]")),
+            "n_active": pa.array(n_act, pa.int64()),
+            "n_retained": pa.array(n_ret, pa.int64())})
+
+    partials = keyed_partition_exchange(ev, ["user_id"], per_user)
+    return grouped_exchange(partials, ["hour"],
+                            [("sum", "n_active", "n_active"),
+                             ("sum", "n_retained", "n_retained")])
+
+
+_RETENTION_SQL = """
+    WITH hu AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+      FROM events)
+    SELECT a.hour, CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained
+    FROM hu a LEFT JOIN hu b
+      ON b.user_id = a.user_id
+     AND b.hour = a.hour + INTERVAL 1 HOUR
+    GROUP BY a.hour"""
+
+
 EVENTS_SQL: dict[str, str] = {
+    "ev_retention": _RETENTION_SQL,
     "ev_funnel": _FUNNEL_SQL,
     "ev_hll_users": _HLL_SQL,
     "ev_cms_users": _CMS_SQL,

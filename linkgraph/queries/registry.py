@@ -619,6 +619,21 @@ _CURATION_SQL = f"""
     SELECT k.doc_id, v.score, k.n_copies
     FROM keep k JOIN surv v ON k.doc_id = v.doc_id"""
 
+def q_doc_dup_ngrams(sf_dir: str):
+    """Duplicated-n-gram stats (Gopher/RefinedWeb boilerplate signal):
+    per doc, distinct 3-word shingles and how many occur in >= 2 docs
+    corpus-wide — two hash exchanges, per-shingle doc sets never leave
+    their partition (see text/ops.dup_ngram_stats)."""
+    return tx.dup_ngram_stats(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
+def q_emb_lsh_ann(sf_dir: str):
+    """Sign-LSH bucketed ANN (the north rule's LSH-bucketed variant):
+    deterministic multi-probe bucket rule replayed in SQL, exact cosine
+    ranking within the probed buckets."""
+    return em.lsh_ann_topk(_emb(sf_dir), n_queries=ANN_QUERIES, k=ANN_K)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition signals (top-token count, duplicate
     bigrams) — integer-exact per doc, one vectorized pass."""
@@ -697,7 +712,30 @@ SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
 FROM sh LEFT JOIN bset b ON b.s = sh.s
 GROUP BY sh.doc_id"""
 
+# duplicated-n-gram oracle: exact string shingles (same 3-word CTE as
+# the MinHash / contamination oracles), corpus-wide doc counts per
+# shingle, per-doc totals — integer-exact.  The engine counts 64-bit
+# shingle hashes (contamination precedent), so a green gate is also a
+# collision check.
+_DUP_NGRAM_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END)) AS s
+  FROM w),
+cnt AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nd FROM sh GROUP BY s)
+SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup
+FROM sh JOIN cnt ON cnt.s = sh.s
+GROUP BY sh.doc_id"""
+
 TEXT_SQL: dict[str, str] = {
+    "doc_dup_ngrams": _DUP_NGRAM_SQL,
     "doc_repetition": _REPETITION_SQL,
     "doc_contamination": _CONTAM_SQL,
     "doc_curation": _CURATION_SQL.format(lang_sql=_LANGID_SQL,
@@ -770,7 +808,33 @@ _ANN_EXACT_SQL = f"""
                          CAST(e.embedding AS DOUBLE[])) DESC,
                      e.vec_id) <= {ANN_K}"""
 
+# sign-LSH oracle: the SAME deterministic bucket rule (sign bits of the
+# first 8 raw float32 coordinates), hamming<=1 multi-probe, exact
+# cosine ranking within the probed set — the bucket rule is operator
+# semantics, so the gate value-checks the LSH variant end-to-end.
+_LSH_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(8))
+_LSH_ANN_SQL = f"""
+        WITH b AS (
+          SELECT vec_id, embedding,
+                 CAST({_LSH_BUCKET_EXPR} AS BIGINT) AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id, embedding, bucket FROM b
+              WHERE vec_id < {ANN_QUERIES})
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+        FROM q JOIN b e
+          ON e.vec_id <> q.vec_id
+         AND bit_count(xor(q.bucket, e.bucket)) <= 1
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(
+                         CAST(q.embedding AS DOUBLE[]),
+                         CAST(e.embedding AS DOUBLE[])) DESC,
+                     e.vec_id) <= {ANN_K}"""
+
 EMB_SQL: dict[str, str] = {
+    "emb_lsh_ann": _LSH_ANN_SQL,
     "emb_ann": _ANN_EXACT_SQL,
     # the bound-pruned IVF search is exact top-k, so the brute-force
     # oracle checks it value-for-value (recall gate, VERDICT r2 item 5)
@@ -889,6 +953,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_jaccard": q_doc_token_jaccard,
     "doc_repetition": q_doc_repetition,
     "doc_contamination": q_doc_contamination,
+    "doc_dup_ngrams": q_doc_dup_ngrams,
     "doc_dedup_near": q_doc_dedup_near,
     "doc_pack": q_doc_pack,
     "doc_split": q_doc_split,
@@ -902,11 +967,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # embeddings / similarity search (north rule)
     "emb_ann": q_emb_ann,
     "emb_ivf_ann": q_emb_ivf_ann,
+    "emb_lsh_ann": q_emb_lsh_ann,
     "emb_near_dup": q_emb_near_dup,
     "emb_dim_topk": q_emb_dim_topk,
     # events: windows / sessions / grouped top-k + dynamic deltas
     "ev_hour_window": ev.q_hour_window,
     "ev_sessions": ev.q_sessions,
+    "ev_retention": ev.q_retention,
     "ev_type_counts": ev.q_type_counts,
     "ev_topk_per_user": ev.q_topk_per_user,
     "ev_sliding_window": ev.q_sliding_window,
@@ -941,6 +1008,7 @@ _CHECK_FIRST = [
     # (1) new gates
     "graph_contract_round1", "graph_louvain_round2",
     "graph_comembership_round1", "graph_pagerank_warm",
+    "doc_dup_ngrams", "emb_lsh_ann", "ev_retention",
     # (2) changed code
     "ev_sessions", "ev_topk_per_user", "graph_common_neighbors",
     "graph_resource_alloc", "doc_token_jaccard",
@@ -959,8 +1027,7 @@ _CHECK_FIRST = [
     "graph_screen_del", "graph_dynamic_round1",
     "graph_comm_sizes_round1", "graph_pagerank",
     "doc_minhash_pairs", "doc_dedup_near", "doc_sample",
-    "doc_repetition", "graph_edges", "graph_sym_edges",
-    "graph_degrees", "graph_triangles",
+    "doc_repetition", "graph_edges",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _CHECK_FIRST},
            **{k: v for k, v in QUERIES.items() if k not in _CHECK_FIRST}}

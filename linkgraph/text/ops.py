@@ -281,6 +281,71 @@ def contamination_batch(batch: pa.Table, bench_ref, k: int) -> pa.Table:
     })
 
 
+def dup_ngram_stats(docs, k: int = 3):
+    """(doc_id, n_shingles, n_dup): per doc, distinct k-word shingles
+    and how many of them occur in >= 2 documents CORPUS-WIDE — the
+    Gopher / RefinedWeb duplicated-n-gram filter signal (docs dominated
+    by shingles shared with other documents are boilerplate).
+
+    Scale shape: two hash exchanges, nothing corpus-sized on the
+    driver.  (1) per-block (doc_id, distinct shingle hash) rows are
+    hash-partitioned on the SHINGLE so each shingle's full document
+    set lands in one partition; the partition reducer counts documents
+    per shingle and emits per-doc (n_shingles, n_dup) PARTIALS —
+    already aggregated, O(docs-in-partition) rows.  (2) a grouped
+    exchange on doc_id sums the partials.  64-bit shingle hashes stand
+    in for the strings (the contamination_batch precedent: collision
+    odds ~1e-9 at gate scale; the DuckDB oracle uses exact strings, so
+    the green gate doubles as a collision check)."""
+    from ..stages.exchange import grouped_exchange, keyed_partition_exchange
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        flat, lens = _batch_shingle_hashes(texts, k)
+        rows = np.repeat(t.column("doc_id").to_numpy(), lens)
+        order = np.lexsort((flat, rows))
+        h_s, r_s = flat[order], rows[order]
+        if len(h_s):
+            keep = np.empty(len(h_s), dtype=bool)
+            keep[0] = True
+            keep[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
+            h_s, r_s = h_s[keep], r_s[keep]      # per-doc distinct
+        return pa.table({"h": pa.array(h_s.view(np.int64), pa.int64()),
+                         "doc_id": pa.array(r_s, pa.int64())})
+
+    rows = docs.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_shingle(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_shingles": pa.array([], pa.int64()),
+                          "n_dup": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = t.column("h").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs, ds = h[order], d[order]
+        new = np.empty(len(hs), dtype=bool)
+        new[0] = True
+        new[1:] = hs[1:] != hs[:-1]
+        gid = np.cumsum(new) - 1
+        gsz = np.bincount(gid)                   # docs per shingle
+        dup = gsz[gid] >= 2
+        ud, inv = np.unique(ds, return_inverse=True)
+        n_sh = np.bincount(inv, minlength=len(ud)).astype(np.int64)
+        n_dup = np.bincount(inv, weights=dup,
+                            minlength=len(ud)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ud, pa.int64()),
+                         "n_shingles": pa.array(n_sh, pa.int64()),
+                         "n_dup": pa.array(n_dup, pa.int64())})
+
+    partials = keyed_partition_exchange(rows, ["h"], per_shingle)
+    return grouped_exchange(partials, ["doc_id"],
+                            [("sum", "n_shingles", "n_shingles"),
+                             ("sum", "n_dup", "n_dup")])
+
+
 # ------------------------------------------------------------- exact dedup
 
 def md5_batch(batch: pa.Table) -> pa.Table:
