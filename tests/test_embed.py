@@ -80,3 +80,36 @@ def test_near_dup_handles_empty_blocks():
     ds = rd.from_arrow([tbl.slice(0, 0), tbl, tbl.slice(0, 0)])
     got = em.embedding_near_dup(ds, threshold=0.99)
     assert got.num_rows >= 0  # must not raise
+
+
+def test_lsh_ann_matches_bucket_brute_force(ray_session):
+    """lsh_ann_topk == numpy replay of the deterministic bucket rule
+    (sign bits of the first 8 raw coords, hamming<=1 probe, exact
+    cosine ranking, ties by neighbor id)."""
+    import ray.data as rd
+
+    from linkgraph.embed.ops import lsh_ann_topk
+
+    rng = np.random.default_rng(4)
+    n, d, q, k = 300, 16, 6, 5
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32()))}))
+    got = lsh_ann_topk(ds, n_queries=q, k=k).to_pandas()
+    got = {qq: sorted(g["neighbor_id"])
+           for qq, g in got.groupby("query_id")}
+
+    w = 1 << np.arange(8)
+    buck = ((m[:, :8] > 0) @ w).astype(np.int64)
+    md = m.astype(np.float64)
+    md /= np.linalg.norm(md, axis=1, keepdims=True)
+    pop = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1)
+    for qq in range(q):
+        cand = np.flatnonzero(
+            (pop[np.bitwise_xor(buck[qq], buck)] <= 1)
+            & (np.arange(n) != qq))
+        sims = md[cand] @ md[qq]
+        order = np.lexsort((cand, -sims))[:k]
+        assert sorted(cand[order].tolist()) == got[qq]

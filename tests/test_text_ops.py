@@ -475,3 +475,35 @@ def test_token_jaccard_overflow_route(ray_session):
     full = {250, 500, 750}                    # i % 50 == 0 and i % 5 == 0
     linked = set(twins.a.tolist()) | set(twins.b.tolist())
     assert full & linked
+
+
+def test_dup_ngram_stats_matches_naive(ray_session):
+    """dup_ngram_stats == naive per-doc distinct-shingle counts with
+    corpus-wide >= 2-doc membership."""
+    import ray.data as rd
+
+    from linkgraph.text import ops as tx
+
+    rng = np.random.default_rng(11)
+    texts = [" ".join(rng.choice(["a", "b", "c", "d", "e"],
+                                 size=rng.integers(1, 12)))
+             for _ in range(60)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array(texts)}))
+    out = tx.dup_ngram_stats(docs, k=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def shingles(t):
+        w = t.split(" ")
+        if len(w) < 3:
+            return {t}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = [shingles(t) for t in texts]
+    from collections import Counter
+    cnt = Counter(s for ss in sets for s in ss)
+    exp_n = [len(ss) for ss in sets]
+    exp_d = [sum(1 for s in ss if cnt[s] >= 2) for ss in sets]
+    assert out["n_shingles"].tolist() == exp_n
+    assert out["n_dup"].tolist() == exp_d
