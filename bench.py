@@ -443,6 +443,8 @@ def main():
     enable_shmmap()
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-lo", type=int, default=8)
+    ap.add_argument("--scaling-hi", type=int, default=32)
     ap.add_argument("--pages-run", action="store_true")
     ap.add_argument("--graph-run", action="store_true")
     ap.add_argument("--pr-only", action="store_true")
@@ -463,7 +465,8 @@ def main():
                                             ingest_only=args.ingest_only)))
         return
     if args.scaling:
-        print(json.dumps(run_scaling(args.pages)))
+        print(json.dumps(run_scaling(args.pages, lo=args.scaling_lo,
+                                     hi=args.scaling_hi)))
         return
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     print(json.dumps(run_sf_bench(sf_dir, args.cpus)))
