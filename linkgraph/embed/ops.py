@@ -134,6 +134,7 @@ def lsh_ann_topk(embeddings: rd.Dataset, *, n_queries: int = 16,
     is deterministic.  Scale: expected candidates per query ~=
     corpus * (bits+1) / 2^bits, and the bucket id is a ready-made
     partition key for a corpus-sized probe fan-out."""
+    assert 1 <= bits <= 8, "hamming table covers 8-bit buckets"
     qids, qmat = load_queries(embeddings, n_queries)
     qn = _normalize(qmat)
     w = (1 << np.arange(bits, dtype=np.int64))
