@@ -281,6 +281,13 @@ def contamination_batch(batch: pa.Table, bench_ref, k: int) -> pa.Table:
     })
 
 
+# deterministic document sample for the dup-ngram stop-shingle guard:
+# shingles seen in >= 2 sampled docs are provably duplicated and are
+# counted map-side instead of entering the exchange.  At corpus scale
+# raise the mod so the gathered sample stays driver-sized.
+STOP_SAMPLE_MOD = 8
+
+
 def dup_ngram_stats(docs, k: int = 3):
     """(doc_id, n_shingles, n_dup): per doc, distinct k-word shingles
     and how many of them occur in >= 2 documents CORPUS-WIDE — the
@@ -296,10 +303,21 @@ def dup_ngram_stats(docs, k: int = 3):
     exchange on doc_id sums the partials.  64-bit shingle hashes stand
     in for the strings (the contamination_batch precedent: collision
     odds ~1e-9 at gate scale; the DuckDB oracle uses exact strings, so
-    the green gate doubles as a collision check)."""
+    the green gate doubles as a collision check).
+
+    Skew guard (the hot-shingle problem): a boilerplate shingle present
+    in a large fraction of documents would route ALL its (h, doc) rows
+    to one partition.  A sampled STOP-SHINGLE prefilter removes that
+    exposure without changing a single output value: any shingle seen
+    in >= 2 docs of a deterministic sample (doc_id % STOP_SAMPLE_MOD)
+    is PROVABLY duplicated corpus-wide, so its per-doc contribution is
+    counted map-side and its rows never enter the exchange; shingles
+    below the sample's resolution (df ~< 1/sample size) still co-locate
+    exactly.  Same shape as the minhash HOT_BUCKET_CLIQUE_CAP — the
+    broadcast small side replaces the skewed shuffle."""
     from ..stages.exchange import grouped_exchange, keyed_partition_exchange
 
-    def explode(t: pa.Table) -> pa.Table:
+    def _doc_distinct(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         texts = t.column("text").to_pylist()
         flat, lens = _batch_shingle_hashes(texts, k)
         rows = np.repeat(t.column("doc_id").to_numpy(), lens)
@@ -310,11 +328,75 @@ def dup_ngram_stats(docs, k: int = 3):
             keep[0] = True
             keep[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
             h_s, r_s = h_s[keep], r_s[keep]      # per-doc distinct
+        return h_s, r_s
+
+    # ---- sampled stop-shingle set (tiny, gathered + broadcast) ----
+    def sample_pairs(t: pa.Table) -> pa.Table:
+        sel = t.column("doc_id").to_numpy() % STOP_SAMPLE_MOD == 0
+        sub = t.filter(pa.array(sel))
+        if sub.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        h_s, r_s = _doc_distinct(sub)
         return pa.table({"h": pa.array(h_s.view(np.int64), pa.int64()),
                          "doc_id": pa.array(r_s, pa.int64())})
 
+    import ray as _ray
+    sp = [t for t in _ray.get(
+        docs.map_batches(sample_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    if sp:
+        st_ = pa.concat_tables(sp)
+        hh = st_.column("h").to_numpy()
+        uh, inv = np.unique(hh, return_inverse=True)
+        # >= 2 distinct docs in the sample (rows are per-doc distinct)
+        stop = np.sort(uh[np.bincount(inv) >= 2])
+    else:
+        stop = np.empty(0, np.int64)
+    stop_ref = _ray.put(stop)
+
+    def explode(t: pa.Table) -> pa.Table:
+        h_s, r_s = _doc_distinct(t)
+        stop_s = _ray.get(stop_ref)
+        hi = h_s.view(np.int64)
+        if len(stop_s) and len(hi):
+            pos = np.minimum(np.searchsorted(stop_s, hi),
+                             len(stop_s) - 1)
+            is_stop = stop_s[pos] == hi
+            hi, r_keep = hi[~is_stop], r_s[~is_stop]
+        else:
+            r_keep = r_s
+        return pa.table({"h": pa.array(hi, pa.int64()),
+                         "doc_id": pa.array(r_keep, pa.int64())})
+
+    def stop_partials(t: pa.Table) -> pa.Table:
+        """Map-side exact contribution of stop shingles: each is in
+        >= 2 docs by the sample witness, so n_dup == n_shingles here."""
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_shingles": pa.array([], pa.int64()),
+                          "n_dup": pa.array([], pa.int64())})
+        stop_s = _ray.get(stop_ref)
+        if len(stop_s) == 0:
+            return empty
+        h_s, r_s = _doc_distinct(t)
+        hi = h_s.view(np.int64)
+        if len(hi) == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(stop_s, hi), len(stop_s) - 1)
+        is_stop = stop_s[pos] == hi
+        rs = r_s[is_stop]
+        if len(rs) == 0:
+            return empty
+        ud, cnt = np.unique(rs, return_counts=True)
+        c = pa.array(cnt.astype(np.int64), pa.int64())
+        return pa.table({"doc_id": pa.array(ud, pa.int64()),
+                         "n_shingles": c, "n_dup": c})
+
     rows = docs.map_batches(explode, batch_format="pyarrow",
                             zero_copy_batch=True)
+    map_side = docs.map_batches(stop_partials, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
     def per_shingle(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -341,7 +423,7 @@ def dup_ngram_stats(docs, k: int = 3):
                          "n_dup": pa.array(n_dup, pa.int64())})
 
     partials = keyed_partition_exchange(rows, ["h"], per_shingle)
-    return grouped_exchange(partials, ["doc_id"],
+    return grouped_exchange(partials.union(map_side), ["doc_id"],
                             [("sum", "n_shingles", "n_shingles"),
                              ("sum", "n_dup", "n_dup")])
 
