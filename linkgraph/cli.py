@@ -71,6 +71,12 @@ def cmd_pagerank(args):
                        checkpoint_every=args.checkpoint_every,
                        ckpt_dir=args.ckpt_dir, start_iter=start_iter)
     res["start_iter"] = start_iter
+    # a resume landing exactly on the final checkpointed superstep runs
+    # zero iterations and leaves delta = inf, which json.dumps would
+    # print as bare Infinity (invalid JSON on the CLI stdout contract)
+    import math
+    if not math.isfinite(res.get("delta", 0.0)):
+        res["delta"] = None
     if args.out:
         refs = [a.pagerank_result.remote() for a in eng.actors]
         rd.from_arrow_refs(refs).write_parquet(args.out)

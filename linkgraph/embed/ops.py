@@ -69,6 +69,10 @@ def ann_topk(embeddings: rd.Dataset, *, n_queries: int = 16, k: int = 10
     q_ref = ray.put((qids, qn))
 
     def batch_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:      # zero-row block: reshape(0,-1) raises
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         ids_q, qn_ = ray.get(q_ref)
         m = _normalize(_stack(batch))
         vids = batch.column("vec_id").to_numpy()
@@ -142,6 +146,10 @@ def lsh_ann_topk(embeddings: rd.Dataset, *, n_queries: int = 16,
     q_ref = ray.put((qids, qn, qbuck))
 
     def batch_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:      # zero-row block: reshape(0,-1) raises
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         ids_q, qn_, qb = ray.get(q_ref)
         raw = _stack_raw(batch)
         buck = ((raw[:, :bits] > 0) @ w).astype(np.int64)

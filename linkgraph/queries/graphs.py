@@ -1250,20 +1250,12 @@ def _cn_pair_rows(sf_dir: str):
 
 
 def q_common_neighbors(sf_dir: str):
-    from ..text.ops import (_pair_verify_reduce, _pair_verify_split,
-                            pair_verify_fanout)
+    from ..text.ops import _pair_verify_reduce, pair_verify_exchange
     rows = _cn_pair_rows(sf_dir).materialize()
-    # fan-out sized to the candidate volume (shared contract with the
+    # fan-out sized to the candidate volume (shared helper with the
     # minhash verify) — never a hard-coded partition count
-    P = pair_verify_fanout(rows.count() // 2)
-    blocks = rows.to_arrow_refs()
-    split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
-             for blk in blocks]
-    if P == 1:
-        split = [[r] for r in split]
-    outs = [_pair_verify_reduce.remote(
-        0.0, *[split[i][p] for i in range(len(split))])
-        for p in range(P)]
+    outs = pair_verify_exchange(rows, _pair_verify_reduce, 0.0,
+                                n_cand=rows.count() // 2)
     # reduce outputs are uniformly typed (empty included): concat handles
     # the all-empty pair sample without a ValueError
     t = pa.concat_tables(ray.get(outs))
@@ -1351,7 +1343,6 @@ def q_resource_alloc(sf_dir: str):
 
     from ..common import gather_table
     from ..stages.exchange import keyed_partition_exchange
-    from ..text.ops import _pair_verify_split
     # per-node quantized weight floor(RA_Q / nonself-degree), dense
     # over the node space (broadcast — NMOD entries)
     deg_t = gather_table(keyed_partition_exchange(
@@ -1363,17 +1354,10 @@ def q_resource_alloc(sf_dir: str):
     nd_vals = deg_t.column("nd").to_numpy().astype(np.float64)
     w_score[nd_nodes] = np.floor(RA_Q / nd_vals).astype(np.int64)
     nd_ref = _ray.put(w_score)
-    from ..text.ops import pair_verify_fanout
+    from ..text.ops import pair_verify_exchange
     rows = _cn_pair_rows(sf_dir).materialize()
-    P = pair_verify_fanout(rows.count() // 2)
-    blocks = rows.to_arrow_refs()
-    split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
-             for blk in blocks]
-    if P == 1:
-        split = [[r] for r in split]
-    outs = [_ra_reduce.remote(
-        nd_ref, *[split[i][p] for i in range(len(split))])
-        for p in range(P)]
+    outs = pair_verify_exchange(rows, _ra_reduce, nd_ref,
+                                n_cand=rows.count() // 2)
     return pa.concat_tables(ray.get(outs))
 
 

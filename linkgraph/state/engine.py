@@ -1105,8 +1105,9 @@ class GraphEngine:
 
         A whole round (all active buckets) is submitted as ONE pipelined
         chain of actor calls with a single driver barrier at round end:
-        each actor's task queue runs [sync-serve, sync-apply, phase1,
-        comm-serve, phase2, apply] per bucket in submission order, and
+        each actor's task queue runs the four fused tasks
+        [cache-sync; phase1], comm-serve, phase2, [apply; serve-changed]
+        per bucket in submission order (see _sweep_buckets), and
         cross-actor dependencies resolve through ObjectRefs inside the
         actors.  At P partitions this cuts driver round-trips per round
         from ~2x#buckets to 1 — the barrier-latency term that dominated

@@ -357,6 +357,13 @@ def dup_ngram_stats(docs, k: int = 3):
     stop_ref = _ray.put(stop)
 
     def explode(t: pa.Table) -> pa.Table:
+        """ONE expensive pass (tokenize + hash + per-doc distinct):
+        emits the exchange rows AND the map-side stop partials in a
+        combined schema — nonstop shingles as (h, doc_id, stop_c=0),
+        per-doc stop contributions as (h=0, doc_id, stop_c=count);
+        each is in >= 2 docs by the sample witness, so for the stop
+        rows n_dup == n_shingles == stop_c.  Two cheap column filters
+        split the streams downstream without re-hashing the corpus."""
         h_s, r_s = _doc_distinct(t)
         stop_s = _ray.get(stop_ref)
         hi = h_s.view(np.int64)
@@ -364,39 +371,40 @@ def dup_ngram_stats(docs, k: int = 3):
             pos = np.minimum(np.searchsorted(stop_s, hi),
                              len(stop_s) - 1)
             is_stop = stop_s[pos] == hi
-            hi, r_keep = hi[~is_stop], r_s[~is_stop]
         else:
-            r_keep = r_s
-        return pa.table({"h": pa.array(hi, pa.int64()),
-                         "doc_id": pa.array(r_keep, pa.int64())})
+            is_stop = np.zeros(len(hi), dtype=bool)
+        hk, rk = hi[~is_stop], r_s[~is_stop]
+        ud, cnt = (np.unique(r_s[is_stop], return_counts=True)
+                   if is_stop.any() else (np.empty(0, np.int64),
+                                          np.empty(0, np.int64)))
+        return pa.table({
+            "h": pa.array(np.concatenate([hk, np.zeros(len(ud),
+                                                       np.int64)]),
+                          pa.int64()),
+            "doc_id": pa.array(np.concatenate([rk, ud]), pa.int64()),
+            "stop_c": pa.array(np.concatenate(
+                [np.zeros(len(hk), np.int64),
+                 cnt.astype(np.int64)]), pa.int64()),
+        })
 
-    def stop_partials(t: pa.Table) -> pa.Table:
-        """Map-side exact contribution of stop shingles: each is in
-        >= 2 docs by the sample witness, so n_dup == n_shingles here."""
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "n_shingles": pa.array([], pa.int64()),
-                          "n_dup": pa.array([], pa.int64())})
-        stop_s = _ray.get(stop_ref)
-        if len(stop_s) == 0:
-            return empty
-        h_s, r_s = _doc_distinct(t)
-        hi = h_s.view(np.int64)
-        if len(hi) == 0:
-            return empty
-        pos = np.minimum(np.searchsorted(stop_s, hi), len(stop_s) - 1)
-        is_stop = stop_s[pos] == hi
-        rs = r_s[is_stop]
-        if len(rs) == 0:
-            return empty
-        ud, cnt = np.unique(rs, return_counts=True)
-        c = pa.array(cnt.astype(np.int64), pa.int64())
-        return pa.table({"doc_id": pa.array(ud, pa.int64()),
-                         "n_shingles": c, "n_dup": c})
+    combined = docs.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
 
-    rows = docs.map_batches(explode, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    map_side = docs.map_batches(stop_partials, batch_format="pyarrow",
+    def only_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("stop_c"), 0))
+        return t.select(["h", "doc_id"])
+
+    def only_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("stop_c"), 0))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_shingles": t.column("stop_c"),
+                         "n_dup": t.column("stop_c")})
+
+    rows = combined.map_batches(only_rows, batch_format="pyarrow",
                                 zero_copy_batch=True)
+    map_side = combined.map_batches(only_partials,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
 
     def per_shingle(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -921,6 +929,27 @@ def pair_verify_fanout(n_cand: int) -> int:
     return max(1, min(default_partitions(), n_cand // 1000))
 
 
+def pair_verify_exchange(rows_ds, reduce_remote, *reduce_args,
+                         n_cand: int) -> list:
+    """The shared pair-key exchange: hash-split exploded pair rows so
+    both rows of every candidate pair land in one partition, then run
+    ``reduce_remote`` (a ray.remote function called as
+    ``reduce_remote.remote(*reduce_args, *partition_tables)``) once per
+    partition.  Fan-out sized to ``n_cand`` via pair_verify_fanout.
+    Returns the P output-table refs (callers concat / wrap them).
+    Single home for the num_returns / P==1-wrapping Ray quirks that
+    were previously copy-pasted at every verify site."""
+    P = pair_verify_fanout(n_cand)
+    blocks = rows_ds.materialize().to_arrow_refs()
+    split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
+             for blk in blocks]
+    if P == 1:
+        split = [[r] for r in split]
+    return [reduce_remote.remote(
+        *reduce_args, *[split[i][p] for i in range(len(split))])
+        for p in range(P)]
+
+
 @ray.remote
 def _pair_verify_split(tbl: pa.Table, P: int):
     """Hash-split exploded pair rows (a, b, doc_id, sh) on the PAIR key
@@ -1146,15 +1175,8 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
     # gate scale) verify in ONE task instead of paying a P-way split +
     # reduce fan-out; the P choice is keyed on the global pair count,
     # so results stay parallelism-invariant
-    P = pair_verify_fanout(pairs.count())
-    blocks = pair_rows.materialize().to_arrow_refs()
-    split = [_pair_verify_split.options(num_returns=P).remote(blk, P)
-             for blk in blocks]
-    if P == 1:
-        split = [[r] for r in split]
-    outs = [_pair_verify_reduce.remote(
-        threshold, *[split[i][p] for i in range(len(split))])
-        for p in range(P)]
+    outs = pair_verify_exchange(pair_rows, _pair_verify_reduce,
+                                threshold, n_cand=pairs.count())
     counts = ray.get([_count_rows.remote(r) for r in outs])
     kept = [r for r, n in zip(outs, counts) if n]
     return rd.from_arrow_refs(kept if kept else outs[:1])
@@ -1168,20 +1190,31 @@ def minhash_dup_pairs(docs, *, threshold: float = 0.7,
 # removes the r3/r4 "quadratic per source group" scale flag.
 TOKEN_JACCARD_GROUP_CAP = 2048
 TOKEN_JACCARD_BUCKET_CAP = 256      # sub-bucket clique cap (star above)
-_TJ_DENSE_BUDGET = 1 << 28          # max n_docs * n_distinct_tokens cells
+_TJ_DENSE_BUDGET = 1 << 28          # max n_docs * vocab-CHUNK cells
 
 
 def _clique_jaccard(ids, codes, rows, n):
     """Exact all-pairs token-set overlap for ONE clique of ``n`` docs
     (``ids`` ascending): distinct tokens become compact codes, docs rows
-    of a 0/1 membership matrix, all intersections from ONE ``B @ B.T``
-    matmul (float32 exact for counts < 2^24).  Returns (a, b, n_common,
+    of a 0/1 membership matrix, all intersections from ``B @ B.T``
+    matmuls (float32 exact for counts < 2^24).  Vocabularies larger
+    than the dense budget accumulate over COLUMN CHUNKS — bounded
+    memory, identical exact counts — so every group up to
+    TOKEN_JACCARD_GROUP_CAP stays on the exact path regardless of
+    vocab size (the documented contract).  Returns (a, b, n_common,
     n_union) arrays."""
     uc, inv = np.unique(codes, return_inverse=True)
-    B = np.zeros((n, len(uc)), np.float32)
-    B[rows, inv] = 1.0                   # duplicates collapse to 1
-    d = B.sum(axis=1).astype(np.int64)   # per-doc distinct counts
-    common = (B @ B.T).astype(np.int64)
+    ncodes = len(uc)
+    chunk = max(1, min(ncodes, _TJ_DENSE_BUDGET // max(1, n)))
+    common = np.zeros((n, n), np.int64)
+    d = np.zeros(n, np.int64)
+    for lo in range(0, ncodes, chunk):
+        hi = lo + chunk
+        sel = (inv >= lo) & (inv < hi)
+        B = np.zeros((n, min(chunk, ncodes - lo)), np.float32)
+        B[rows[sel], inv[sel] - lo] = 1.0    # duplicates collapse to 1
+        d += B.sum(axis=1).astype(np.int64)
+        common += (B @ B.T).astype(np.int64)
     iu, ju = np.triu_indices(n, k=1)
     nc = common[iu, ju]
     return ids[iu], ids[ju], nc, d[iu] + d[ju] - nc
@@ -1244,8 +1277,7 @@ def token_jaccard_pairs(docs):
         codes = flat.dictionary_encode().indices \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         rows = np.repeat(np.arange(n), lens)
-        ncodes = int(codes.max(initial=-1)) + 1
-        if n <= TOKEN_JACCARD_GROUP_CAP and n * ncodes <= _TJ_DENSE_BUDGET:
+        if n <= TOKEN_JACCARD_GROUP_CAP:
             a, b, nc, nu = _clique_jaccard(ids, codes, rows, n)
             return pd.DataFrame({"a": a, "b": b, "n_common": nc,
                                  "n_union": nu})

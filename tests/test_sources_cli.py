@@ -255,3 +255,14 @@ def test_cli_pagerank_checkpoint_resume(tmp_path):
     want = pq.read_table(str(tmp_path / "rank_ref")).to_pandas() \
         .sort_values("node")["rank"].to_numpy()
     np.testing.assert_allclose(got, want, atol=1e-12)
+    # zero-iteration resume edge: landing exactly on the newest
+    # checkpointed superstep must still print VALID JSON (delta was
+    # float('inf') -> bare Infinity before the CLI sanitizer)
+    out = subprocess.run(
+        [*base, "--max-iter", "30", "--resume", "--tol", "1e-10"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-1500:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["start_iter"] == 30 and res["iterations"] == 30
+    assert "Infinity" not in line
