@@ -40,13 +40,17 @@ DEFAULT_JOIN_PARTITIONS = 16
 
 
 def join_partitions(requested: int | None = None) -> int:
-    """Join partition count sized to the cluster: min(cap, CPUs)."""
-    if requested is not None:
-        return requested
+    """Join partition count sized to the cluster: min(cap, CPUs).
+    Explicit requests are clamped to the CPU count too — Ray Data
+    reserves one aggregator actor per partition, so a request above
+    the session's CPUs reproduces the documented zero-progress stall
+    regardless of who asked."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
+    if requested is not None:
+        return max(2, min(requested, cpus))
     return max(2, min(DEFAULT_JOIN_PARTITIONS, cpus))
 
 
@@ -93,6 +97,11 @@ def _url_sample(tbl: pa.Table, k: int) -> pa.Table:
     """Deterministic stride sample of a block's distinct urls (range-
     boundary estimation; no RNG so reruns route identically)."""
     import pyarrow.compute as pc
+    if tbl.num_rows == 0 or "url" not in tbl.column_names:
+        # Ray Data passes zero-row blocks through Project/rename
+        # WITHOUT running the op, so an all-empty links union reaches
+        # here with the pre-rename schema — treat as no urls
+        return pa.table({"url": pa.array([], pa.string())})
     u = pc.unique(tbl.column("url"))
     n = len(u)
     if n <= k:
@@ -108,16 +117,22 @@ def _url_route(tbl: pa.Table, bounds) -> tuple:
     order (UTF-8 preserves code-point order), so range routing agrees
     with the per-partition Arrow sort."""
     import pyarrow.compute as pc
-    u = pc.unique(tbl.column("url"))
     P = len(bounds) + 1
+    if tbl.num_rows == 0 or "url" not in tbl.column_names:
+        empty = pa.table({"url": pa.array([], pa.string())})
+        return tuple(empty for _ in range(P)) if P > 1 else empty
+    u = pc.unique(tbl.column("url"))
     un = np.asarray(u.to_pylist(), dtype=str)
     part = np.searchsorted(np.asarray(bounds, dtype=str), un,
                            side="right")
     order = np.argsort(part, kind="stable")
     arr = u.take(pa.array(order))
     cuts = np.searchsorted(part[order], np.arange(P + 1))
-    return tuple(pa.table({"url": arr.slice(cuts[p], cuts[p + 1] - cuts[p])})
-                 for p in range(P))
+    out = tuple(pa.table({"url": arr.slice(cuts[p], cuts[p + 1] - cuts[p])})
+                for p in range(P))
+    # num_returns=1 (empty-sample path): a bare table, not a 1-tuple —
+    # the reduce task reads .num_rows on what it receives
+    return out if P > 1 else out[0]
 
 
 @ray.remote
@@ -169,11 +184,8 @@ def build_nodes(links: rd.Dataset) -> rd.Dataset:
     parts = [_url_reduce.remote(*[routed[i][p] for i in range(len(routed))])
              for p in range(P)]
 
-    @ray.remote
-    def _count(tbl: pa.Table) -> int:
-        return tbl.num_rows
-
-    counts = ray.get([_count.remote(b) for b in parts])
+    from ..stages.exchange import _count_rows
+    counts = ray.get([_count_rows.remote(b) for b in parts])
     offsets = np.concatenate([[0], np.cumsum(counts)])
 
     @ray.remote
@@ -264,11 +276,18 @@ def resolve_raw(links: rd.Dataset, nodes: rd.Dataset, *,
         if not collision:
             def url_to_id(batch: pa.Table) -> pa.Table:
                 hs, ids_s = ray.get(map_ref)  # zero-copy plasma views
-                si = ids_s[np.searchsorted(hs, _splitmix64(_poly_hash_flat(
-                    *_str_bytes(batch.column("src_url")))))]
-                di = ids_s[np.searchsorted(hs, _splitmix64(_poly_hash_flat(
-                    *_str_bytes(batch.column("dst_url")))))]
-                return pa.table({"src": pa.array(si), "dst": pa.array(di)})
+                hsrc = _splitmix64(_poly_hash_flat(
+                    *_str_bytes(batch.column("src_url"))))
+                hdst = _splitmix64(_poly_hash_flat(
+                    *_str_bytes(batch.column("dst_url"))))
+                ps = np.minimum(np.searchsorted(hs, hsrc), len(hs) - 1)
+                pd_ = np.minimum(np.searchsorted(hs, hdst), len(hs) - 1)
+                # verified lookup: urls absent from nodes DROP the row
+                # (the shuffle path's inner-join semantics) instead of
+                # resolving to an arbitrary neighbouring id
+                ok = (hs[ps] == hsrc) & (hs[pd_] == hdst)
+                return pa.table({"src": pa.array(ids_s[ps][ok]),
+                                 "dst": pa.array(ids_s[pd_][ok])})
 
             resolved = links.map_batches(url_to_id, batch_format="pyarrow",
                                          zero_copy_batch=True)
@@ -287,9 +306,11 @@ def resolve_raw(links: rd.Dataset, nodes: rd.Dataset, *,
                 urls, ids_s = ray.get(smap_ref)
                 s = np.asarray(batch.column("src_url").to_pylist(), dtype=str)
                 d = np.asarray(batch.column("dst_url").to_pylist(), dtype=str)
-                si = ids_s[np.searchsorted(urls, s)]
-                di = ids_s[np.searchsorted(urls, d)]
-                return pa.table({"src": pa.array(si), "dst": pa.array(di)})
+                ps = np.minimum(np.searchsorted(urls, s), len(urls) - 1)
+                pd_ = np.minimum(np.searchsorted(urls, d), len(urls) - 1)
+                ok = (urls[ps] == s) & (urls[pd_] == d)
+                return pa.table({"src": pa.array(ids_s[ps][ok]),
+                                 "dst": pa.array(ids_s[pd_][ok])})
 
             resolved = links.map_batches(url_to_id_str,
                                          batch_format="pyarrow",
@@ -413,8 +434,11 @@ def degree_table(sym_edges: rd.Dataset) -> rd.Dataset:
 def ingest(pages_path: str, out_dir: str | None = None, *,
            concurrency: int | tuple = (1, 4)) -> dict:
     """Full ingestion.  Returns dict of Datasets: links, nodes, edges
-    (directed), sym_edges, degrees.  If ``out_dir`` is given, each table is
-    also persisted as parquet (resumable layout: one directory per table).
+    (directed), sym_edges, degrees.  If ``out_dir`` is given, the nodes /
+    edges / sym_edges tables are persisted as parquet (resumable layout:
+    one _SUCCESS-gated directory per table); links and degrees are cheap
+    derivations and are NOT written — recompute them from the persisted
+    tables on resume.
     """
     pages = rd.read_parquet(pages_path, columns=["url", "html"])
     # materialize links once: both build_nodes and resolve_edges consume

@@ -216,6 +216,24 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
     if clash:
         raise ValueError(f"left/right column name clash: {sorted(clash)}; "
                          "rename before joining")
+    # reserved scratch names: __on holds the int64 tick conversion and
+    # __m the match sentinel inside the reduce — a real column of either
+    # name would be silently overwritten / suffixed by merge_asof
+    reserved = {"__on", "__m"} & (set(lschema.names) | set(rschema.names))
+    if reserved:
+        raise ValueError(f"column names {sorted(reserved)} are reserved "
+                         "by asof_join; rename before joining")
+    # by-key dtype widths must match or pd.merge_asof raises a cryptic
+    # MergeError deep inside the reduce task — check loudly up front
+    lbt = lschema.field(left_by).type
+    rbt = rschema.field(right_by).type
+    # an all-empty side materializes with null-typed columns — that is
+    # the typed-empty contract, not a key-width mismatch
+    if lbt != rbt and not (pa.types.is_null(lbt)
+                           or pa.types.is_null(rbt)):
+        raise ValueError(f"asof_join by-key dtypes differ: "
+                         f"{left_by}={lbt} vs {right_by}={rbt}; "
+                         "cast to a common type before joining")
     meta = {"left_by": left_by, "left_on": left_on,
             "right_by": right_by, "right_on": right_on,
             "right_tie": right_tie, "right_values": rvals, "how": how,

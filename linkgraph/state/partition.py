@@ -281,8 +281,16 @@ class GraphShard:
             self.frag_offsets = np.concatenate(
                 [[0], np.cumsum(counts)]).astype(np.int64)
             if self._hub_degs is not None and len(self.frag_src_u):
-                degs = self._hub_degs[np.searchsorted(self._hub_ids_sorted,
-                                                      self.frag_src_u)]
+                pos = np.searchsorted(self._hub_ids_sorted,
+                                      self.frag_src_u)
+                # every ingested fragment src must be an installed hub;
+                # a narrower re-split would silently mis-bucket (or
+                # index past) — fail loud instead
+                assert pos.max(initial=-1) < len(self._hub_ids_sorted) \
+                    and bool((self._hub_ids_sorted[pos]
+                              == self.frag_src_u).all()), \
+                    "fragment srcs not in the installed hub set"
+                degs = self._hub_degs[pos]
                 from ..oracle.louvain import BUCKET_BOUNDS
                 self.frag_src_bucket = (np.searchsorted(
                     np.asarray(BUCKET_BOUNDS), degs, side="left") - 1)
@@ -581,6 +589,12 @@ class GraphShard:
             for t in tables:
                 sc, dc = t.column("src"), t.column("dst")
                 if sc.null_count or dc.null_count:
+                    return None
+                if [len(c) for c in sc.chunks] != \
+                        [len(c) for c in dc.chunks]:
+                    # src/dst chunk layouts differ (independently-chunked
+                    # columns): zipping would misalign rows and hand the
+                    # C kernels mismatched lengths — use the concat path
                     return None
                 for s_ch, d_ch in zip(sc.chunks, dc.chunks):
                     if len(s_ch) == 0:

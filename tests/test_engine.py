@@ -630,3 +630,23 @@ def test_contract_edges_p_invariant(engine_mod):
     (t2, n2), (t4, n4) = tables
     assert n2 == n4
     assert t2.equals(t4)
+
+
+def test_int64_chunks_rejects_misaligned_layouts():
+    """Differently-chunked src/dst columns must fall back to the concat
+    path (zipping would misalign rows under the C kernels, r5 review)."""
+    import pyarrow as pa
+
+    from linkgraph.state.partition import GraphShard
+
+    s = pa.chunked_array([pa.array([1, 2, 3], pa.int64()),
+                          pa.array([4], pa.int64())])
+    d = pa.chunked_array([pa.array([1], pa.int64()),
+                          pa.array([2, 3, 4], pa.int64())])
+    t = pa.table({"src": s, "dst": d})
+    assert GraphShard._int64_chunks([t]) is None
+    # aligned layouts still take the zero-copy path
+    t2 = pa.table({"src": pa.array([1, 2], pa.int64()),
+                   "dst": pa.array([3, 4], pa.int64())})
+    out = GraphShard._int64_chunks([t2])
+    assert out is not None and len(out) == 1

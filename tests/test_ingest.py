@@ -160,3 +160,51 @@ def test_resolve_collision_fallback_matches_fingerprint(pages_path,
     a = fp.sort_values(key).reset_index(drop=True)
     b = fb.sort_values(key).reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_build_nodes_empty_links_p1_path(ray_session):
+    """Zero-link corpora hit the empty-sample P==1 route (num_returns=1):
+    the route task must return a bare table, not a 1-tuple (r5 review)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.pipelines.ingest import build_nodes
+
+    links = rd.from_arrow(pa.table({
+        "src_url": pa.array([], pa.string()),
+        "dst_url": pa.array([], pa.string())}))
+    nodes = build_nodes(links)
+    assert nodes.count() == 0
+
+
+def test_resolve_raw_drops_unknown_urls(ray_session):
+    """Broadcast url->id resolution must DROP links whose url is absent
+    from nodes (the shuffle path's inner-join semantics), never resolve
+    them to a neighbouring id or raise (r5 review)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.pipelines.ingest import resolve_raw
+
+    nodes = rd.from_arrow(pa.table({
+        "url": pa.array(["a.com", "b.com", "c.com"]),
+        "node_id": pa.array([0, 1, 2], pa.int64())}))
+    links = rd.from_arrow(pa.table({
+        "src_url": pa.array(["a.com", "zz.com", "c.com", "b.com"]),
+        "dst_url": pa.array(["b.com", "a.com", "missing.org", "a.com"]),
+    }))
+    out = resolve_raw(links, nodes).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(zip(out["src"], out["dst"])) == [(0, 1), (1, 0)]
+
+
+def test_join_partitions_clamps_explicit_requests(ray_session):
+    """An explicit num_partitions above the session CPUs must clamp —
+    one aggregator actor per partition above CPUs stalls the join."""
+    import ray
+
+    from linkgraph.pipelines.ingest import join_partitions
+
+    cpus = int(ray.cluster_resources().get("CPU"))
+    assert join_partitions(1000) <= cpus
+    assert join_partitions(2) == 2

@@ -201,3 +201,27 @@ def test_sliding_window_matches_duckdb(ray_session):
     got["hour"] = got["hour"].astype("datetime64[us]")
     want["hour"] = want["hour"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_asof_rejects_reserved_and_mismatched_keys(ray_session):
+    """Reserved scratch names (__on/__m) and by-key dtype mismatches
+    must fail loudly up front, not deep inside the reduce (r5 review)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": np.arange(4), "t": np.arange(4),
+                         "__on": np.arange(4)})
+    right = pd.DataFrame({"rk": np.arange(4), "rt": np.arange(4),
+                          "val": np.arange(4.0)})
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  left_by="k", right_by="rk", left_on="t", right_on="rt",
+                  right_values=["val"], num_partitions=2)
+    left2 = pd.DataFrame({"k": np.arange(4, dtype=np.int32),
+                          "t": np.arange(4)})
+    with pytest.raises(ValueError, match="dtypes differ"):
+        asof_join(rd.from_pandas(left2), rd.from_pandas(right),
+                  left_by="k", right_by="rk", left_on="t", right_on="rt",
+                  right_values=["val"], num_partitions=2)
