@@ -112,19 +112,23 @@ def _url_sample(tbl: pa.Table, k: int) -> pa.Table:
 
 @ray.remote
 def _url_route(tbl: pa.Table, bounds) -> tuple:
-    """Route a block's distinct urls to their range partition.  numpy
-    UCS-4 comparison and Arrow UTF-8 byte comparison induce the same
-    order (UTF-8 preserves code-point order), so range routing agrees
-    with the per-partition Arrow sort."""
+    """Route a block's distinct urls to their range partition with
+    Arrow-native comparisons: partition index = number of bounds <= url
+    (== searchsorted side="right"), computed as len(bounds) vectorized
+    ``pc.greater_equal`` passes — no per-row Python conversion (the old
+    to_pylist + UCS-4 copy was the dominant routing cost at large url
+    counts; Arrow UTF-8 byte order == code-point order, so the routing
+    still agrees with the per-partition Arrow sort).  At very large P a
+    bucketed two-level comparison would replace the linear pass."""
     import pyarrow.compute as pc
     P = len(bounds) + 1
     if tbl.num_rows == 0 or "url" not in tbl.column_names:
         empty = pa.table({"url": pa.array([], pa.string())})
         return tuple(empty for _ in range(P)) if P > 1 else empty
     u = pc.unique(tbl.column("url"))
-    un = np.asarray(u.to_pylist(), dtype=str)
-    part = np.searchsorted(np.asarray(bounds, dtype=str), un,
-                           side="right")
+    part = np.zeros(len(u), np.int64)
+    for b in bounds:
+        part += pc.greater_equal(u, pa.scalar(b))             .to_numpy(zero_copy_only=False)
     order = np.argsort(part, kind="stable")
     arr = u.take(pa.array(order))
     cuts = np.searchsorted(part[order], np.arange(P + 1))
